@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The engine has no ``transcripts`` table in the driver testdata, so each
+query derives one deterministically from ``events.parquet`` (cached in
+/tmp) using expressions with exact DuckDB twins — see
+``fluent_plugin_kubernetes_metadata_filter_ray/datagen.py``.  The oracle SQL
+re-derives the same table (and the analytically-expected enrichment) from
+the pre-registered ``events`` view, so the value-hash comparison checks the
+real engine work: regex parse, cached store lookups, orphan / deleted-pod /
+recreated-namespace classification, routing aggregates.
 """
 
 from __future__ import annotations
@@ -18,27 +18,66 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
+from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
+from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+    route_counts,
+    route_counts_oracle_sql,
+)
+from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: parse → enrich → per-sink
+    counts."""
+    return flagship.run_flagship("/root/testdata/sf0.001")
+
+
+def _q_transcripts(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(dg.transcripts_path(sf_dir))
+
+
+def _q_parse(sf_dir: str):
+    ds = flagship.read_transcripts(sf_dir)
+    return parse_stage(ds, DEFAULT_CONFIG).select_columns(dg.PARSE_COLUMNS)
+
+
+def _q_enrich(sf_dir: str):
+    return flagship.build_enriched(sf_dir).select_columns(dg.ENRICH_COLUMNS)
+
+
+def _q_enrich_skip(sf_dir: str):
+    cfg = DEFAULT_CONFIG.skip_variant()
+    return flagship.build_enriched(sf_dir, cfg).select_columns(dg.ENRICH_COLUMNS)
+
+
+def _q_route_counts(sf_dir: str):
+    return route_counts(flagship.build_enriched(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q = {
+        "q_transcripts": _q_transcripts,
+        "q_parse": _q_parse,
+        "q_enrich": _q_enrich,
+        "q_enrich_skip": _q_enrich_skip,
+        "q_route_counts": _q_route_counts,
+    }
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
+    q.update(registry.queries())
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o = {
+        "q_transcripts": dg.transcripts_sql(),
+        "q_parse": dg.parse_oracle_sql(),
+        "q_enrich": dg.enrich_oracle_sql(),
+        "q_enrich_skip": dg.enrich_oracle_sql(skip=True),
+        "q_route_counts": route_counts_oracle_sql(),
+    }
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
+    o.update(registry.oracle_sql())
+    return o

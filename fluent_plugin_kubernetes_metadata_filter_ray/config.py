@@ -1,0 +1,69 @@
+"""Pipeline configuration — mirrors the reference's ``config_param`` surface
+(filter_kubernetes_metadata.rb:44-99) where meaningful for a batch engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from . import constants as C
+
+# reference tag grammars (filter_kubernetes_metadata.rb:57-58), RE2-safe:
+# inner groups made non-capturing; named groups kept identical.
+REGEX_VAR_LOG_PODS = (
+    r"^var\.log\.pods\.(?P<namespace>[^_]+)"
+    r"_(?P<pod_name>[a-z0-9](?:[-a-z0-9]*[a-z0-9])?(?:\.[a-z0-9](?:[-a-z0-9]*[a-z0-9])?)*)"
+    r"_(?P<pod_uuid>[a-z0-9-]*)\.(?P<container_name>.+)\..*\.log$"
+)
+REGEX_VAR_LOG_CONTAINERS = (
+    r"^var\.log\.containers\."
+    r"(?P<pod_name>[a-z0-9](?:[-a-z0-9]*[a-z0-9])?(?:\.[a-z0-9](?:[-a-z0-9]*[a-z0-9])?)*)"
+    r"_(?P<namespace>[^_]+)_(?P<container_name>.+)-(?P<docker_id>[a-z0-9]{64})\.log$"
+)
+
+
+@dataclass
+class PipelineConfig:
+    # metadata store ("API server"); None → tag-only metadata
+    # (test_filter_kubernetes_metadata.rb:519-533)
+    kubernetes_url: str | None = C.MASTER_URL
+
+    # caches (filter_kubernetes_metadata.rb:45-47)
+    cache_size: int = 1000
+    cache_ttl: float = 3600.0
+
+    # tag grammars (overridable, U2)
+    tag_regex_pods: str = REGEX_VAR_LOG_PODS
+    tag_regex_containers: str = REGEX_VAR_LOG_CONTAINERS
+
+    # enrichment behavior
+    annotation_match: tuple[str, ...] = (r"^custom\..+",)
+    allow_orphans: bool = True
+    orphaned_namespace_name: str = C.ORPHANED_NAMESPACE_NAME
+    orphaned_namespace_id: str = C.ORPHANED_NAMESPACE_ID
+    lookup_from_k8s_field: bool = True
+    skip_labels: bool = False
+    skip_pod_labels: bool = False
+    skip_namespace_labels: bool = False
+    skip_container_metadata: bool = False
+    skip_master_url: bool = False
+    skip_namespace_metadata: bool = False
+    include_ownerrefs_metadata: bool = False
+
+    # stats (stats_interval<=0 → NoOp, filter_kubernetes_metadata.rb:186-190)
+    stats_enabled: bool = True
+
+    # Ray execution knobs; enrich_concurrency=None → size the actor pool to
+    # the cluster, leaving CPUs for the read/write stages
+    enrich_batch_size: int = 16384
+    enrich_concurrency: int | None = None
+    parse_batch_size: int = 65536
+
+    def skip_variant(self) -> "PipelineConfig":
+        """The skip_labels+skip_container_metadata+skip_master_url variant used
+        by the q_enrich_skip oracle (test_filter_kubernetes_metadata.rb:779-889)."""
+        from dataclasses import replace
+        return replace(self, skip_labels=True, skip_container_metadata=True, skip_master_url=True)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,183 @@
+"""Metadata stores — the batch-engine analog of the K8s API server.
+
+The reference fetches pod / namespace objects over HTTPS on cache miss
+(filter_kubernetes_metadata.rb:101-129,146-171) and projects them with
+``parse_pod_metadata`` / ``parse_namespace_metadata``
+(kubernetes_metadata_common.rb:40-110).  Here the authoritative store is an
+immutable *versioned snapshot*: two small Parquet tables (pods, namespaces)
+projected ONCE at load into plain dicts — the projection (labels /
+annotation-match / skip-flags / containerID prefix strip) runs over the tiny
+side table, never per event row.
+
+Scale note: the snapshot is small-side data.  It is broadcast — either via
+``ray.put`` of the projected dicts (preferred on a cluster: one object-store
+copy per node) or re-read from Parquet in each actor's ``__init__``.  Never
+shuffled against the event stream.
+
+The ``test_api_adapter`` seam (filter_kubernetes_metadata.rb:90-92,271-280)
+maps to the pluggable store classes below: Table-backed (real), Empty
+(API-unreachable → orphan tests), Failing (socket-error → orphan tests,
+test_filter_kubernetes_metadata.rb:266-298).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import pyarrow.parquet as pq
+
+
+def _canonical_json(d: dict) -> str | None:
+    """Sorted-key, no-space JSON; None for empty (Ruby drops empty-label keys,
+    kubernetes_metadata_common.rb:49-50,106-108)."""
+    if not d:
+        return None
+    return json.dumps(d, separators=(",", ":"), sort_keys=True)
+
+
+_RUNTIME_PREFIX = re.compile(r"^[-_a-zA-Z0-9]+://")
+
+
+def project_pod(row: dict, cfg) -> dict:
+    """Pod snapshot row → flat metadata dict (parse_pod_metadata twin,
+    kubernetes_metadata_common.rb:54-110)."""
+    labels = dict(row.get("labels") or {})
+    annotations = dict(row.get("annotations") or {})
+    matched_ann = _match_annotations(annotations, cfg.annotation_match)
+
+    containers = {}
+    for cs in row.get("container_statuses") or []:
+        cid = _RUNTIME_PREFIX.sub("", cs.get("container_id") or "")
+        if cfg.skip_container_metadata:
+            containers[cs["name"]] = {"name": cs["name"]}
+        else:
+            containers[cs["name"]] = {
+                "name": cs["name"],
+                "image": cs.get("image"),
+                "image_id": cs.get("image_id"),
+                "containerID": cid,
+            }
+
+    meta = {
+        "namespace_name": row["namespace_name"],
+        "pod_id": row["uid"],
+        "pod_name": row["pod_name"],
+        "pod_ip": row.get("pod_ip"),
+        "containers": containers,
+        "host": row.get("node_name"),
+    }
+    if cfg.include_ownerrefs_metadata:
+        meta["ownerrefs_json"] = _canonical_json_list(
+            [{"kind": o["kind"], "name": o["name"]} for o in row.get("owner_refs") or []]
+        )
+    if not (cfg.skip_labels or cfg.skip_pod_labels):
+        meta["labels_json"] = _canonical_json(labels)
+    meta["annotations_json"] = _canonical_json(matched_ann)
+    if not cfg.skip_master_url:
+        meta["master_url"] = cfg.kubernetes_url
+    return {k: v for k, v in meta.items() if v is not None}
+
+
+def project_namespace(row: dict, cfg) -> dict:
+    """Namespace snapshot row → metadata dict (parse_namespace_metadata twin,
+    kubernetes_metadata_common.rb:40-52).  ``creation_timestamp`` is kept for
+    the age comparison and stripped from output by the enricher
+    (kubernetes_metadata_cache_strategy.rb:99-100)."""
+    annotations = _match_annotations(dict(row.get("annotations") or {}), cfg.annotation_match)
+    meta = {
+        "namespace_id": row["uid"],
+        "creation_timestamp": row["creation_ts"],
+    }
+    if not (cfg.skip_labels or cfg.skip_namespace_labels):
+        meta["namespace_labels_json"] = _canonical_json(dict(row.get("labels") or {}))
+    meta["namespace_annotations_json"] = _canonical_json(annotations)
+    return {k: v for k, v in meta.items() if v is not None}
+
+
+def _match_annotations(annotations: dict, patterns) -> dict:
+    """match_annotations twin (kubernetes_metadata_common.rb:30-38)."""
+    if not patterns:
+        return {}
+    compiled = [re.compile(p) for p in patterns]
+    return {k: v for k, v in annotations.items() if any(r.search(k) for r in compiled)}
+
+
+def _canonical_json_list(lst: list) -> str | None:
+    if not lst:
+        return None
+    return json.dumps(lst, separators=(",", ":"), sort_keys=True)
+
+
+class MetadataStore:
+    """Interface: point reads by key; raise → treated like an API error
+    (degrades to orphan, never blocks the pipeline)."""
+
+    version: str = "v0"
+
+    def get_pod(self, namespace: str, pod: str) -> dict | None:
+        raise NotImplementedError
+
+    def get_namespace(self, namespace: str) -> dict | None:
+        raise NotImplementedError
+
+
+class TableMetadataStore(MetadataStore):
+    """Snapshot-backed store: loads + projects the two Parquet side tables
+    once (S4-S7 in SURVEY.md §2.1; watch semantics become snapshot versions,
+    §2.8)."""
+
+    def __init__(self, snapshot_dir: str, cfg, version: str | None = None):
+        self.version = version or os.path.basename(os.path.normpath(snapshot_dir))
+        pods = pq.read_table(os.path.join(snapshot_dir, "pods.parquet")).to_pylist()
+        nss = pq.read_table(os.path.join(snapshot_dir, "namespaces.parquet")).to_pylist()
+        self._pods = {(r["namespace_name"], r["pod_name"]): project_pod(r, cfg) for r in pods}
+        self._namespaces = {r["name"]: project_namespace(r, cfg) for r in nss}
+
+    def get_pod(self, namespace: str, pod: str) -> dict | None:
+        return self._pods.get((namespace, pod))
+
+    def get_namespace(self, namespace: str) -> dict | None:
+        return self._namespaces.get(namespace)
+
+
+class DictMetadataStore(MetadataStore):
+    """In-memory store for unit tests (pre-projected dicts)."""
+
+    def __init__(self, pods: dict, namespaces: dict, version: str = "test"):
+        self._pods = pods
+        self._namespaces = namespaces
+        self.version = version
+        self.pod_probes = 0
+        self.namespace_probes = 0
+
+    def get_pod(self, namespace: str, pod: str) -> dict | None:
+        self.pod_probes += 1
+        return self._pods.get((namespace, pod))
+
+    def get_namespace(self, namespace: str) -> dict | None:
+        self.namespace_probes += 1
+        return self._namespaces.get(namespace)
+
+
+class EmptyMetadataStore(MetadataStore):
+    """API reachable but nothing found (404 path → orphans)."""
+
+    def get_pod(self, namespace: str, pod: str) -> dict | None:
+        return None
+
+    def get_namespace(self, namespace: str) -> dict | None:
+        return None
+
+
+class FailingMetadataStore(MetadataStore):
+    """Socket-error analog: every probe raises; the enricher degrades to the
+    orphan path without failing the batch
+    (test_filter_kubernetes_metadata.rb:266-298)."""
+
+    def get_pod(self, namespace: str, pod: str) -> dict | None:
+        raise ConnectionError("metadata store unreachable")
+
+    def get_namespace(self, namespace: str) -> dict | None:
+        raise ConnectionError("metadata store unreachable")

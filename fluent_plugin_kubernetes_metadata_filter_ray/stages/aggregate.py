@@ -1,0 +1,79 @@
+"""Aggregations (SURVEY.md §2.5): per-sink turn counts and stats merges.
+
+Scale pattern: never feed raw event rows into ``groupby`` — pre-aggregate
+inside ``map_batches`` (one row per key per batch; pyarrow ``group_by`` per
+batch), then shuffle only the tiny partials.  With B batches and K distinct
+keys the exchange moves O(B·K) rows instead of O(rows).  Key skew (hot
+``conv_id``/``role``) therefore can't create a hot reducer: partials are
+already collapsed before the shuffle — this is the "salted repartition"
+requirement from BASELINE.json north_rule, done one better (combiner
+pushdown; the salt is implicitly the batch id).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+
+def per_key_counts(ds, keys: list[str], count_col: str = "n_turns"):
+    """Distributed count(*) by key with per-batch combining."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([([], "count_all")])
+        cols = {k: g.column(k) for k in keys}
+        cols[count_col] = g.column("count_all").cast(pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(keys).aggregate(Sum(count_col, alias_name=count_col))
+
+
+def route_counts(enriched_ds):
+    """Per-sink (role) turn counts + enrichment-class tallies — the
+    pipeline's headline aggregate (BASELINE.json: 'matching per-sink
+    aggregate counts')."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        ns = t.column("k8s_namespace_name")
+        nsid = t.column("k8s_namespace_id")
+        podid = t.column("k8s_pod_id")
+        flags = {
+            "n_turns": pa.array([1] * len(t), pa.int64()),
+            "n_matched": pc.cast(pc.is_valid(ns), pa.int64()),
+            "n_orphaned": pc.cast(
+                pc.coalesce(pc.equal(nsid, "orphaned"), pa.scalar(False)), pa.int64()
+            ),
+            "n_full": pc.cast(
+                pc.and_(pc.is_valid(podid), pc.is_valid(t.column("k8s_pod_ip"))), pa.int64()
+            ),
+        }
+        tt = pa.table({"role": t.column("role"), **flags})
+        g = tt.group_by(["role"]).aggregate([(c, "sum") for c in flags])
+        return g.rename_columns(["role"] + list(flags)) if g.column_names[0] == "role" else pa.table(
+            {"role": g.column("role"), **{c: g.column(f"{c}_sum") for c in flags}}
+        )
+
+    partials = enriched_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("role").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_matched", alias_name="n_matched"),
+        Sum("n_orphaned", alias_name="n_orphaned"),
+        Sum("n_full", alias_name="n_full"),
+    )
+
+
+def route_counts_oracle_sql() -> str:
+    from .. import datagen as dg
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+{dg._CLS_CTE}
+SELECT role,
+  count(*) AS n_turns,
+  CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+  CAST(sum(CASE WHEN cls = 'orphan' THEN 1 ELSE 0 END) AS BIGINT) AS n_orphaned,
+  CAST(sum(CASE WHEN cls = 'full' THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+FROM cls3 GROUP BY role
+""".strip()

@@ -1,0 +1,322 @@
+"""Stateful enrich stage: cached metadata lookups as a Ray actor pool.
+
+Re-implements the semantic core of the reference —
+``get_pod_metadata`` (kubernetes_metadata_cache_strategy.rb:24-102) and
+``get_metadata_for_record`` (filter_kubernetes_metadata.rb:325-362) — as a
+callable class for ``map_batches(Enricher, concurrency=N)``:
+
+  - ``__init__`` (once per actor): load + project the metadata snapshot,
+    build the three TTL-LRU caches (id / pod / namespace,
+    filter_kubernetes_metadata.rb:197-204).
+  - ``__call__`` (per batch): resolve each *distinct* key once against the
+    caches (the reference only gets this collapse via its caches; we make it
+    explicit — SURVEY.md §2.5 A2), then scatter the resolved metadata back to
+    rows with vectorized numpy gathers.  The per-call ``batch_miss_cache``
+    dict reproduces the per-``filter``-invocation negative cache
+    (filter_kubernetes_metadata.rb:366, cache_strategy.rb:29-31,78,81).
+
+Order-independence note: the reference freezes the deleted-pod /
+recreated-namespace branch (cache_strategy.rb:49-57) into ``id_cache`` based
+on the FIRST record's event time per key, making output order-dependent.
+Against an immutable snapshot we instead keep the namespace-age comparison
+per-row (resolution returns both branches + the namespace creation time; a
+vectorized ``ts`` comparison selects per row), which is order-free and equals
+the reference for any single-time key — this is what the DuckDB oracle
+asserts.
+
+Scale notes: metadata snapshot is broadcast small-side state (never
+shuffled); per-batch work is O(rows) gathers + O(distinct keys) dict lookups;
+actor pool size × num_cpus must leave CPUs for read/parse/write stages.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..sources import metadata_store as ms
+from ..state.stats import NoOpStats, Stats
+from ..state.ttl_cache import TTLLRUCache
+
+NEG_INF_US = -(2**62)
+
+# flat output columns (string unless noted); see datagen.ENRICH_COLUMNS
+K8S_OUTPUT_COLUMNS = [
+    "container_id",
+    "k8s_namespace_name", "k8s_namespace_id",
+    "k8s_pod_name", "k8s_pod_id", "k8s_pod_ip", "k8s_host",
+    "k8s_container_name", "k8s_container_image", "k8s_container_image_id",
+    "k8s_master_url", "k8s_orphaned_namespace",
+    "k8s_labels", "k8s_annotations", "k8s_namespace_labels", "k8s_namespace_annotations",
+    "k8s_ownerrefs",
+]
+
+_META_TO_COL = {
+    "namespace_name": "k8s_namespace_name",
+    "namespace_id": "k8s_namespace_id",
+    "pod_name": "k8s_pod_name",
+    "pod_id": "k8s_pod_id",
+    "pod_ip": "k8s_pod_ip",
+    "host": "k8s_host",
+    "master_url": "k8s_master_url",
+    "orphaned_namespace": "k8s_orphaned_namespace",
+    "labels_json": "k8s_labels",
+    "annotations_json": "k8s_annotations",
+    "namespace_labels_json": "k8s_namespace_labels",
+    "namespace_annotations_json": "k8s_namespace_annotations",
+    "ownerrefs_json": "k8s_ownerrefs",
+}
+
+
+class Enricher:
+    """Callable actor class for ``ds.map_batches(Enricher, concurrency=N,
+    batch_format='pyarrow', fn_constructor_kwargs=...)``.
+
+    ``store`` may be a MetadataStore instance (unit tests), a snapshot dir
+    path (each actor loads the small Parquet side tables once), or a Ray
+    ObjectRef to a pre-built store (broadcast via ``ray.put``)."""
+
+    def __init__(self, cfg, store=None, clock=None):
+        import time as _time
+        self.cfg = cfg
+        self.clock = clock or _time.monotonic
+        if isinstance(store, str):
+            store = ms.TableMetadataStore(store, cfg)
+        elif type(store).__name__ == "ObjectRef":
+            import ray
+            store = ray.get(store)
+        self.store = store
+        self.has_store = cfg.kubernetes_url is not None and store is not None
+        self.stats = Stats() if cfg.stats_enabled else NoOpStats()
+        self.id_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
+        self.pod_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
+        self.ns_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
+
+    # -- store probes with the reference's error degradation ---------------
+
+    def _fetch_pod(self, ns: str, pod: str) -> dict:
+        """fetch_pod_metadata twin (filter_kubernetes_metadata.rb:101-129):
+        miss → {}, error → stats bump + {} (degrade, never block)."""
+        try:
+            meta = self.store.get_pod(ns, pod)
+        except Exception:
+            self.stats.bump("pod_cache_api_nil_error")
+            return {}
+        if meta is None:
+            self.stats.bump("pod_cache_api_nil_not_found")
+            return {}
+        self.stats.bump("pod_cache_api_updates")
+        self.pod_cache[meta["pod_id"]] = meta
+        return meta
+
+    def _fetch_namespace(self, ns: str) -> dict:
+        try:
+            meta = self.store.get_namespace(ns)
+        except Exception:
+            self.stats.bump("namespace_cache_api_nil_error")
+            return {}
+        if meta is None:
+            self.stats.bump("namespace_cache_api_nil_not_found")
+            return {}
+        self.stats.bump("namespace_cache_api_updates")
+        self.ns_cache[meta["namespace_id"]] = meta
+        return meta
+
+    # -- cache strategy (get_pod_metadata twin) ----------------------------
+
+    def get_pod_metadata_pair(self, key, ns, pod, batch_miss_cache):
+        """Returns ``(meta_le, meta_gt, ns_creation_us)``:
+
+        ``meta_le`` applies when namespace.creation_ts <= record ts
+        (deleted-pod branch), ``meta_gt`` when newer (recreated-namespace
+        branch); identical (creation=-inf) when the branch is irrelevant.
+        Mirrors kubernetes_metadata_cache_strategy.rb:24-102 with the
+        branch selection deferred to per-row time (see module docstring).
+        """
+        cfg = self.cfg
+        ids = self.id_cache.get(key)
+        if ids is None:
+            self.stats.bump("id_cache_miss")
+            bm_key = f"{ns}_{pod}"
+            if bm_key in batch_miss_cache:
+                return batch_miss_cache[bm_key]
+
+            pod_meta = self._fetch_pod(ns, pod)
+            if cfg.skip_namespace_metadata:
+                ids = {"pod_id": pod_meta.get("pod_id")}
+                self.id_cache[key] = ids
+                return self._finalize(dict(pod_meta)), None, NEG_INF_US
+
+            ns_meta = self._fetch_namespace(ns)
+            ids = {"pod_id": pod_meta.get("pod_id"), "namespace_id": ns_meta.get("namespace_id")}
+            if ids["pod_id"] is not None and ids["namespace_id"] is not None:
+                merged = {**pod_meta, **ns_meta}
+                self.id_cache[key] = ids
+                return self._finalize(merged), None, NEG_INF_US
+            if ids["pod_id"] is None and ids["namespace_id"] is not None:
+                # pod not found, namespace found → namespace-age branch
+                self.stats.bump("id_cache_pod_not_found_namespace")
+                creation = ns_meta["creation_timestamp"]
+                creation_us = int(pd.Timestamp(creation).value // 1000)
+                stub = self.pod_cache.fetch(key, lambda: {"pod_id": key})
+                meta_le = self._finalize({**stub, **ns_meta})
+                meta_gt = self._finalize(dict(ns_meta))
+                self.id_cache[key] = ids
+                return meta_le, meta_gt, creation_us
+            if ids["pod_id"] is not None and ids["namespace_id"] is None:
+                # "should NEVER be possible" (cache_strategy.rb:62-64)
+                self.stats.bump("id_cache_namespace_not_found_pod")
+            else:
+                self.stats.bump("id_cache_orphaned_record")
+            if cfg.allow_orphans:
+                meta = {
+                    "orphaned_namespace": ns,
+                    "namespace_name": cfg.orphaned_namespace_name,
+                    "namespace_id": cfg.orphaned_namespace_id,
+                }
+            else:
+                meta = {}
+            pair = (self._finalize(meta), None, NEG_INF_US)
+            # negative result goes to the per-batch cache only, NOT id_cache
+            # (cache_strategy.rb:78-81)
+            batch_miss_cache[bm_key] = pair
+            return pair
+
+        # SLOW PATH (id_cache hit): refetch metadata via pod/ns caches with
+        # store fallback (cache_strategy.rb:83-97)
+        def pod_fallback():
+            self.stats.bump("pod_cache_miss")
+            m = self._fetch_pod(ns, pod)
+            return m if m else {"pod_id": ids["pod_id"]}
+
+        meta = dict(self.pod_cache.fetch(ids.get("pod_id"), pod_fallback))
+        if "namespace_id" in ids:
+            def ns_fallback():
+                if not cfg.skip_namespace_metadata:
+                    self.stats.bump("namespace_cache_miss")
+                    m = self._fetch_namespace(ns)
+                    if m:
+                        return m
+                return {"namespace_id": ids["namespace_id"]}
+
+            meta.update(self.ns_cache.fetch(ids.get("namespace_id"), ns_fallback))
+        return self._finalize(meta), None, NEG_INF_US
+
+    @staticmethod
+    def _finalize(meta: dict) -> dict:
+        """Strip comparison-only / nil entries
+        (cache_strategy.rb:99-101)."""
+        meta.pop("creation_timestamp", None)
+        return {k: v for k, v in meta.items() if v is not None}
+
+    # -- record-level metadata (get_metadata_for_record twin) --------------
+
+    def metadata_for_key(self, ns, pod, container, cache_key, docker_id, batch_miss_cache):
+        """filter_kubernetes_metadata.rb:325-362, producing flat output
+        column dicts for both time branches."""
+        meta_le, meta_gt, creation_us = (
+            self.get_pod_metadata_pair(cache_key, ns, pod, batch_miss_cache)
+            if self.has_store
+            else ({}, None, NEG_INF_US)
+        )
+        out_le = self._build_output(ns, pod, container, docker_id, meta_le)
+        out_gt = out_le if meta_gt is None else self._build_output(ns, pod, container, docker_id, meta_gt)
+        return out_le, out_gt, creation_us
+
+    def _build_output(self, ns, pod, container, docker_id, pod_meta: dict) -> dict:
+        cfg = self.cfg
+        out = dict.fromkeys(K8S_OUTPUT_COLUMNS)
+        out["k8s_namespace_name"] = ns
+        out["k8s_pod_name"] = pod
+        out["k8s_container_name"] = container
+        container_id = docker_id if docker_id is not None else ""
+
+        if self.has_store:
+            c = (pod_meta.get("containers") or {}).get(container)
+            if c and not cfg.skip_container_metadata:
+                out["k8s_container_image"] = c.get("image")
+                if c.get("image_id"):
+                    out["k8s_container_image_id"] = c["image_id"]
+                if c.get("containerID"):
+                    container_id = c["containerID"]
+            for mk, col in _META_TO_COL.items():
+                if mk in pod_meta:
+                    out[col] = pod_meta[mk]
+
+        out["container_id"] = container_id if container_id else None  # docker-drop (M11)
+        return out
+
+    # -- the per-batch entry point -----------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        batch_miss_cache: dict = {}
+
+        ns_a = batch.column("namespace").to_numpy(zero_copy_only=False)
+        pod_a = batch.column("pod_name").to_numpy(zero_copy_only=False)
+        cont_a = batch.column("container_name").to_numpy(zero_copy_only=False)
+        did_a = batch.column("docker_id").to_numpy(zero_copy_only=False)
+        key_a = batch.column("cache_key").to_numpy(zero_copy_only=False)
+        ts_us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+        matched = pd.notna(ns_a)
+        # distinct-key resolution: one store/cache probe per unique key per batch
+        tuples = pd.Series(list(zip(ns_a, pod_a, cont_a, did_a, key_a)), dtype=object)
+        codes, uniques = pd.factorize(tuples[matched], sort=False)
+
+        n_u = len(uniques)
+        le_vals = {c: np.empty(n_u, dtype=object) for c in K8S_OUTPUT_COLUMNS}
+        gt_vals = {c: np.empty(n_u, dtype=object) for c in K8S_OUTPUT_COLUMNS}
+        creation = np.full(n_u, NEG_INF_US, dtype=np.int64)
+
+        for ui, (ns, pod, cont, did, key) in enumerate(uniques):
+            did_v = None if pd.isna(did) else did
+            out_le, out_gt, cre = self.metadata_for_key(
+                ns, pod, cont, key, did_v, batch_miss_cache
+            )
+            creation[ui] = cre
+            for c in K8S_OUTPUT_COLUMNS:
+                le_vals[c][ui] = out_le[c]
+                gt_vals[c][ui] = out_gt[c]
+
+        out = batch
+        midx = np.flatnonzero(matched)
+        row_ts = ts_us[midx]
+        use_le = row_ts >= creation[codes]
+        for c in K8S_OUTPUT_COLUMNS:
+            col = np.full(n, None, dtype=object)
+            if n_u:
+                col[midx] = np.where(use_le, le_vals[c][codes], gt_vals[c][codes])
+            out = out.append_column(c, pa.array(col, pa.string()))
+
+        self.stats.set("last_batch_rows", n)
+        return out
+
+    def counters(self) -> dict:
+        return self.stats.to_dict()
+
+
+def _auto_concurrency() -> int:
+    """Actor-pool size: total CPUs minus headroom for the read/write stages.
+    A pool that reserves every CPU starves the other operators and the
+    streaming pipeline serializes (observed: 4/4 CPUs → deadlock-slow)."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, cpus - 2)
+
+
+def enrich_stage(ds, cfg, store_ref):
+    """parse → enrich: actor pool holding the caches + snapshot."""
+    return ds.map_batches(
+        Enricher,
+        fn_constructor_kwargs={"cfg": cfg, "store": store_ref},
+        batch_format="pyarrow",
+        batch_size=cfg.enrich_batch_size,
+        concurrency=cfg.enrich_concurrency or _auto_concurrency(),
+        num_cpus=1,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,81 @@
+"""End-to-end Ray pipeline vs DuckDB oracle at sf0.001 — the same comparison
+the driver runs at sf0.01 (row count + order-insensitive value equality)."""
+
+import pandas as pd
+import pytest
+
+
+def _to_sorted_df(obj, sort_cols):
+    import ray.data
+
+    if isinstance(obj, ray.data.Dataset):
+        df = obj.to_pandas()
+    elif isinstance(obj, pd.DataFrame):
+        df = obj
+    else:
+        df = obj.to_pandas()
+    return df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+
+
+def _assert_frames_equal(ray_df, duck_df, cols):
+    assert len(ray_df) == len(duck_df)
+    for c in cols:
+        a, b = ray_df[c], duck_df[c]
+        am = a.fillna("@").astype(str)
+        bm = b.fillna("@").astype(str)
+        bad = am != bm
+        assert not bad.any(), f"col {c}: {bad.sum()} mismatches, e.g. {a[bad].head(3).tolist()} vs {b[bad].head(3).tolist()}"
+
+
+@pytest.mark.parametrize("qname,sort_cols", [
+    ("q_transcripts", ["conv_id", "turn_idx"]),
+    ("q_parse", ["conv_id", "turn_idx"]),
+    ("q_enrich", ["conv_id", "turn_idx"]),
+    ("q_enrich_skip", ["conv_id", "turn_idx"]),
+    ("q_route_counts", ["role"]),
+])
+def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()[qname]
+    sql = entrymod.oracle_sql()[qname]
+    ray_df = _to_sorted_df(q(sf_dir), sort_cols)
+    duck_df = duck.execute(sql).fetchdf()
+    duck_df = duck_df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    assert list(ray_df.columns) == list(duck_df.columns)
+    _assert_frames_equal(ray_df, duck_df, ray_df.columns)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as entrymod
+
+    res = entrymod.entry()
+    df = res.to_pandas()
+    assert len(df) >= 1
+    assert set(df.columns) == {"role", "n_turns", "n_matched", "n_orphaned", "n_full"}
+    assert df["n_turns"].sum() == 1000
+
+
+def test_routed_row_equality(ray_session, sf_dir, tmp_path):
+    """Fan-out write: union of per-role sinks == enriched rows, per-sink row
+    sets keyed by (conv_id, turn_idx) with byte-equal text (BASELINE
+    'routed-row equality per sink' / 'per-turn text equality')."""
+    import pyarrow.parquet as pq
+    import pyarrow.dataset as pads
+    from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.route import route_write
+
+    enriched = flagship.build_enriched(sf_dir)
+    expected = enriched.to_pandas()
+    out = str(tmp_path / "sinks")
+    route_write(flagship.build_enriched(sf_dir), out)
+
+    got = pads.dataset(out, partitioning="hive").to_table().to_pandas()
+    assert len(got) == len(expected)
+    key = ["conv_id", "turn_idx"]
+    g = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    e = expected.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert (g["text"] == e["text"]).all()
+    assert (g["role"].astype(str) == e["role"]).all()
+    # per-sink counts match the role distribution
+    assert g.groupby("role").size().to_dict() == e.groupby("role").size().to_dict()
