@@ -1,0 +1,156 @@
+"""Shared helpers for the training-data operators over the ``documents`` /
+``embeddings`` tables: tokenization + hashing primitives with exact DuckDB
+twins, and the deterministically *augmented* corpus used by the near-dup
+operators.
+
+Hash primitives (identical on both sides):
+  - ``w32(s)``  = first 8 hex chars of md5(s) as uint32
+  - ``w63(s)``  = first 16 hex chars of md5(s) as uint64, masked to 63 bits
+                  (kept in BIGINT range so Arrow int64 == DuckDB BIGINT)
+  - minhash_i(s) = (A[i] * w32(s) + B[i]) mod 2^32  (multiply-shift family)
+
+Augmented corpus: the driver's synthetic documents are all distinct, so the
+near-dup operators would find nothing interesting.  Each doc with
+``doc_id % 5 == 0`` gets a deterministic near-duplicate copy (first token
+dropped, doc_id + 1_000_000) — SQL twin in :data:`AUG_DOCS_CTE`.  No external
+data; everything derives from documents.parquet.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+AUG_OFFSET = 1_000_000
+AUG_MOD = 5
+
+# stopword set for quality scoring / language-ID (tiny on purpose; the
+# synthetic vocab only contains 'a' and 'the' of these)
+STOPWORDS = ("a", "the", "and", "of", "in", "to", "is")
+
+# BPE-ish token pattern (RE2-safe, identical semantics in pyarrow + DuckDB:
+# leftmost non-overlapping scan)
+BPE_PATTERN = r"[a-z]+|[A-Z][a-z]*|[0-9]+|\S"
+
+# minhash family: H functions, banded b x r for LSH
+MINHASH_H = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_H / LSH_BANDS
+SHINGLE_K = 3  # word k-grams
+MINHASH_JACCARD_THRESHOLD = 0.5
+
+_GOLD = 2654435761
+MINHASH_A = [(_GOLD * (2 * i + 1)) % 2**32 for i in range(MINHASH_H)]
+MINHASH_B = [(40503 * (i + 7)) % 2**32 for i in range(MINHASH_H)]
+
+SIMHASH_BITS = 62  # keep the fingerprint positive in int64 / BIGINT
+SIMHASH_BAND_BITS = 16
+SIMHASH_N_BANDS = 4
+SIMHASH_HAMMING_THRESHOLD = 3
+
+MASK63 = (1 << 63) - 1
+
+
+def md5_hex(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def w32(s: str) -> int:
+    return int(md5_hex(s)[:8], 16)
+
+
+def w63(s: str) -> int:
+    return int(md5_hex(s)[:16], 16) & MASK63
+
+
+def w64(s: str) -> int:
+    return int(md5_hex(s)[:16], 16)
+
+
+def shingles(tokens: list[str], k: int = SHINGLE_K) -> list[str]:
+    """Word k-gram shingles (duplicates kept; callers distinct as needed).
+    Twin: list_transform(generate_series(1, len-k+1), i ->
+    list_aggregate(toks[i:i+k-1], 'string_agg', ' '))."""
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def minhash_signature(shingle_w32: np.ndarray) -> np.ndarray:
+    """H minhash values over a uint64 array of w32 shingle hashes."""
+    a = np.asarray(MINHASH_A, dtype=np.uint64)[:, None]
+    b = np.asarray(MINHASH_B, dtype=np.uint64)[:, None]
+    h = (a * shingle_w32[None, :] + b) % np.uint64(2**32)
+    return h.min(axis=1)
+
+
+# --- SQL twins ------------------------------------------------------------
+
+# w32 / w63 as SQL expression templates over a string expression {s}
+SQL_W32 = "(('0x' || substr(md5({s}), 1, 8))::UBIGINT)"
+SQL_W63 = "((('0x' || substr(md5({s}), 1, 16))::UBIGINT & 9223372036854775807)::BIGINT)"
+SQL_W64 = "(('0x' || substr(md5({s}), 1, 16))::UBIGINT)"
+
+
+def sql_minhash(i: int, w32_expr: str) -> str:
+    return f"(({MINHASH_A[i]}::UBIGINT * {w32_expr} + {MINHASH_B[i]}) % 4294967296)"
+
+
+# augmented documents CTE: original docs + near-dup copies (first token
+# dropped, doc_id+AUG_OFFSET) + exact copies (doc_id+2*AUG_OFFSET), so the
+# dedup operators have real work.  Python twin: augment_batch below.
+EXACT_MOD = 7
+AUG_DOCS_CTE = f"""
+docs_aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {AUG_OFFSET} AS doc_id,
+         regexp_replace(text, '^\\S+\\s+', '') AS text
+  FROM documents WHERE doc_id % {AUG_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * AUG_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {EXACT_MOD} = 0
+)
+""".strip()
+
+
+def augment_batch(batch):
+    """pyarrow twin of AUG_DOCS_CTE — one stateless map_batches stage."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc_id = batch.column("doc_id").combine_chunks()
+    text = batch.column("text").combine_chunks()
+    ids = doc_id.to_numpy(zero_copy_only=False)
+    mask = pa.array(ids % AUG_MOD == 0)
+    dup_ids = pc.add(doc_id.filter(mask), AUG_OFFSET)
+    dup_text = pc.replace_substring_regex(
+        text.filter(mask), r"^\S+\s+", "", max_replacements=1
+    )
+    emask = pa.array(ids % EXACT_MOD == 0)
+    exact_ids = pc.add(doc_id.filter(emask), 2 * AUG_OFFSET)
+    exact_text = text.filter(emask)
+    return pa.table(
+        {
+            "doc_id": pa.chunked_array([doc_id, dup_ids, exact_ids]),
+            "text": pa.chunked_array([text, dup_text, exact_text]),
+        }
+    )
+
+
+def read_documents(sf_dir: str, columns=("doc_id", "text")):
+    """Column-pruned read of the documents table."""
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+def read_augmented(sf_dir: str):
+    return read_documents(sf_dir).map_batches(
+        augment_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def read_embeddings(sf_dir: str, columns=("vec_id", "embedding")):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=list(columns))

@@ -1,0 +1,316 @@
+"""Deduplication operators over the (augmented) ``documents`` table.
+
+Three families, each expressed Ray-Data-first with an exact DuckDB twin:
+
+  - **exact**: md5(text) hash inside ``map_batches`` → ``groupby(hash)`` with
+    Min/Count aggregates (hash-partition + per-group first).  The only
+    shuffle moves one short row per distinct hash — partial aggregation
+    happens per block inside Ray's hash aggregate.
+  - **MinHash + LSH**: shingle → minhash signature → banded bucket keys, all
+    inside one stateless ``map_batches``; candidate generation is a
+    ``groupby(band)`` over the *band rows only*; exact Jaccard verification
+    runs inside ``map_groups`` on the tiny buckets.  No all-pairs pass ever
+    happens — at 10^12 docs the shuffle carries b rows per doc (b=4) keyed by
+    band value, and bucket skew is bounded because identical band values mean
+    near-identical docs (cap enforced in the pair emitter).
+  - **SimHash**: 62-bit fingerprint per doc (token-hash bit majority) inside
+    ``map_batches``; LSH over 4×16-bit bands; Hamming verification in
+    ``map_groups``; same shuffle shape as MinHash.
+
+The oracle SQL replicates the *same* LSH (same hash family, bands and
+thresholds) in DuckDB, so the comparison is exact, not statistical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Max, Min
+
+from . import corpus as cp
+
+MAX_BUCKET = 256  # cap pathological LSH buckets (all-identical spam docs)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def _add_text_hash(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    h = pa.array([cp.md5_hex(t) for t in texts], pa.string())
+    return pa.table({"text_hash": h, "doc_id": batch.column("doc_id")})
+
+
+def q_dedup_exact(sf_dir: str):
+    """Keep the smallest doc_id per distinct text; report group sizes."""
+    ds = cp.read_augmented(sf_dir)
+    ds = ds.map_batches(_add_text_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("text_hash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+
+
+def dedup_exact_oracle_sql() -> str:
+    return f"""
+WITH {cp.AUG_DOCS_CTE}
+SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*)::BIGINT AS n_dups
+FROM docs_aug GROUP BY md5(text)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _minhash_band_rows(batch: pa.Table) -> pa.Table:
+    """doc → LSH_BANDS rows (doc_id, band_idx, band_val, s63 shingle set)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out_id, out_band, out_val, out_s63 = [], [], [], []
+    for did, t in zip(ids, texts):
+        toks = t.split()
+        if len(toks) < cp.SHINGLE_K:
+            continue
+        sh = sorted(set(cp.shingles(toks, cp.SHINGLE_K)))
+        hx = [cp.md5_hex(s) for s in sh]
+        s63 = sorted({int(h[:16], 16) & cp.MASK63 for h in hx})
+        hw = np.array([int(h[:8], 16) for h in hx], dtype=np.uint64)
+        sig = cp.minhash_signature(hw)
+        for b in range(cp.LSH_BANDS):
+            band = sig[b * cp.LSH_ROWS : (b + 1) * cp.LSH_ROWS]
+            out_id.append(int(did))
+            out_band.append(b)
+            out_val.append(",".join(str(int(v)) for v in band))
+            out_s63.append(s63)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "band_idx": pa.array(out_band, pa.int32()),
+            "band_val": pa.array(out_val, pa.string()),
+            "s63": pa.array(out_s63, pa.list_(pa.int64())),
+        }
+    )
+
+
+def _emit_jaccard_pairs(group: pa.Table) -> pa.Table:
+    """All i<j pairs within one LSH bucket with exact Jaccard over s63 sets."""
+    n = min(len(group), MAX_BUCKET)
+    ids = group.column("doc_id").to_pylist()[:n]
+    sets_ = [set(x) for x in group.column("s63").to_pylist()[:n]]
+    order = np.argsort(ids, kind="stable")
+    a_out, b_out, j_out = [], [], []
+    for ii in range(n):
+        for jj in range(ii + 1, n):
+            x, y = order[ii], order[jj]
+            inter = len(sets_[x] & sets_[y])
+            union = len(sets_[x] | sets_[y])
+            a_out.append(ids[x])
+            b_out.append(ids[y])
+            j_out.append(inter / union if union else 0.0)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "jaccard": pa.array(j_out, pa.float64()),
+        }
+    )
+
+
+def q_dedup_minhash(sf_dir: str):
+    """Near-dup pairs: share ≥1 of 4 minhash bands AND exact Jaccard ≥ 0.5."""
+    ds = cp.read_augmented(sf_dir)
+    bands = ds.map_batches(
+        _minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pairs = bands.groupby(["band_idx", "band_val"]).map_groups(
+        _emit_jaccard_pairs, batch_format="pyarrow"
+    )
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("jaccard", alias_name="jaccard")
+    )
+    return uniq.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("jaccard"), cp.MINHASH_JACCARD_THRESHOLD)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _sql_shingle_cte() -> str:
+    k = cp.SHINGLE_K
+    return f"""
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs_aug
+),
+shq AS (
+  SELECT doc_id,
+    list_distinct(list_transform(generate_series(1, len(toks) - {k - 1}),
+      i -> list_aggregate(toks[i:i + {k - 1}], 'string_agg', ' '))) AS shingles
+  FROM tok WHERE len(toks) >= {k}
+),
+hs AS (
+  SELECT doc_id,
+    list_transform(shingles, s -> {cp.SQL_W32.format(s='s')}) AS hw,
+    list_distinct(list_transform(shingles, s -> {cp.SQL_W63.format(s='s')})) AS s63
+  FROM shq
+)""".strip()
+
+
+def dedup_minhash_oracle_sql() -> str:
+    mh = ", ".join(
+        f"list_min(list_transform(hw, h -> {cp.sql_minhash(i, 'h')}))"
+        for i in range(cp.MINHASH_H)
+    )
+    band_selects = []
+    for b in range(cp.LSH_BANDS):
+        parts = " || ',' || ".join(
+            f"mh[{b * cp.LSH_ROWS + r + 1}]" for r in range(cp.LSH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_idx, {parts} AS band_val FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {cp.AUG_DOCS_CTE},
+{_sql_shingle_cte()},
+sig AS (SELECT doc_id, [{mh}] AS mh FROM hs),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b,
+  len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s63)) AS jaccard
+FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+WHERE len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s63))
+      >= {cp.MINHASH_JACCARD_THRESHOLD}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    """map_batches callable: doc → 4 band rows (doc_id, band_idx, band_val,
+    simhash).  Token-hash memo lives per actor/worker (vocab-bounded)."""
+
+    def __init__(self):
+        self._memo: dict[str, int] = {}
+
+    def _h64(self, tok: str) -> int:
+        v = self._memo.get(tok)
+        if v is None:
+            v = cp.w64(tok)
+            self._memo[tok] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        out_id, out_band, out_val, out_sim = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = t.split()
+            if not toks:
+                continue
+            uniq: dict[int, int] = {}
+            for tok in toks:
+                h = self._h64(tok)
+                uniq[h] = uniq.get(h, 0) + 1
+            hsv = np.fromiter(uniq.keys(), dtype=np.uint64, count=len(uniq))
+            cnt = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
+            bits = (
+                (hsv[:, None] >> np.arange(cp.SIMHASH_BITS, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64) * 2 - 1
+            sums = cnt @ bits
+            sim = int(((sums > 0).astype(np.uint64) << np.arange(cp.SIMHASH_BITS, dtype=np.uint64)).sum())
+            for b in range(cp.SIMHASH_N_BANDS):
+                out_id.append(int(did))
+                out_band.append(b)
+                out_val.append((sim >> (cp.SIMHASH_BAND_BITS * b)) & 0xFFFF)
+                out_sim.append(sim)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "band_idx": pa.array(out_band, pa.int32()),
+                "band_val": pa.array(out_val, pa.int64()),
+                "simhash": pa.array(out_sim, pa.int64()),
+            }
+        )
+
+
+def _emit_hamming_pairs(group: pa.Table) -> pa.Table:
+    n = min(len(group), MAX_BUCKET)
+    ids = group.column("doc_id").to_pylist()[:n]
+    sims = group.column("simhash").to_pylist()[:n]
+    order = np.argsort(ids, kind="stable")
+    a_out, b_out, h_out = [], [], []
+    for ii in range(n):
+        for jj in range(ii + 1, n):
+            x, y = order[ii], order[jj]
+            ham = bin(sims[x] ^ sims[y]).count("1")
+            if ham <= cp.SIMHASH_HAMMING_THRESHOLD:
+                a_out.append(ids[x])
+                b_out.append(ids[y])
+                h_out.append(ham)
+    return pa.table(
+        {
+            "doc_a": pa.array(a_out, pa.int64()),
+            "doc_b": pa.array(b_out, pa.int64()),
+            "hamming": pa.array(h_out, pa.int64()),
+        }
+    )
+
+
+def q_dedup_simhash(sf_dir: str):
+    """Near-dup pairs: share ≥1 of 4 16-bit simhash bands AND Hamming ≤ 3."""
+    ds = cp.read_augmented(sf_dir)
+    bands = ds.map_batches(SimHasher, batch_format="pyarrow", zero_copy_batch=True,
+                           concurrency=2)
+    pairs = bands.groupby(["band_idx", "band_val"]).map_groups(
+        _emit_hamming_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+def dedup_simhash_oracle_sql() -> str:
+    w64 = cp.SQL_W64.format(s="t")
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, (simhash >> {cp.SIMHASH_BAND_BITS * b}) & 65535 AS band_val, simhash FROM sim"
+        for b in range(cp.SIMHASH_N_BANDS)
+    )
+    return f"""
+WITH {cp.AUG_DOCS_CTE},
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs_aug
+),
+th AS (
+  SELECT doc_id, list_transform(toks, t -> {w64}) AS hs
+  FROM tok WHERE len(toks) >= 1
+),
+sim AS (
+  SELECT doc_id,
+    list_sum(list_transform(generate_series(0, {cp.SIMHASH_BITS - 1}), j ->
+      CASE WHEN list_sum(list_transform(hs, h ->
+            CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+  FROM th
+),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.simhash AS sa, y.simhash AS sb
+  FROM bands x JOIN bands y
+    ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {cp.SIMHASH_HAMMING_THRESHOLD}
+""".strip()

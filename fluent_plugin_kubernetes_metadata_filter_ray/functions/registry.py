@@ -1,13 +1,36 @@
 """Registry of the training-data operator queries (dedup, similarity, text
-analysis, multimodal) — filled in as operators land.  Keys without an oracle
-entry get the driver's weaker rows-only check (non-SQL-expressible ops)."""
+analysis, multimodal).  Keys without an oracle entry are approximate /
+non-SQL-expressible ops (the driver records the weaker rows-only check; the
+test suite asserts their semantics instead — e.g. LSH-ANN recall)."""
 
 from __future__ import annotations
 
+from . import dedup, multimodal, simsearch, textstats
+
 
 def queries() -> dict:
-    return {}
+    return {
+        "q_doc_stats": textstats.q_doc_stats,
+        "q_doc_fingerprint": textstats.q_doc_fingerprint,
+        "q_dedup_exact": dedup.q_dedup_exact,
+        "q_dedup_minhash": dedup.q_dedup_minhash,
+        "q_dedup_simhash": dedup.q_dedup_simhash,
+        "q_ann_topk": simsearch.q_ann_topk,
+        "q_embed_neardup": simsearch.q_embed_neardup,
+        "q_ann_lsh": simsearch.q_ann_lsh,
+        "q_media_decode": multimodal.q_media_decode,
+    }
 
 
 def oracle_sql() -> dict:
-    return {}
+    return {
+        "q_doc_stats": textstats.doc_stats_oracle_sql(),
+        "q_doc_fingerprint": textstats.doc_fingerprint_oracle_sql(),
+        "q_dedup_exact": dedup.dedup_exact_oracle_sql(),
+        "q_dedup_minhash": dedup.dedup_minhash_oracle_sql(),
+        "q_dedup_simhash": dedup.dedup_simhash_oracle_sql(),
+        "q_ann_topk": simsearch.ann_topk_oracle_sql(),
+        "q_embed_neardup": simsearch.embed_neardup_oracle_sql(),
+        # q_ann_lsh: approximate — rows-only check + recall test
+        "q_media_decode": multimodal.media_decode_oracle_sql(),
+    }

@@ -1,0 +1,146 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+One stateless ``map_batches`` stage each (or combined); hot loops are
+pandas/pyarrow vectorized except the per-row md5 (C-speed hashlib).  Every
+output column has an exact DuckDB twin (integer-derived float divisions are
+IEEE-identical on both sides; the quality formula uses one fixed operation
+order).
+
+At 100 TB these stages are embarrassingly parallel: no shuffle, column-pruned
+reads, ~O(bytes) regex/token kernels per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import corpus as cp
+
+_STOP_SET = set(cp.STOPWORDS)
+_SQL_STOP = ", ".join(f"'{w}'" for w in cp.STOPWORDS)
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → token/char counts, ratios, quality score, language guess."""
+    text = batch.column("text")
+    n_chars_txt = pc.utf8_length(text).cast(pa.int64())
+    n_tokens_bpe = pc.count_substring_regex(text, cp.BPE_PATTERN).cast(pa.int64())
+    nospace = pc.replace_substring_regex(text, r"\s+", "")
+    n_nospace = pc.utf8_length(nospace).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    s = pd.Series(text.to_pandas())
+    toks = s.str.strip().str.split()
+    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    ex = toks.explode()
+    stop_hits = (
+        ex.isin(_STOP_SET).groupby(level=0).sum().reindex(s.index, fill_value=0)
+    ).to_numpy(dtype=np.int64)
+
+    # float columns: same operand order as the SQL twin (IEEE-identical)
+    nt = n_tokens.astype(np.float64)
+    avg_token_len = np.where(n_tokens > 0, n_nospace / np.where(n_tokens > 0, nt, 1.0), 0.0)
+    stopword_ratio = np.where(n_tokens > 0, stop_hits / np.where(n_tokens > 0, nt, 1.0), 0.0)
+    quality_score = (
+        np.minimum(1.0, n_tokens / 256.0) * 0.5
+        + (1.0 - stopword_ratio) * 0.3
+        + np.minimum(1.0, avg_token_len / 8.0) * 0.2
+    )
+    lang_pred = np.where(stop_hits >= 2, "en", "und")
+
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars_txt": n_chars_txt,
+            "n_tokens": pa.array(n_tokens),
+            "n_tokens_bpe": n_tokens_bpe,
+            "avg_token_len": pa.array(avg_token_len),
+            "stopword_ratio": pa.array(stopword_ratio),
+            "quality_score": pa.array(quality_score),
+            "en_stop_hits": pa.array(stop_hits),
+            "lang_pred": pa.array(lang_pred.astype(object), pa.string()),
+        }
+    )
+
+
+def doc_stats_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text,
+    regexp_split_to_array(trim(text), '\\s+') AS toks,
+    length(text)::BIGINT AS n_chars_txt,
+    len(regexp_extract_all(text, '{cp.BPE_PATTERN}'))::BIGINT AS n_tokens_bpe,
+    length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS n_nospace
+  FROM documents
+),
+st AS (
+  SELECT *,
+    len(toks)::BIGINT AS n_tokens,
+    len(list_filter(toks, t -> t IN ({_SQL_STOP})))::BIGINT AS en_stop_hits
+  FROM tok
+),
+rt AS (
+  SELECT *,
+    CASE WHEN n_tokens > 0 THEN n_nospace::DOUBLE / n_tokens ELSE 0.0 END AS avg_token_len,
+    CASE WHEN n_tokens > 0 THEN en_stop_hits::DOUBLE / n_tokens ELSE 0.0 END AS stopword_ratio
+  FROM st
+)
+SELECT doc_id, n_chars_txt, n_tokens, n_tokens_bpe, avg_token_len, stopword_ratio,
+  least(1.0, n_tokens / 256.0) * 0.5 + (1.0 - stopword_ratio) * 0.3
+    + least(1.0, avg_token_len / 8.0) * 0.2 AS quality_score,
+  en_stop_hits,
+  CASE WHEN en_stop_hits >= 2 THEN 'en' ELSE 'und' END AS lang_pred
+FROM rt
+""".strip()
+
+
+def doc_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Fingerprints: full-text md5 + min word-shingle rolling hash
+    (winnowing-style global min over w63 k-gram hashes)."""
+    texts = batch.column("text").to_pylist()
+    md5s = np.empty(len(texts), dtype=object)
+    minsh = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        md5s[i] = cp.md5_hex(t)
+        sh = cp.shingles(t.split(), cp.SHINGLE_K)
+        minsh[i] = min((cp.w63(x) for x in sh), default=-1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fp_md5": pa.array(md5s, pa.string()),
+            "fp_minshingle": pa.array(minsh),
+        }
+    )
+
+
+def doc_fingerprint_oracle_sql() -> str:
+    w63 = cp.SQL_W63.format(s="s")
+    k = cp.SHINGLE_K
+    return f"""
+WITH tok AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id, md5(text) AS fp_md5,
+  coalesce(
+    list_min(list_transform(
+      list_transform(generate_series(1, len(toks) - {k - 1}),
+                     i -> list_aggregate(toks[i:i + {k - 1}], 'string_agg', ' ')),
+      s -> {w63})),
+    -1) AS fp_minshingle
+FROM tok
+""".strip()
+
+
+def q_doc_stats(sf_dir: str):
+    return cp.read_documents(sf_dir).map_batches(
+        doc_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return cp.read_documents(sf_dir).map_batches(
+        doc_fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    )

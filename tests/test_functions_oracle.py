@@ -1,0 +1,93 @@
+"""Training-data operators (dedup / similarity / text analysis / multimodal)
+vs their DuckDB oracles at sf0.001 — same comparison shape as the driver's
+correctness gate."""
+
+import pandas as pd
+import pytest
+
+
+SORT_KEYS = {
+    "q_doc_stats": ["doc_id"],
+    "q_doc_fingerprint": ["doc_id"],
+    "q_dedup_exact": ["text_hash"],
+    "q_dedup_minhash": ["doc_a", "doc_b"],
+    "q_dedup_simhash": ["doc_a", "doc_b"],
+    "q_ann_topk": ["query_id", "rank"],
+    "q_embed_neardup": ["vec_a", "vec_b"],
+    "q_media_decode": ["doc_id"],
+}
+
+
+@pytest.mark.parametrize("qname", sorted(SORT_KEYS))
+def test_function_matches_oracle(ray_session, sf_dir, duck, qname):
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
+
+    key = SORT_KEYS[qname]
+    a = registry.queries()[qname](sf_dir).to_pandas()
+    a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = duck.execute(registry.oracle_sql()[qname]).fetchdf()
+    b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        am, bm = a[c].fillna("@").astype(str), b[c].fillna("@").astype(str)
+        bad = am != bm
+        assert not bad.any(), (
+            f"{qname}.{c}: {bad.sum()} mismatches, "
+            f"{a[c][bad].head(3).tolist()} vs {b[c][bad].head(3).tolist()}"
+        )
+
+
+def test_dedup_finds_planted_duplicates(ray_session, sf_dir, duck):
+    """The augmented corpus plants near-dup copies (doc_id+1e6, first token
+    dropped) and exact copies (doc_id+2e6): exact dedup must collapse the
+    exact copies; minhash must pair each near-dup copy with its original."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import corpus as cp
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup as dd
+
+    n_docs = duck.execute("SELECT count(*), count(CASE WHEN doc_id % 5 = 0 THEN 1 END),"
+                          " count(CASE WHEN doc_id % 7 = 0 THEN 1 END) FROM documents").fetchone()
+    total, n_near, n_exact = n_docs
+
+    ex = dd.q_dedup_exact(sf_dir).to_pandas()
+    assert len(ex) == total + n_near  # exact copies collapsed into originals
+    assert (ex["n_dups"] == 2).sum() == n_exact
+    collapsed = ex[ex["n_dups"] == 2]
+    assert (collapsed["doc_id"] < cp.AUG_OFFSET).all()  # min doc_id kept
+
+    mh = dd.q_dedup_minhash(sf_dir).to_pandas()
+    pairs = set(map(tuple, mh[["doc_a", "doc_b"]].values))
+    planted = {(d, d + cp.AUG_OFFSET) for d in range(0, total, cp.AUG_MOD)}
+    # LSH at jaccard≈0.95 catches essentially every planted (orig, copy) pair
+    assert len(pairs & planted) >= int(0.9 * n_near)
+    assert (mh["jaccard"] >= 0.5).all()
+
+
+def test_ann_lsh_plumbing_and_recall(ray_session, sf_dir, duck):
+    """LSH-ANN is approximate: assert output shape, determinism, and that it
+    finds a nonzero fraction of the brute-force top-k."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import simsearch as ss
+
+    lsh = ss.q_ann_lsh(sf_dir).to_pandas()
+    assert list(lsh.columns) == ["query_id", "vec_id", "rank", "cos_sim"]
+    assert lsh["query_id"].nunique() <= ss.N_QUERIES
+    assert lsh.groupby("query_id")["rank"].max().le(ss.TOPK_K).all()
+
+    bf = duck.execute(ss.ann_topk_oracle_sql()).fetchdf()
+    got = set(map(tuple, lsh[["query_id", "vec_id"]].values))
+    want = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    recall = len(got & want) / len(want)
+    assert recall > 0.05
+
+    lsh2 = ss.q_ann_lsh(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        lsh.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        lsh2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
+def test_media_real_codec_stub_raises(ray_session):
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.multimodal import MediaDecoder
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        MediaDecoder(use_real_codecs=True)
