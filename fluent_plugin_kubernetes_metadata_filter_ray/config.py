@@ -54,10 +54,12 @@ class PipelineConfig:
     stats_enabled: bool = True
 
     # Ray execution knobs; enrich_concurrency=None → size the actor pool to
-    # the cluster, leaving CPUs for the read/write stages
-    enrich_batch_size: int = 16384
+    # the cluster, leaving CPUs for the read/write stages.  batch_size=None →
+    # block-native batches (zero re-batching copies); set explicitly only to
+    # bound actor-call latency / memory for very large blocks
+    enrich_batch_size: int | None = None
     enrich_concurrency: int | None = None
-    parse_batch_size: int = 65536
+    parse_batch_size: int | None = None
 
     def skip_variant(self) -> "PipelineConfig":
         """The skip_labels+skip_container_metadata+skip_master_url variant used

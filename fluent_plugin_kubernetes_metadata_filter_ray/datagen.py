@@ -119,21 +119,37 @@ def derive_transcripts(events_path: str, rep: int = 1) -> pa.Table:
             "ts": df["ts"],
         }
     )
-    return pa.Table.from_pandas(out, schema=TRANSCRIPT_SCHEMA, preserve_index=False)
+    tbl = pa.Table.from_pandas(out, schema=TRANSCRIPT_SCHEMA, preserve_index=False)
+    # drop the pandas metadata blob: Ray Data hashes schemas for dedup and a
+    # dict-bearing schema defeats it (log spam + per-block schema reprocessing)
+    return tbl.replace_schema_metadata(None)
+
+
+SHARD_ROWS = 65536
+MAX_SHARDS = 64
 
 
 def transcripts_path(sf_dir: str, rep: int = 1) -> str:
-    """Derive-and-cache the transcripts parquet for a given sf dir."""
+    """Derive-and-cache the transcripts table for a given sf dir.  Written as
+    a *directory of shard files* so readers parallelize the scan — a single
+    file would serialize the read into one task (the real 10^12-turn table is
+    thousands of files)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     out_dir = os.path.join(CACHE_ROOT, f"transcripts_{tag}_rep{rep}")
-    out = os.path.join(out_dir, "transcripts.parquet")
-    if not os.path.exists(out):
-        os.makedirs(out_dir, exist_ok=True)
+    done = out_dir + ".done"  # marker outside the dir: readers glob *.parquet only
+    if not os.path.exists(done):
         tbl = derive_transcripts(os.path.join(sf_dir, "events.parquet"), rep=rep)
-        tmp = out + ".tmp"
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, out)
-    return out
+        n_shards = min(MAX_SHARDS, max(1, (tbl.num_rows + SHARD_ROWS - 1) // SHARD_ROWS))
+        per = (tbl.num_rows + n_shards - 1) // n_shards
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(n_shards):
+            part = tbl.slice(i * per, per)
+            tmp = os.path.join(out_dir, f".part-{i:05d}.tmp")
+            pq.write_table(part, tmp, row_group_size=SHARD_ROWS)
+            os.replace(tmp, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        with open(done, "w") as f:
+            f.write(str(tbl.num_rows))
+    return out_dir
 
 
 # ---------------------------------------------------------------------------

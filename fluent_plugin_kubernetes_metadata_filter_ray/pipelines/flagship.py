@@ -22,9 +22,22 @@ from ..stages.route import route_write
 def read_transcripts(sf_dir: str, rep: int = 1, parallelism: int = -1):
     """Source: the derived transcripts Parquet (cached under /tmp).  On a
     real deployment this is just ``read_parquet`` of the transcript table —
-    no derivation step."""
+    no derivation step.
+
+    Block sizing: ~2 blocks per CPU, bounded by 4×file-count so tiny inputs
+    don't shatter into row-scraps.  Ray's default here over-splits (≈6k-row
+    blocks), and per-task overhead then dominates the vectorized kernels."""
+    import os
+
     path = datagen.transcripts_path(sf_dir, rep=rep)
-    return ray.data.read_parquet(path)
+    if parallelism == -1:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        n_files = max(1, len([f for f in os.listdir(path) if f.endswith(".parquet")]))
+        parallelism = max(n_files, min(2 * cpus, 4 * n_files))
+    return ray.data.read_parquet(path, override_num_blocks=parallelism)
 
 
 def build_enriched(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, rep: int = 1,
@@ -39,9 +52,15 @@ def build_enriched(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG, rep: int =
 def run_flagship(sf_dir: str, out_dir: str | None = None,
                  cfg: PipelineConfig = DEFAULT_CONFIG, rep: int = 1):
     """Full pipeline; returns the per-sink counts Dataset (small).  When
-    ``out_dir`` is given, also fan-out writes the enriched rows per role."""
-    enriched = build_enriched(sf_dir, cfg, rep=rep)
+    ``out_dir`` is given, fan-out writes the enriched rows per role and the
+    aggregate runs over a *column-pruned read-back of the sink* — one enrich
+    pass total.  Re-reading 4 thin columns from Parquet is far cheaper than
+    re-running enrichment (and is the resumable pattern: the sink is the
+    checkpoint)."""
     if out_dir is not None:
-        route_write(enriched, out_dir)
-        enriched = build_enriched(sf_dir, cfg, rep=rep)  # fresh lazy chain for the aggregate
+        route_write(build_enriched(sf_dir, cfg, rep=rep), out_dir)
+        cols = ["role", "k8s_namespace_name", "k8s_namespace_id", "k8s_pod_id", "k8s_pod_ip"]
+        enriched = ray.data.read_parquet(out_dir, columns=cols)  # hive partitioning is the default
+    else:
+        enriched = build_enriched(sf_dir, cfg, rep=rep)
     return route_counts(enriched)

@@ -155,14 +155,22 @@ class Enricher:
                 self.id_cache[key] = ids
                 return self._finalize(merged), None, NEG_INF_US
             if ids["pod_id"] is None and ids["namespace_id"] is not None:
-                # pod not found, namespace found → namespace-age branch
+                # pod not found, namespace found → namespace-age branch.
+                # The reference stores the *cache key* as pod_id here
+                # (cache_strategy.rb:51-58) so later id-cache hits find the
+                # stub; we additionally mark the entry deferred so the hit
+                # path re-evaluates the per-row time branch (order-free).
                 self.stats.bump("id_cache_pod_not_found_namespace")
                 creation = ns_meta["creation_timestamp"]
                 creation_us = int(pd.Timestamp(creation).value // 1000)
                 stub = self.pod_cache.fetch(key, lambda: {"pod_id": key})
                 meta_le = self._finalize({**stub, **ns_meta})
                 meta_gt = self._finalize(dict(ns_meta))
-                self.id_cache[key] = ids
+                self.id_cache[key] = {
+                    "pod_id": key,
+                    "namespace_id": ids["namespace_id"],
+                    "deferred_ns_age": True,
+                }
                 return meta_le, meta_gt, creation_us
             if ids["pod_id"] is not None and ids["namespace_id"] is None:
                 # "should NEVER be possible" (cache_strategy.rb:62-64)
@@ -190,7 +198,8 @@ class Enricher:
             m = self._fetch_pod(ns, pod)
             return m if m else {"pod_id": ids["pod_id"]}
 
-        meta = dict(self.pod_cache.fetch(ids.get("pod_id"), pod_fallback))
+        pod_part = dict(self.pod_cache.fetch(ids.get("pod_id"), pod_fallback))
+        ns_part: dict = {}
         if "namespace_id" in ids:
             def ns_fallback():
                 if not cfg.skip_namespace_metadata:
@@ -200,8 +209,17 @@ class Enricher:
                         return m
                 return {"namespace_id": ids["namespace_id"]}
 
-            meta.update(self.ns_cache.fetch(ids.get("namespace_id"), ns_fallback))
-        return self._finalize(meta), None, NEG_INF_US
+            ns_part = dict(self.ns_cache.fetch(ids.get("namespace_id"), ns_fallback))
+        if ids.get("deferred_ns_age"):
+            # deleted-pod vs recreated-namespace stays a per-row time branch
+            creation = ns_part.get("creation_timestamp")
+            creation_us = (
+                int(pd.Timestamp(creation).value // 1000) if creation is not None else NEG_INF_US
+            )
+            meta_le = self._finalize({**pod_part, **ns_part})
+            meta_gt = self._finalize(dict(ns_part))
+            return meta_le, meta_gt, creation_us
+        return self._finalize({**pod_part, **ns_part}), None, NEG_INF_US
 
     @staticmethod
     def _finalize(meta: dict) -> dict:
@@ -298,9 +316,12 @@ class Enricher:
 
 
 def _auto_concurrency() -> int:
-    """Actor-pool size: total CPUs minus headroom for the read/write stages.
+    """Actor-pool cap: total CPUs minus headroom for the read/write stages.
     A pool that reserves every CPU starves the other operators and the
-    streaming pipeline serializes (observed: 4/4 CPUs → deadlock-slow)."""
+    streaming pipeline serializes (observed: 4/4 CPUs → deadlock-slow);
+    conversely spawning ~CPUs actors up-front costs more in process spin-up
+    than it buys on sub-minute jobs — hence the autoscaling (1, cap) pool in
+    :func:`enrich_stage`."""
     try:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 4))
@@ -311,12 +332,15 @@ def _auto_concurrency() -> int:
 
 def enrich_stage(ds, cfg, store_ref):
     """parse → enrich: actor pool holding the caches + snapshot."""
+    conc = cfg.enrich_concurrency or _auto_concurrency()
     return ds.map_batches(
         Enricher,
         fn_constructor_kwargs={"cfg": cfg, "store": store_ref},
         batch_format="pyarrow",
         batch_size=cfg.enrich_batch_size,
-        concurrency=cfg.enrich_concurrency or _auto_concurrency(),
+        # autoscaling pool: small jobs don't pay a full-pool spin-up; large
+        # jobs grow to the CPU budget
+        concurrency=(1, conc) if isinstance(conc, int) else conc,
         num_cpus=1,
         zero_copy_batch=True,
     )

@@ -66,7 +66,9 @@ class TagParser:
 
         cols = {f: pick(f) for f in PARSE_FIELDS}
 
-        # lookup_from_k8s_field override on the masked subset
+        # lookup_from_k8s_field override on the masked subset: per-row JSON
+        # parse only where text carries the prefix; scattered back with
+        # replace_with_mask (no full-column Python round-trip)
         is_field = np.zeros(n, dtype=bool)
         if self.lookup_from_k8s_field:
             text = batch.column("text")
@@ -74,28 +76,31 @@ class TagParser:
             idxs = np.flatnonzero(prefix.combine_chunks().to_numpy(zero_copy_only=False))
             if len(idxs):
                 texts = text.take(pa.array(idxs)).to_pylist()
-                over = {f: {} for f in PARSE_FIELDS}
+                over_rows = []  # (row_idx, ns, pod, cont, cid)
                 for i, t in zip(idxs, texts):
                     try:
                         rec = json.loads(t)
                         k8s = rec["kubernetes"]
                         docker = rec["docker"]
-                        ns, pod = k8s["namespace_name"], k8s["pod_name"]
-                        cont, cid = k8s["container_name"], docker["container_id"]
+                        over_rows.append((
+                            i, k8s["namespace_name"], k8s["pod_name"],
+                            k8s["container_name"], docker["container_id"],
+                        ))
                     except (ValueError, KeyError, TypeError):
                         continue  # malformed → tag-derived keys stand
-                    is_field[i] = True
-                    over["namespace"][i] = ns
-                    over["pod_name"][i] = pod
-                    over["container_name"][i] = cont
-                    over["docker_id"][i] = cid
-                    over["pod_uuid"][i] = None
-                if over["namespace"]:
-                    for f in PARSE_FIELDS:
-                        vals = cols[f].to_pylist()
-                        for i, v in over[f].items():
-                            vals[i] = v
-                        cols[f] = pa.array(vals, pa.string())
+                if over_rows:
+                    rows_idx = np.fromiter((r[0] for r in over_rows), dtype=np.int64)
+                    is_field[rows_idx] = True
+                    mask = pa.array(is_field)
+                    for fi, f in enumerate(PARSE_FIELDS):
+                        if f == "pod_uuid":
+                            repl = pa.nulls(len(over_rows), pa.string())
+                        else:
+                            repl = pa.array([r[fi + 1] for r in over_rows], pa.string())
+                        col = cols[f]
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        cols[f] = pc.replace_with_mask(col, mask, repl)
 
         # cache key: pod_uuid when present else docker_id
         # (filter_kubernetes_metadata.rb:368-373); field rows use container_id

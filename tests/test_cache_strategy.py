@@ -67,6 +67,22 @@ def test_deleted_pod_vs_recreated_namespace_branch():
     assert gt["namespace_id"] == "ns-uid-1"
 
 
+def test_deleted_pod_branch_survives_id_cache_hit():
+    """Regression: the id_cache entry for a pod-missing/namespace-found key
+    stores the cache key as pod_id (cache_strategy.rb:51-58) and stays a
+    deferred per-row time branch — a key first resolved in an earlier batch
+    must yield identical deleted-pod / recreated-namespace metadata on the
+    id-cache-hit path (bug found via multi-block reads)."""
+    store = DictMetadataStore({}, {"ns-a": NS_META_NEW})
+    e = mk(store)
+    le1, gt1, cre1 = e.get_pod_metadata_pair("key1", "ns-a", "pod-gone", {})
+    # second batch: id_cache hit path
+    le2, gt2, cre2 = e.get_pod_metadata_pair("key1", "ns-a", "pod-gone", {})
+    assert cre2 == cre1
+    assert le2 == le1 and le2["pod_id"] == "key1"
+    assert gt2 == gt1 and "pod_id" not in gt2
+
+
 def test_orphan_when_nothing_found():
     store = EmptyMetadataStore()
     e = mk(store)
