@@ -22,6 +22,8 @@ from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
 from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
 from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+    conv_stats,
+    conv_stats_oracle_sql,
     route_counts,
     route_counts_oracle_sql,
 )
@@ -45,16 +47,28 @@ def _q_parse(sf_dir: str):
 
 
 def _q_enrich(sf_dir: str):
-    return flagship.build_enriched(sf_dir).select_columns(dg.ENRICH_COLUMNS)
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
+    return decode_stage(flagship.build_enriched(sf_dir)).select_columns(dg.ENRICH_COLUMNS)
 
 
 def _q_enrich_skip(sf_dir: str):
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
     cfg = DEFAULT_CONFIG.skip_variant()
-    return flagship.build_enriched(sf_dir, cfg).select_columns(dg.ENRICH_COLUMNS)
+    return decode_stage(flagship.build_enriched(sf_dir, cfg)).select_columns(dg.ENRICH_COLUMNS)
+
+
+def _q_enrich_dedot(sf_dir: str):
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
+    cfg = DEFAULT_CONFIG.dedot_variant()
+    return decode_stage(flagship.build_enriched(sf_dir, cfg)).select_columns(dg.ENRICH_COLUMNS)
 
 
 def _q_route_counts(sf_dir: str):
     return route_counts(flagship.build_enriched(sf_dir))
+
+
+def _q_conv_stats(sf_dir: str):
+    return conv_stats(flagship.read_transcripts(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -63,7 +77,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_parse": _q_parse,
         "q_enrich": _q_enrich,
         "q_enrich_skip": _q_enrich_skip,
+        "q_enrich_dedot": _q_enrich_dedot,
         "q_route_counts": _q_route_counts,
+        "q_conv_stats": _q_conv_stats,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     q.update(registry.queries())
@@ -76,7 +92,9 @@ def oracle_sql() -> dict[str, str]:
         "q_parse": dg.parse_oracle_sql(),
         "q_enrich": dg.enrich_oracle_sql(),
         "q_enrich_skip": dg.enrich_oracle_sql(skip=True),
+        "q_enrich_dedot": dg.enrich_oracle_sql(dedot=True),
         "q_route_counts": route_counts_oracle_sql(),
+        "q_conv_stats": conv_stats_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     o.update(registry.oracle_sql())

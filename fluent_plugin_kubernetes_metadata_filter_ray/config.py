@@ -50,6 +50,12 @@ class PipelineConfig:
     skip_namespace_metadata: bool = False
     include_ownerrefs_metadata: bool = False
 
+    # de_dot: replace '.' in label/annotation keys (legacy option; the
+    # reference deprecates it in 3.x — release_notes.md:4 — so default off.
+    # annotation_match applies BEFORE de_dot, on the original keys)
+    de_dot: bool = False
+    de_dot_separator: str = "_"
+
     # stats (stats_interval<=0 → NoOp, filter_kubernetes_metadata.rb:186-190)
     stats_enabled: bool = True
 
@@ -66,6 +72,12 @@ class PipelineConfig:
         by the q_enrich_skip oracle (test_filter_kubernetes_metadata.rb:779-889)."""
         from dataclasses import replace
         return replace(self, skip_labels=True, skip_container_metadata=True, skip_master_url=True)
+
+    def dedot_variant(self) -> "PipelineConfig":
+        """Legacy de_dot field mapping on: dots in label/annotation keys →
+        separator."""
+        from dataclasses import replace
+        return replace(self, de_dot=True)
 
 
 DEFAULT_CONFIG = PipelineConfig()

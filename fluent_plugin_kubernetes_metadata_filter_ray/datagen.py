@@ -61,18 +61,22 @@ def _entity_grids():
     return tagdid, uuid
 
 
-def derive_transcripts(events_path: str, rep: int = 1) -> pa.Table:
+def derive_transcripts(events_path: str, rep: int = 1, rep_range=None) -> pa.Table:
     """events.parquet → transcripts table (see FIXTURES.md §1).
 
     ``rep`` replicates each event ``rep`` times with fresh event ids
     (e' = e*rep + r) for benchmark-scale inputs; oracle checks use rep=1.
+    ``rep_range=(r0, r1)`` derives only replicas r0 ≤ r < r1 — used by
+    :func:`transcripts_path` to keep driver memory bounded at large rep.
     """
     ev = pq.read_table(events_path, columns=["event_id", "ts", "user_id", "event_type", "props"])
     df = ev.to_pandas().sort_values("event_id", kind="mergesort").reset_index(drop=True)
 
     if rep > 1:
-        df = df.loc[df.index.repeat(rep)].reset_index(drop=True)
-        r = np.tile(np.arange(rep, dtype=np.int64), len(df) // rep)
+        r0, r1 = rep_range if rep_range is not None else (0, rep)
+        k = r1 - r0
+        df = df.loc[df.index.repeat(k)].reset_index(drop=True)
+        r = np.tile(np.arange(r0, r1, dtype=np.int64), len(df) // k)
         df["event_id"] = df["event_id"].to_numpy() * rep + r
 
     e = df["event_id"].to_numpy()
@@ -129,26 +133,39 @@ SHARD_ROWS = 65536
 MAX_SHARDS = 64
 
 
-def transcripts_path(sf_dir: str, rep: int = 1) -> str:
+def transcripts_path(sf_dir: str, rep: int = 1, shard_rows: int | None = None) -> str:
     """Derive-and-cache the transcripts table for a given sf dir.  Written as
     a *directory of shard files* so readers parallelize the scan — a single
     file would serialize the read into one task (the real 10^12-turn table is
     thousands of files)."""
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out_dir = os.path.join(CACHE_ROOT, f"transcripts_{tag}_rep{rep}")
+    sr = shard_rows or SHARD_ROWS
+    suffix = f"_s{sr}" if shard_rows else ""
+    out_dir = os.path.join(CACHE_ROOT, f"transcripts_{tag}_rep{rep}{suffix}")
     done = out_dir + ".done"  # marker outside the dir: readers glob *.parquet only
     if not os.path.exists(done):
-        tbl = derive_transcripts(os.path.join(sf_dir, "events.parquet"), rep=rep)
-        n_shards = min(MAX_SHARDS, max(1, (tbl.num_rows + SHARD_ROWS - 1) // SHARD_ROWS))
-        per = (tbl.num_rows + n_shards - 1) // n_shards
+        ev_path = os.path.join(sf_dir, "events.parquet")
+        base_rows = pq.ParquetFile(ev_path).metadata.num_rows
+        # bound driver memory: derive ≤ ~2M rows per chunk
+        chunk_reps = max(1, min(rep, (2_000_000 + base_rows - 1) // base_rows))
         os.makedirs(out_dir, exist_ok=True)
-        for i in range(n_shards):
-            part = tbl.slice(i * per, per)
-            tmp = os.path.join(out_dir, f".part-{i:05d}.tmp")
-            pq.write_table(part, tmp, row_group_size=SHARD_ROWS)
-            os.replace(tmp, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        total, fidx = 0, 0
+        for r0 in range(0, rep, chunk_reps):
+            r1 = min(rep, r0 + chunk_reps)
+            tbl = derive_transcripts(ev_path, rep=rep, rep_range=(r0, r1))
+            n_shards = max(1, (tbl.num_rows + sr - 1) // sr)
+            per = (tbl.num_rows + n_shards - 1) // n_shards
+            for i in range(n_shards):
+                part = tbl.slice(i * per, per)
+                if part.num_rows == 0:
+                    continue
+                tmp = os.path.join(out_dir, f".part-{fidx:05d}.tmp")
+                pq.write_table(part, tmp, row_group_size=sr)
+                os.replace(tmp, os.path.join(out_dir, f"part-{fidx:05d}.parquet"))
+                fidx += 1
+            total += tbl.num_rows
         with open(done, "w") as f:
-            f.write(str(tbl.num_rows))
+            f.write(str(total))
     return out_dir
 
 
@@ -374,9 +391,11 @@ ENRICH_COLUMNS = [
 ]
 
 
-def enrich_oracle_sql(skip: bool = False) -> str:
+def enrich_oracle_sql(skip: bool = False, dedot: bool = False) -> str:
     """Expected enrichment, default config (or the skip_labels +
-    skip_container_metadata + skip_master_url variant)."""
+    skip_container_metadata + skip_master_url variant, or the legacy de_dot
+    key-mapping variant — annotation keys 'custom.field1'→'custom_field1')."""
+    ann_sep = "_" if dedot else "."
     store_cid = "md5('cid:' || ns || '/' || pod) || md5('cid2:' || ns || '/' || pod)"
     if skip:
         container_id = "CASE WHEN matched THEN tag_did END"
@@ -426,10 +445,10 @@ SELECT
   {master_url} AS k8s_master_url,
   CASE WHEN cls = 'orphan' THEN ns END AS k8s_orphaned_namespace,
   {labels} AS k8s_labels,
-  CASE WHEN cls = 'full' THEN '{{"custom.field1":"cf-' || pod || '"}}' END AS k8s_annotations,
+  CASE WHEN cls = 'full' THEN '{{"custom{ann_sep}field1":"cf-' || pod || '"}}' END AS k8s_annotations,
   {ns_labels} AS k8s_namespace_labels,
   CASE WHEN cls IN ('full','deleted_pod','recreated_ns')
-       THEN '{{"custom.ns":"cns-' || ns || '"}}' END AS k8s_namespace_annotations
+       THEN '{{"custom{ann_sep}ns":"cns-' || ns || '"}}' END AS k8s_namespace_annotations
 FROM cls3
 """.strip()
 

@@ -36,7 +36,9 @@ def read_transcripts(sf_dir: str, rep: int = 1, parallelism: int = -1):
         except Exception:
             cpus = 4
         n_files = max(1, len([f for f in os.listdir(path) if f.endswith(".parquet")]))
-        parallelism = max(n_files, min(2 * cpus, 4 * n_files))
+        # ~2 blocks/CPU; small inputs capped at 4 blocks/file, many-file
+        # inputs coalesce several files per read task
+        parallelism = max(4, min(2 * cpus, 4 * n_files))
     return ray.data.read_parquet(path, override_num_blocks=parallelism)
 
 

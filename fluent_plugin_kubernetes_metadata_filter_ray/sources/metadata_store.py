@@ -40,6 +40,15 @@ def _canonical_json(d: dict) -> str | None:
 _RUNTIME_PREFIX = re.compile(r"^[-_a-zA-Z0-9]+://")
 
 
+def _de_dot(d: dict, cfg) -> dict:
+    """Legacy de_dot key mapping (deprecated in the reference 3.x,
+    release_notes.md:4): '.' in label/annotation keys → cfg.de_dot_separator.
+    Applied AFTER annotation_match (which sees the original keys)."""
+    if not cfg.de_dot or not d:
+        return d
+    return {k.replace(".", cfg.de_dot_separator): v for k, v in d.items()}
+
+
 def project_pod(row: dict, cfg) -> dict:
     """Pod snapshot row → flat metadata dict (parse_pod_metadata twin,
     kubernetes_metadata_common.rb:54-110)."""
@@ -73,8 +82,8 @@ def project_pod(row: dict, cfg) -> dict:
             [{"kind": o["kind"], "name": o["name"]} for o in row.get("owner_refs") or []]
         )
     if not (cfg.skip_labels or cfg.skip_pod_labels):
-        meta["labels_json"] = _canonical_json(labels)
-    meta["annotations_json"] = _canonical_json(matched_ann)
+        meta["labels_json"] = _canonical_json(_de_dot(labels, cfg))
+    meta["annotations_json"] = _canonical_json(_de_dot(matched_ann, cfg))
     if not cfg.skip_master_url:
         meta["master_url"] = cfg.kubernetes_url
     return {k: v for k, v in meta.items() if v is not None}
@@ -91,8 +100,8 @@ def project_namespace(row: dict, cfg) -> dict:
         "creation_timestamp": row["creation_ts"],
     }
     if not (cfg.skip_labels or cfg.skip_namespace_labels):
-        meta["namespace_labels_json"] = _canonical_json(dict(row.get("labels") or {}))
-    meta["namespace_annotations_json"] = _canonical_json(annotations)
+        meta["namespace_labels_json"] = _canonical_json(_de_dot(dict(row.get("labels") or {}), cfg))
+    meta["namespace_annotations_json"] = _canonical_json(_de_dot(annotations, cfg))
     return {k: v for k, v in meta.items() if v is not None}
 
 

@@ -37,6 +37,12 @@ def route_counts(enriched_ds):
     import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
+        from .enrich import decode_dictionary_columns
+
+        t = decode_dictionary_columns(
+            t.select([c for c in ("role", "k8s_namespace_name", "k8s_namespace_id",
+                                  "k8s_pod_id", "k8s_pod_ip") if c in t.column_names])
+        )
         ns = t.column("k8s_namespace_name")
         nsid = t.column("k8s_namespace_id")
         podid = t.column("k8s_pod_id")
@@ -63,6 +69,44 @@ def route_counts(enriched_ds):
         Sum("n_orphaned", alias_name="n_orphaned"),
         Sum("n_full", alias_name="n_full"),
     )
+
+
+def conv_stats(ds):
+    """Per-conversation stats keyed by the (potentially hot) ``conv_id``.
+
+    Skew pattern: a conversation with 10^6 turns would melt a naive
+    ``groupby('conv_id')`` reducer.  The per-batch pyarrow ``group_by``
+    collapses every batch to ≤1 row per conv_id BEFORE the shuffle (the
+    combiner is the salt — each batch acts as one salt bucket), so the
+    exchange carries O(batches × distinct-convs-per-batch) short rows and
+    the final reduce per key merges ≤#batches partials."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["conv_id"]).aggregate([([], "count_all"), ("turn_idx", "max")])
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "n_turns": g.column("count_all").cast(pa.int64()),
+                "max_turn_idx": g.column("turn_idx_max").cast(pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Max
+
+    return partials.groupby("conv_id").aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Max("max_turn_idx", alias_name="max_turn_idx"),
+    )
+
+
+def conv_stats_oracle_sql() -> str:
+    from .. import datagen as dg
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE}
+SELECT conv_id, count(*)::BIGINT AS n_turns, max(turn_idx)::BIGINT AS max_turn_idx
+FROM transcripts_t GROUP BY conv_id
+""".strip()
 
 
 def route_counts_oracle_sql() -> str:

@@ -32,7 +32,9 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_parse", ["conv_id", "turn_idx"]),
     ("q_enrich", ["conv_id", "turn_idx"]),
     ("q_enrich_skip", ["conv_id", "turn_idx"]),
+    ("q_enrich_dedot", ["conv_id", "turn_idx"]),
     ("q_route_counts", ["role"]),
+    ("q_conv_stats", ["conv_id"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
