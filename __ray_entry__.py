@@ -26,6 +26,8 @@ from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
     conv_stats_oracle_sql,
     route_counts,
     route_counts_oracle_sql,
+    top_convs,
+    top_convs_oracle_sql,
 )
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
 
@@ -71,6 +73,10 @@ def _q_conv_stats(sf_dir: str):
     return conv_stats(flagship.read_transcripts(sf_dir))
 
 
+def _q_top_convs(sf_dir: str):
+    return top_convs(flagship.read_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -80,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_enrich_dedot": _q_enrich_dedot,
         "q_route_counts": _q_route_counts,
         "q_conv_stats": _q_conv_stats,
+        "q_top_convs": _q_top_convs,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     q.update(registry.queries())
@@ -95,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "q_enrich_dedot": dg.enrich_oracle_sql(dedot=True),
         "q_route_counts": route_counts_oracle_sql(),
         "q_conv_stats": conv_stats_oracle_sql(),
+        "q_top_convs": top_convs_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     o.update(registry.oracle_sql())

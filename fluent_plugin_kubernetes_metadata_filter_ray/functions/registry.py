@@ -12,6 +12,7 @@ def queries() -> dict:
     return {
         "q_doc_stats": textstats.q_doc_stats,
         "q_doc_fingerprint": textstats.q_doc_fingerprint,
+        "q_token_freq": textstats.q_token_freq,
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_minhash": dedup.q_dedup_minhash,
         "q_dedup_simhash": dedup.q_dedup_simhash,
@@ -26,6 +27,7 @@ def oracle_sql() -> dict:
     return {
         "q_doc_stats": textstats.doc_stats_oracle_sql(),
         "q_doc_fingerprint": textstats.doc_fingerprint_oracle_sql(),
+        "q_token_freq": textstats.token_freq_oracle_sql(),
         "q_dedup_exact": dedup.dedup_exact_oracle_sql(),
         "q_dedup_minhash": dedup.dedup_minhash_oracle_sql(),
         "q_dedup_simhash": dedup.dedup_simhash_oracle_sql(),

@@ -134,6 +134,40 @@ FROM tok
 """.strip()
 
 
+def token_freq_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch token frequency (explode + combine).  The classic
+    vocabulary-count job: the batch collapses to ≤|vocab| rows BEFORE the
+    shuffle, so the exchange moves O(batches × vocab) short rows — at
+    10^12 tokens the groupby never sees raw tokens."""
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.strip().str.split().explode()
+    vc = ex.value_counts()
+    return pa.table(
+        {
+            "token": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "n": pa.array(vc.to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_token_freq(sf_dir: str):
+    """Corpus token frequencies: partial counts per batch, Sum-combined."""
+    from ray.data.aggregate import Sum
+
+    ds = cp.read_documents(sf_dir).map_batches(
+        token_freq_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("token").aggregate(Sum("n", alias_name="n"))
+
+
+def token_freq_oracle_sql() -> str:
+    return """
+SELECT token, count(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents)
+GROUP BY token
+""".strip()
+
+
 def q_doc_stats(sf_dir: str):
     return cp.read_documents(sf_dir).map_batches(
         doc_stats_batch, batch_format="pyarrow", zero_copy_batch=True

@@ -109,6 +109,30 @@ FROM transcripts_t GROUP BY conv_id
 """.strip()
 
 
+TOP_CONVS_K = 20
+
+
+def top_convs(ds):
+    """Longest conversations: conv_stats → distributed sort → limit.
+
+    ``sort`` is the one genuinely all-to-all range shuffle in the repertoire
+    — but it runs over the already-aggregated per-conversation partials (one
+    row per conv), never the raw turns, so the exchange is tiny even at
+    10^12 turns."""
+    stats = conv_stats(ds)
+    return stats.sort(["n_turns", "conv_id"], descending=[True, False]).limit(TOP_CONVS_K)
+
+
+def top_convs_oracle_sql() -> str:
+    from .. import datagen as dg
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE}
+SELECT conv_id, count(*)::BIGINT AS n_turns, max(turn_idx)::BIGINT AS max_turn_idx
+FROM transcripts_t GROUP BY conv_id
+ORDER BY n_turns DESC, conv_id ASC LIMIT {TOP_CONVS_K}
+""".strip()
+
+
 def route_counts_oracle_sql() -> str:
     from .. import datagen as dg
     return f"""

@@ -9,6 +9,7 @@ import pytest
 SORT_KEYS = {
     "q_doc_stats": ["doc_id"],
     "q_doc_fingerprint": ["doc_id"],
+    "q_token_freq": ["token"],
     "q_dedup_exact": ["text_hash"],
     "q_dedup_minhash": ["doc_a", "doc_b"],
     "q_dedup_simhash": ["doc_a", "doc_b"],

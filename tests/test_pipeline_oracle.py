@@ -35,6 +35,7 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_enrich_dedot", ["conv_id", "turn_idx"]),
     ("q_route_counts", ["role"]),
     ("q_conv_stats", ["conv_id"]),
+    ("q_top_convs", ["conv_id"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
