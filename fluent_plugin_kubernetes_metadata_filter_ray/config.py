@@ -56,6 +56,12 @@ class PipelineConfig:
     de_dot: bool = False
     de_dot_separator: str = "_"
 
+    # snapshot refresh polling for long-running jobs: every N seconds each
+    # enrich actor re-stats the snapshot files and reloads + clears caches
+    # if they changed (batch analog of `watch` MODIFIED handling; None →
+    # static snapshot, the correctness-test default)
+    snapshot_poll_s: float | None = None
+
     # stats (stats_interval<=0 → NoOp, filter_kubernetes_metadata.rb:186-190)
     stats_enabled: bool = True
 

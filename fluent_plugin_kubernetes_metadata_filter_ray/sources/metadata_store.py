@@ -135,14 +135,44 @@ class MetadataStore:
 class TableMetadataStore(MetadataStore):
     """Snapshot-backed store: loads + projects the two Parquet side tables
     once (S4-S7 in SURVEY.md §2.1; watch semantics become snapshot versions,
-    §2.8)."""
+    §2.8).  ``changed()`` / ``reload()`` support mtime-based refresh polling
+    for long-running jobs (the batch analog of the watch threads' MODIFIED
+    handling, kubernetes_metadata_watch_pods.rb:160-204)."""
 
     def __init__(self, snapshot_dir: str, cfg, version: str | None = None):
-        self.version = version or os.path.basename(os.path.normpath(snapshot_dir))
-        pods = pq.read_table(os.path.join(snapshot_dir, "pods.parquet")).to_pylist()
-        nss = pq.read_table(os.path.join(snapshot_dir, "namespaces.parquet")).to_pylist()
+        self.snapshot_dir = snapshot_dir
+        self.cfg = cfg
+        self._version_override = version
+        self._load()
+
+    def _paths(self):
+        return (
+            os.path.join(self.snapshot_dir, "pods.parquet"),
+            os.path.join(self.snapshot_dir, "namespaces.parquet"),
+        )
+
+    def _stat(self):
+        return tuple(os.stat(p).st_mtime_ns for p in self._paths())
+
+    def _load(self):
+        pods_p, nss_p = self._paths()
+        self._mtimes = self._stat()
+        pods = pq.read_table(pods_p).to_pylist()
+        nss = pq.read_table(nss_p).to_pylist()
+        cfg = self.cfg
         self._pods = {(r["namespace_name"], r["pod_name"]): project_pod(r, cfg) for r in pods}
         self._namespaces = {r["name"]: project_namespace(r, cfg) for r in nss}
+        base = os.path.basename(os.path.normpath(self.snapshot_dir))
+        self.version = self._version_override or f"{base}@{max(self._mtimes)}"
+
+    def changed(self) -> bool:
+        try:
+            return self._stat() != self._mtimes
+        except OSError:
+            return False
+
+    def reload(self) -> None:
+        self._load()
 
     def get_pod(self, namespace: str, pod: str) -> dict | None:
         return self._pods.get((namespace, pod))

@@ -92,6 +92,27 @@ class Enricher:
         self.id_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
         self.pod_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
         self.ns_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
+        self._last_poll = self.clock()
+
+    def _maybe_refresh_snapshot(self) -> None:
+        """Between-batch snapshot refresh (watch-MODIFIED analog, SURVEY.md
+        §2.8 W1/W2): if the snapshot files changed on disk, reload and drop
+        all caches — conservative-correct invalidation for a batch engine
+        (the reference updates entries incrementally; dropping the caches
+        reaches the same fixed point against the authoritative store)."""
+        poll = self.cfg.snapshot_poll_s
+        if poll is None or not hasattr(self.store, "changed"):
+            return
+        now = self.clock()
+        if now - self._last_poll < poll:
+            return
+        self._last_poll = now
+        if self.store.changed():
+            self.store.reload()
+            self.id_cache.clear()
+            self.pod_cache.clear()
+            self.ns_cache.clear()
+            self.stats.bump("snapshot_reloads")
 
     # -- store probes with the reference's error degradation ---------------
 
@@ -269,6 +290,7 @@ class Enricher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
+        self._maybe_refresh_snapshot()
         batch_miss_cache: dict = {}
 
         ns_a = batch.column("namespace").to_numpy(zero_copy_only=False)

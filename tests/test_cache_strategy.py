@@ -146,6 +146,42 @@ def test_ttl_expiry_refetches(monkeypatch):
     assert store.pod_probes == probes + 1  # expired: refetch
 
 
+def test_snapshot_poll_refresh(tmp_path):
+    """Long-running-job watch analog: with snapshot_poll_s set, an enrich
+    actor re-stats the snapshot files between batches and reloads + clears
+    caches when they change (SURVEY.md §2.8 W1/W2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+
+    d = str(tmp_path)
+    pods = dg.build_pods_table()
+    pq.write_table(pods, d + "/pods.parquet")
+    pq.write_table(dg.build_namespaces_table(), d + "/namespaces.parquet")
+
+    clock = [0.0]
+    cfg = PipelineConfig(snapshot_poll_s=5.0)
+    e = Enricher(cfg, store=d, clock=lambda: clock[0])
+    le, _, _ = e.metadata_for_key("ns-0", "pod-0", "app", "k1", None, {})
+    assert le["k8s_pod_ip"] == "10.0.0.0"
+
+    rows = pods.to_pylist()
+    assert rows[0]["namespace_name"] == "ns-0" and rows[0]["pod_name"] == "pod-0"
+    rows[0]["pod_ip"] = "9.9.9.9"
+    pq.write_table(pa.Table.from_pylist(rows, schema=pods.schema), d + "/pods.parquet")
+
+    clock[0] = 2.0  # within poll interval: stale snapshot still served
+    e._maybe_refresh_snapshot()
+    le2, _, _ = e.metadata_for_key("ns-0", "pod-0", "app", "k1", None, {})
+    assert le2["k8s_pod_ip"] == "10.0.0.0"
+
+    clock[0] = 6.0  # poll fires: reload + cache clear
+    e._maybe_refresh_snapshot()
+    le3, _, _ = e.metadata_for_key("ns-0", "pod-0", "app", "k1", None, {})
+    assert le3["k8s_pod_ip"] == "9.9.9.9"
+    assert e.stats.to_dict()["snapshot_reloads"] == 1
+
+
 def test_snapshot_swap_models_watch_update():
     """Watch MODIFIED semantics (kubernetes_metadata_watch_pods.rb:160-204)
     become snapshot versions: swapping the store + clearing caches yields the
