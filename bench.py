@@ -19,7 +19,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REP = int(os.environ.get("KMETA_BENCH_REP", "10"))
+# default 25 → ~2.5M turns at sf0.1: large enough that fixed costs (init +
+# actor-pool spawn ≈ 6 s) stop dominating the measured throughput
+REP = int(os.environ.get("KMETA_BENCH_REP", "25"))
 
 
 def run_bench() -> dict:
