@@ -62,8 +62,14 @@ class PipelineConfig:
     # static snapshot, the correctness-test default)
     snapshot_poll_s: float | None = None
 
-    # stats (stats_interval<=0 → NoOp, filter_kubernetes_metadata.rb:186-190)
+    # stats (stats_interval<=0 → NoOp, filter_kubernetes_metadata.rb:186-190);
+    # stats_dump_dir → each enrich actor writes its counter snapshot there
+    # every stats_interval seconds (dump_stats analog,
+    # filter_kubernetes_metadata.rb:131-144); merge with
+    # state.stats.collect_dumped_counters
     stats_enabled: bool = True
+    stats_interval: float = 30.0
+    stats_dump_dir: str | None = None
 
     # Ray execution knobs; enrich_concurrency=None → size the actor pool to
     # the cluster, leaving CPUs for the read/write stages.  batch_size=None →

@@ -93,6 +93,9 @@ class Enricher:
         self.pod_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
         self.ns_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
         self._last_poll = self.clock()
+        import os as _os
+        self._actor_id = f"{_os.getpid()}"
+        self._last_dump = self.clock()
 
     def _maybe_refresh_snapshot(self) -> None:
         """Between-batch snapshot refresh (watch-MODIFIED analog, SURVEY.md
@@ -352,7 +355,21 @@ class Enricher:
             )
 
         self.stats.set("last_batch_rows", n)
+        self._maybe_dump_stats()
         return out
+
+    def _maybe_dump_stats(self) -> None:
+        """Interval-gated counter snapshot (dump_stats analog,
+        filter_kubernetes_metadata.rb:131-144)."""
+        cfg = self.cfg
+        if not cfg.stats_dump_dir:
+            return
+        now = self.clock()
+        if now - self._last_dump >= cfg.stats_interval:
+            self._last_dump = now
+            from ..state.stats import dump_counters
+
+            dump_counters(cfg.stats_dump_dir, self._actor_id, self.stats.to_dict())
 
     def counters(self) -> dict:
         return self.stats.to_dict()

@@ -43,3 +43,32 @@ def merge_counter_dicts(dicts) -> dict[str, int]:
     for d in dicts:
         total.update(d)
     return dict(total)
+
+
+def dump_counters(dump_dir: str, actor_id: str, counters: dict[str, int]) -> None:
+    """Atomic per-actor counter snapshot (dump_stats analog,
+    filter_kubernetes_metadata.rb:131-144 — the log line becomes a JSON
+    file; last write wins per actor, so files hold totals, not deltas)."""
+    import json
+    import os
+
+    os.makedirs(dump_dir, exist_ok=True)
+    path = os.path.join(dump_dir, f"stats_{actor_id}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(counters, f)
+    os.replace(tmp, path)
+
+
+def collect_dumped_counters(dump_dir: str) -> dict[str, int]:
+    """Merge every actor's last snapshot into cluster totals."""
+    import json
+    import os
+
+    dicts = []
+    if os.path.isdir(dump_dir):
+        for name in sorted(os.listdir(dump_dir)):
+            if name.startswith("stats_") and name.endswith(".json"):
+                with open(os.path.join(dump_dir, name)) as f:
+                    dicts.append(json.load(f))
+    return merge_counter_dicts(dicts)

@@ -1,0 +1,101 @@
+"""JSONL source parity, custom tag-regex config (U2), stats dump/merge
+(C6 dump_stats analog)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from fluent_plugin_kubernetes_metadata_filter_ray.config import PipelineConfig
+
+
+def test_jsonl_source_matches_parquet_path(ray_session, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.jsonl import (
+        read_transcripts_jsonl,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import (
+        decode_stage,
+        enrich_stage,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
+    tdir = dg.transcripts_path(sf_dir)
+    first = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))[0]
+    tbl = pq.read_table(os.path.join(tdir, first)).slice(0, 200)
+    jpath = str(tmp_path / "t.jsonl")
+    with open(jpath, "w") as f:
+        for row in tbl.to_pylist():
+            row["ts"] = row["ts"].isoformat()
+            f.write(json.dumps(row) + "\n")
+
+    cfg = PipelineConfig()
+    store = dg.metadata_snapshot_dir()
+
+    def run(ds):
+        out = decode_stage(enrich_stage(parse_stage(ds, cfg), cfg, store))
+        return (
+            out.to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    via_jsonl = run(read_transcripts_jsonl(jpath))
+    via_parquet = run(ray.data.from_arrow(tbl))
+    assert via_jsonl.equals(via_parquet)
+    assert len(via_jsonl) == 200
+
+
+def test_custom_tag_regex(ray_session):
+    """U2: user-supplied tag grammar replaces the built-ins."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import TagParser
+
+    cfg = PipelineConfig(
+        tag_regex_containers=(
+            r"^custom\.(?P<namespace>[a-z0-9-]+)\.(?P<pod_name>[a-z0-9-]+)"
+            r"\.(?P<container_name>[a-z0-9-]+)-(?P<docker_id>[a-f0-9]{8})$"
+        ),
+        tag_regex_pods=r"^never-matches$(?P<namespace>x)(?P<pod_name>y)(?P<pod_uuid>z)(?P<container_name>w)",
+    )
+    batch = pa.table(
+        {
+            "tool": pa.array(["custom.ns1.podx.app-deadbeef", "other"], pa.string()),
+            "text": pa.array(["a", "b"], pa.string()),
+        }
+    )
+    out = TagParser(cfg)(batch)
+    assert out.column("namespace").to_pylist() == ["ns1", None]
+    assert out.column("docker_id").to_pylist() == ["deadbeef", None]
+    assert out.column("matched").to_pylist() == [1, 0]
+
+
+def test_stats_dump_and_merge(tmp_path):
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.metadata_store import (
+        DictMetadataStore,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import Enricher
+    from fluent_plugin_kubernetes_metadata_filter_ray.state.stats import (
+        collect_dumped_counters,
+    )
+
+    d = str(tmp_path / "metrics")
+    cfg = PipelineConfig(stats_dump_dir=d, stats_interval=0.0)
+    e = Enricher(cfg, store=DictMetadataStore({}, {}), clock=lambda: 1.0)
+    batch = pa.table(
+        {
+            "namespace": pa.array(["ns-a"], pa.string()),
+            "pod_name": pa.array(["pod-1"], pa.string()),
+            "container_name": pa.array(["app"], pa.string()),
+            "docker_id": pa.array([None], pa.string()),
+            "cache_key": pa.array(["k1"], pa.string()),
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    e(batch)
+    merged = collect_dumped_counters(d)
+    assert merged["id_cache_miss"] == 1
+    assert merged["id_cache_orphaned_record"] == 1
+    assert merged["last_batch_rows"] == 1
