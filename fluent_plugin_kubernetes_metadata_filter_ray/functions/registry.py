@@ -5,7 +5,7 @@ test suite asserts their semantics instead — e.g. LSH-ANN recall)."""
 
 from __future__ import annotations
 
-from . import dedup, multimodal, simsearch, textstats
+from . import dedup, multimodal, sampling, simsearch, textstats
 
 
 def queries() -> dict:
@@ -13,6 +13,9 @@ def queries() -> dict:
         "q_doc_stats": textstats.q_doc_stats,
         "q_doc_fingerprint": textstats.q_doc_fingerprint,
         "q_token_freq": textstats.q_token_freq,
+        "q_doc_sample": sampling.q_doc_sample,
+        "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
+        "q_doc_quality_filter": sampling.q_doc_quality_filter,
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_minhash": dedup.q_dedup_minhash,
         "q_dedup_simhash": dedup.q_dedup_simhash,
@@ -28,6 +31,9 @@ def oracle_sql() -> dict:
         "q_doc_stats": textstats.doc_stats_oracle_sql(),
         "q_doc_fingerprint": textstats.doc_fingerprint_oracle_sql(),
         "q_token_freq": textstats.token_freq_oracle_sql(),
+        "q_doc_sample": sampling.doc_sample_oracle_sql(),
+        "q_doc_sample_stratified": sampling.doc_sample_stratified_oracle_sql(),
+        "q_doc_quality_filter": sampling.doc_quality_filter_oracle_sql(),
         "q_dedup_exact": dedup.dedup_exact_oracle_sql(),
         "q_dedup_minhash": dedup.dedup_minhash_oracle_sql(),
         "q_dedup_simhash": dedup.dedup_simhash_oracle_sql(),
