@@ -22,6 +22,7 @@ def queries() -> dict:
         "q_ann_topk": simsearch.q_ann_topk,
         "q_embed_neardup": simsearch.q_embed_neardup,
         "q_ann_lsh": simsearch.q_ann_lsh,
+        "q_ann_ivf": simsearch.q_ann_ivf,
         "q_media_decode": multimodal.q_media_decode,
     }
 
@@ -39,6 +40,6 @@ def oracle_sql() -> dict:
         "q_dedup_simhash": dedup.dedup_simhash_oracle_sql(),
         "q_ann_topk": simsearch.ann_topk_oracle_sql(),
         "q_embed_neardup": simsearch.embed_neardup_oracle_sql(),
-        # q_ann_lsh: approximate — rows-only check + recall test
+        # q_ann_lsh / q_ann_ivf: approximate — rows-only check + recall tests
         "q_media_decode": multimodal.media_decode_oracle_sql(),
     }

