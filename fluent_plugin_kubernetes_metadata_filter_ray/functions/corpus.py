@@ -113,6 +113,15 @@ docs_aug AS (
 """.strip()
 
 
+# id-only twin of AUG_DOCS_CTE (for operators that need the doc universe
+# without re-deriving texts)
+AUG_IDS_SQL = f"""
+SELECT doc_id FROM documents
+UNION ALL SELECT doc_id + {AUG_OFFSET} FROM documents WHERE doc_id % {AUG_MOD} = 0
+UNION ALL SELECT doc_id + {2 * AUG_OFFSET} FROM documents WHERE doc_id % {EXACT_MOD} = 0
+""".strip()
+
+
 def augment_batch(batch):
     """pyarrow twin of AUG_DOCS_CTE — one stateless map_batches stage."""
     import pyarrow as pa

@@ -196,6 +196,75 @@ WHERE len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over MinHash pairs → dedup decision
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(sf_dir: str):
+    """Each doc → its cluster's canonical (minimum) doc_id + keep/drop flag,
+    where clusters are connected components of the MinHash near-dup pairs.
+
+    The pair list is the LSH stage's aggregate output (orders of magnitude
+    smaller than the corpus), so union-find runs driver-side and the label
+    map broadcasts back via ``ray.put`` into a stateless ``map_batches`` —
+    no per-row driver loop over the corpus.  At 10^12 docs with huge dup
+    families the driver union-find becomes distributed label propagation
+    (iterated groupby-min over the edge list); same output contract."""
+    import ray
+
+    pairs = q_dedup_minhash(sf_dir).to_pandas()  # small: the near-dup pairs
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {x: find(x) for x in parent}
+    lbl_ref = ray.put(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lbl = ray.get(lbl_ref) if type(lbl_ref).__name__ == "ObjectRef" else lbl_ref
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        canon = np.fromiter((lbl.get(int(i), int(i)) for i in ids), dtype=np.int64,
+                            count=len(ids))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "canonical_id": pa.array(canon),
+                "is_kept": pa.array((canon == ids).astype(np.int64)),
+            }
+        )
+
+    return cp.read_augmented(sf_dir).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dedup_clusters_oracle_sql() -> str:
+    """Connected components as a recursive min-label closure over the SAME
+    MinHash pair SQL (reach = every label visible from a doc; component id =
+    its minimum)."""
+    return f"""
+WITH RECURSIVE p AS ({dedup_minhash_oracle_sql()}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+nodes AS ({cp.AUG_IDS_SQL}),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc AS doc_id, min(lbl) AS canonical_id,
+  CAST(min(lbl) = doc AS BIGINT) AS is_kept
+FROM reach GROUP BY doc
+""".strip()
+
+
 class SimHasher:
     """map_batches callable: doc → 4 band rows (doc_id, band_idx, band_val,
     simhash).  Token-hash memo lives per actor/worker (vocab-bounded)."""

@@ -19,6 +19,7 @@ def queries() -> dict:
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_minhash": dedup.q_dedup_minhash,
         "q_dedup_simhash": dedup.q_dedup_simhash,
+        "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_ann_topk": simsearch.q_ann_topk,
         "q_embed_neardup": simsearch.q_embed_neardup,
         "q_ann_lsh": simsearch.q_ann_lsh,
@@ -38,6 +39,7 @@ def oracle_sql() -> dict:
         "q_dedup_exact": dedup.dedup_exact_oracle_sql(),
         "q_dedup_minhash": dedup.dedup_minhash_oracle_sql(),
         "q_dedup_simhash": dedup.dedup_simhash_oracle_sql(),
+        "q_dedup_clusters": dedup.dedup_clusters_oracle_sql(),
         "q_ann_topk": simsearch.ann_topk_oracle_sql(),
         "q_embed_neardup": simsearch.embed_neardup_oracle_sql(),
         # q_ann_lsh / q_ann_ivf: approximate — rows-only check + recall tests

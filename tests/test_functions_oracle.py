@@ -16,6 +16,7 @@ SORT_KEYS = {
     "q_dedup_exact": ["text_hash"],
     "q_dedup_minhash": ["doc_a", "doc_b"],
     "q_dedup_simhash": ["doc_a", "doc_b"],
+    "q_dedup_clusters": ["doc_id"],
     "q_ann_topk": ["query_id", "rank"],
     "q_embed_neardup": ["vec_a", "vec_b"],
     "q_media_decode": ["doc_id"],
