@@ -329,7 +329,14 @@ class Enricher:
         # output block ~5× (codes instead of repeated strings) — less object
         # store flux per stage boundary — and replaces 17 object-array
         # scatters with one integer add.
-        out = batch
+        #
+        # The parse-stage key columns are consumed here and duplicated by the
+        # k8s_* outputs — drop them so they never hit the object store (the
+        # parse→enrich hop is fused in-process; only THIS output crosses).
+        drop = [c for c in ("namespace", "pod_name", "container_name",
+                            "docker_id", "pod_uuid", "cache_key")
+                if c in batch.column_names]
+        out = batch.drop_columns(drop)
         midx = np.flatnonzero(matched)
         row_ts = ts_us[midx]
         use_le = row_ts >= creation[codes]
