@@ -405,18 +405,21 @@ def decode_stage(ds):
 
 
 def _auto_concurrency() -> int:
-    """Actor-pool size: CPUs minus small headroom.  Ray fuses the upstream
-    read+parse TASK stages into this actor pool (one fused operator does
-    read→parse→enrich), so the pool performs ALL the per-row work and should
-    own nearly the whole machine; measured: pool=30 on 32 CPUs → 1.2M rows/s
-    vs pool=16 → exactly half that.  The 2-CPU headroom serves the
-    downstream write/aggregate operators."""
+    """Actor-pool size: ~3/4 of CPUs.  Ray fuses the upstream read+parse
+    TASK stages into this actor pool (one fused operator does
+    read→parse→enrich), so the pool performs ALL the per-row work and wants
+    most of the machine (measured on quiet hardware: pool=30 of 32 → 1.2M
+    rows/s, pool=16 → half that).  The 1/4 headroom serves the downstream
+    write/aggregate operators AND keeps the job from collapsing when the
+    hypervisor steals CPU — on this sandbox, fully loading 32 vCPUs draws
+    ~50% steal and an oversized pool then runs 3× SLOWER than a modest one
+    (measured: pool=14 → 106 s vs pool=30 → 347 s under contention)."""
     try:
         import ray
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(1, cpus - 2)
+    return max(1, min(cpus - 2, cpus * 3 // 4))
 
 
 def enrich_stage(ds, cfg, store_ref):
