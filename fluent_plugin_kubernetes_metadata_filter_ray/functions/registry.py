@@ -5,7 +5,7 @@ test suite asserts their semantics instead — e.g. LSH-ANN recall)."""
 
 from __future__ import annotations
 
-from . import dedup, multimodal, sampling, simsearch, textstats
+from . import dedup, joins, multimodal, sampling, simsearch, textstats
 
 
 def queries() -> dict:
@@ -25,6 +25,7 @@ def queries() -> dict:
         "q_ann_lsh": simsearch.q_ann_lsh,
         "q_ann_ivf": simsearch.q_ann_ivf,
         "q_media_decode": multimodal.q_media_decode,
+        "q_doc_embed_join": joins.q_doc_embed_join,
     }
 
 
@@ -44,4 +45,5 @@ def oracle_sql() -> dict:
         "q_embed_neardup": simsearch.embed_neardup_oracle_sql(),
         # q_ann_lsh / q_ann_ivf: approximate — rows-only check + recall tests
         "q_media_decode": multimodal.media_decode_oracle_sql(),
+        "q_doc_embed_join": joins.doc_embed_join_oracle_sql(),
     }

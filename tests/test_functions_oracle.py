@@ -20,6 +20,7 @@ SORT_KEYS = {
     "q_ann_topk": ["query_id", "rank"],
     "q_embed_neardup": ["vec_a", "vec_b"],
     "q_media_decode": ["doc_id"],
+    "q_doc_embed_join": ["doc_id"],
 }
 
 
