@@ -79,6 +79,13 @@ class PipelineConfig:
     enrich_concurrency: int | None = None
     parse_batch_size: int | None = None
 
+    # fault-tolerance ladder (watch_retry_max_times analog,
+    # filter_kubernetes_metadata.rb:94-99): a dead enrich actor restarts —
+    # rebuilding caches + snapshot in __init__, like the reference's
+    # crash-restart — up to this many times before the run fails
+    enrich_max_restarts: int = 4
+    enrich_max_task_retries: int = 4
+
     def skip_variant(self) -> "PipelineConfig":
         """The skip_labels+skip_container_metadata+skip_master_url variant used
         by the q_enrich_skip oracle (test_filter_kubernetes_metadata.rb:779-889)."""

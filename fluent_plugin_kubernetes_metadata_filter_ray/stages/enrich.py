@@ -435,4 +435,7 @@ def enrich_stage(ds, cfg, store_ref):
         concurrency=conc,
         num_cpus=1,
         zero_copy_batch=True,
+        # crash-restart ladder: caches rebuild in __init__ on actor restart
+        max_restarts=cfg.enrich_max_restarts,
+        max_task_retries=cfg.enrich_max_task_retries,
     )
