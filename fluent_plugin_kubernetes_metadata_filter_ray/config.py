@@ -79,12 +79,13 @@ class PipelineConfig:
     enrich_concurrency: int | None = None
     parse_batch_size: int | None = None
 
-    # fault-tolerance ladder (watch_retry_max_times analog,
-    # filter_kubernetes_metadata.rb:94-99): a dead enrich actor restarts —
-    # rebuilding caches + snapshot in __init__, like the reference's
-    # crash-restart — up to this many times before the run fails
-    enrich_max_restarts: int = 4
-    enrich_max_task_retries: int = 4
+    # Fault tolerance (watch_retry_max_times analog,
+    # filter_kubernetes_metadata.rb:94-99) comes from Ray Data's built-in
+    # task retry (a restarted actor rebuilds caches + snapshot in __init__)
+    # plus the checkpoint layer's shard re-run.  Deliberately NOT exposed as
+    # per-stage max_restarts/max_task_retries kwargs: setting either on the
+    # fused actor operator serializes its task pipeline (measured 3×
+    # slowdown).
 
     def skip_variant(self) -> "PipelineConfig":
         """The skip_labels+skip_container_metadata+skip_master_url variant used

@@ -435,7 +435,10 @@ def enrich_stage(ds, cfg, store_ref):
         concurrency=conc,
         num_cpus=1,
         zero_copy_batch=True,
-        # crash-restart ladder: caches rebuild in __init__ on actor restart
-        max_restarts=cfg.enrich_max_restarts,
-        max_task_retries=cfg.enrich_max_task_retries,
+        # NOTE: do NOT pass max_restarts / max_task_retries here — setting
+        # either on the fused actor operator makes Ray serialize its task
+        # pipeline (measured 3×: 50 s → 152 s on the same job).  Worker
+        # death is covered by Ray Data's built-in task retry + the
+        # checkpoint layer's shard re-run (state/checkpoint.py); the
+        # crash-restart cache rebuild still happens in __init__.
     )
