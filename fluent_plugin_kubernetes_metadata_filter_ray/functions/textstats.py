@@ -168,6 +168,35 @@ GROUP BY token
 """.strip()
 
 
+def normalize_batch(batch: pa.Table) -> pa.Table:
+    """Canonical text normalization: trim, lowercase, collapse internal
+    whitespace — pure pyarrow kernels, zero Python per row."""
+    t = batch.column("text")
+    norm = pc.replace_substring_regex(pc.utf8_lower(pc.utf8_trim_whitespace(t)), r"\s+", " ")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text_norm": norm,
+            "n_chars_norm": pc.utf8_length(norm).cast(pa.int64()),
+        }
+    )
+
+
+def q_doc_normalize(sf_dir: str):
+    return cp.read_documents(sf_dir).map_batches(
+        normalize_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_normalize_oracle_sql() -> str:
+    return """
+SELECT doc_id,
+  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS text_norm,
+  length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))::BIGINT AS n_chars_norm
+FROM documents
+""".strip()
+
+
 def q_doc_stats(sf_dir: str):
     return cp.read_documents(sf_dir).map_batches(
         doc_stats_batch, batch_format="pyarrow", zero_copy_batch=True
