@@ -144,11 +144,19 @@ def transcripts_path(sf_dir: str, rep: int = 1, shard_rows: int | None = None) -
     out_dir = os.path.join(CACHE_ROOT, f"transcripts_{tag}_rep{rep}{suffix}")
     done = out_dir + ".done"  # marker outside the dir: readers glob *.parquet only
     if not os.path.exists(done):
+        import shutil
+
         ev_path = os.path.join(sf_dir, "events.parquet")
         base_rows = pq.ParquetFile(ev_path).metadata.num_rows
         # bound driver memory: derive ≤ ~2M rows per chunk
         chunk_reps = max(1, min(rep, (2_000_000 + base_rows - 1) // base_rows))
-        os.makedirs(out_dir, exist_ok=True)
+        # derive into a scratch dir, then atomically swap it in: a
+        # pre-existing out_dir (older cache layout, or a crashed derivation)
+        # must never contribute stale *.parquet files that readers would
+        # scan alongside the fresh shards (~2x duplicated rows)
+        work_dir = out_dir + ".deriving"
+        shutil.rmtree(work_dir, ignore_errors=True)
+        os.makedirs(work_dir)
         total, fidx = 0, 0
         for r0 in range(0, rep, chunk_reps):
             r1 = min(rep, r0 + chunk_reps)
@@ -159,11 +167,14 @@ def transcripts_path(sf_dir: str, rep: int = 1, shard_rows: int | None = None) -
                 part = tbl.slice(i * per, per)
                 if part.num_rows == 0:
                     continue
-                tmp = os.path.join(out_dir, f".part-{fidx:05d}.tmp")
-                pq.write_table(part, tmp, row_group_size=sr)
-                os.replace(tmp, os.path.join(out_dir, f"part-{fidx:05d}.parquet"))
+                pq.write_table(
+                    part, os.path.join(work_dir, f"part-{fidx:05d}.parquet"),
+                    row_group_size=sr,
+                )
                 fidx += 1
             total += tbl.num_rows
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.rename(work_dir, out_dir)
         with open(done, "w") as f:
             f.write(str(total))
     return out_dir

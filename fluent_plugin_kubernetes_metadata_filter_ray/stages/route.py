@@ -9,10 +9,20 @@ cardinality (4 roles) → the hash exchange is cheap; rows are not reordered.
 from __future__ import annotations
 
 import os
+import shutil
 
 
 def route_write(enriched_ds, out_dir: str):
-    """Single-scan fan-out: write_parquet partitioned by role."""
+    """Single-scan fan-out: write_parquet partitioned by role.
+
+    The target dir is cleared first: Ray's ``write_parquet`` uses fresh
+    UUID-based filenames per run, so writing into a populated dir (a second
+    run with the same ``--out``, or files left by a crashed attempt) would
+    silently mix old rows into the sink and inflate every downstream
+    read-back count.  Clearing makes the write idempotent — the property the
+    checkpoint layer's shard re-run relies on."""
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     try:
         enriched_ds.write_parquet(out_dir, partition_cols=["role"])

@@ -10,8 +10,12 @@ files).  Each shard writes:
 
 The manifest is the commit marker: it is written atomically (tmp + rename)
 only after the shard's sink write completed, so a crashed run leaves no
-manifest and the shard re-runs from scratch (output is overwritten
-idempotently).  A resumed run skips every shard whose manifest exists.
+manifest and the shard re-runs from scratch.  Re-running is idempotent
+because ``route_write`` clears the shard output dir before writing —
+Ray's ``write_parquet`` uses fresh UUID filenames per attempt, so without
+the clear, partial files from a crashed mid-write attempt would survive
+alongside the re-run's files and double-count rows.  A resumed run skips
+every shard whose manifest exists.
 
 Manifest fields: input files, rows_in/rows_out, per-role routed counts,
 enrichment-class tallies, metadata snapshot id, wall seconds — the

@@ -48,3 +48,79 @@ def test_resume_skips_committed_shards(ray_session, sharded_sf, tmp_path, duck):
                         "route_counts", "snapshot", "wall_s"}
     assert man["rows_in"] == man["rows_out"]
     assert total == 8000  # rep=8 × 1000 rows at sf0.001
+
+
+def test_shard_rerun_after_mid_write_crash(ray_session, sharded_sf, tmp_path):
+    """A crash mid-write leaves partial sink files but no manifest; the
+    shard re-run must clear them (route_write clears the shard dir), not
+    append fresh UUID-named files alongside — else counts inflate."""
+    import glob
+    import shutil
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.state import checkpoint as cpt
+
+    out = str(tmp_path / "midwrite")
+    straight = cpt.run_resumable(sharded_sf, out, rep=8, files_per_shard=1,
+                                 shard_rows=2048)
+
+    # simulate shard 0 having crashed mid-write on a previous attempt:
+    # drop its commit marker and plant a leftover partial file (a duplicate
+    # of a real sink file, under a name a fresh write would never reuse)
+    os.remove(os.path.join(out, "_manifest_shard_00000.json"))
+    sink_files = glob.glob(os.path.join(out, "shard=00000", "role=*", "*.parquet"))
+    assert sink_files
+    shutil.copy(sink_files[0], sink_files[0] + ".crashed_attempt.parquet")
+
+    resumed = cpt.run_resumable(sharded_sf, out, rep=8, files_per_shard=1,
+                                shard_rows=2048)
+    assert resumed["ran"] == [0]
+    assert resumed["route_counts"] == straight["route_counts"]
+    leftovers = glob.glob(os.path.join(out, "shard=00000", "role=*",
+                                       "*.crashed_attempt.parquet"))
+    assert leftovers == []  # the re-run cleared the crashed attempt's files
+
+
+def test_flagship_out_dir_rewrite_not_additive(ray_session, sf_dir):
+    """Two runs into the same out_dir must not double-count (route_write
+    clears the sink dir before writing)."""
+    import shutil
+    import tempfile
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
+
+    out = tempfile.mkdtemp(prefix="kmeta_sink_reuse_")
+    try:
+        c1 = flagship.run_flagship(sf_dir, out_dir=out).to_pandas()
+        c2 = flagship.run_flagship(sf_dir, out_dir=out).to_pandas()
+        key = lambda df: df.sort_values("role").reset_index(drop=True)
+        assert key(c1).equals(key(c2))
+        assert int(c2["n_turns"].sum()) == 1000  # sf0.001 row count, not 2000
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def test_transcripts_cache_migration_no_duplicates(sf_dir):
+    """A pre-upgrade cache dir (single transcripts.parquet, no .done marker)
+    must be replaced by the fresh derivation, not merged with it."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+
+    tag_dir = os.path.join(dg.CACHE_ROOT, "transcripts_sf0.001_rep2_s1999")
+    shutil.rmtree(tag_dir, ignore_errors=True)
+    for p in (tag_dir + ".done", tag_dir + ".deriving"):
+        shutil.rmtree(p, ignore_errors=True) if os.path.isdir(p) else (
+            os.remove(p) if os.path.exists(p) else None)
+    # plant the old layout: a populated dir with no .done marker
+    os.makedirs(tag_dir)
+    stale = dg.derive_transcripts(os.path.join(sf_dir, "events.parquet"), rep=2)
+    pq.write_table(stale, os.path.join(tag_dir, "transcripts.parquet"))
+
+    out = dg.transcripts_path(sf_dir, rep=2, shard_rows=1999)
+    n = sum(pq.ParquetFile(os.path.join(out, f)).metadata.num_rows
+            for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n == 2000  # fresh shards only — the stale single file is gone
+    shutil.rmtree(tag_dir, ignore_errors=True)
+    os.remove(tag_dir + ".done")
