@@ -85,6 +85,20 @@ def minhash_signature(shingle_w32: np.ndarray) -> np.ndarray:
 
 # --- SQL twins ------------------------------------------------------------
 
+# whitespace-class trim twin: DuckDB trim() strips SPACES only, while
+# Python str.strip() / pyarrow utf8_trim_whitespace strip the whole \s
+# class (tabs, newlines) — regex-trim so both sides agree
+SQL_WTRIM = "regexp_replace({t}, '^\\s+|\\s+$', '', 'g')"
+
+# whitespace tokenization twin WITH the empty-text guard: Python
+# ''.split() yields 0 tokens, but bare regexp_split_to_array('', '\s+')
+# yields [''] — so every SQL twin tokenizes through this template or
+# n_tokens / token_freq / shingles diverge on empty/whitespace-only docs
+SQL_TOKS = (
+    f"CASE WHEN {SQL_WTRIM} = '' THEN []::VARCHAR[] "
+    f"ELSE regexp_split_to_array({SQL_WTRIM}, '\\s+') END"
+)
+
 # w32 / w63 as SQL expression templates over a string expression {s}
 SQL_W32 = "(('0x' || substr(md5({s}), 1, 8))::UBIGINT)"
 SQL_W63 = "((('0x' || substr(md5({s}), 1, 16))::UBIGINT & 9223372036854775807)::BIGINT)"
@@ -146,11 +160,36 @@ def augment_batch(batch):
     )
 
 
+def _right_sized_blocks(path: str, rows_per_block: int = 16384) -> int:
+    """Block count for a small side table: Ray's default splits even a
+    5k-row file into 64 blocks, and every downstream sort/groupby barrier
+    then pays 64-task latency per stage.  ~rows/16k blocks, floored at 2
+    and capped at 2×CPUs, keeps tiny corpora in a handful of blocks while
+    big inputs (many files at real scale) still fan out."""
+    import pyarrow.parquet as pq
+
+    try:
+        rows = pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 0
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(2 * cpus, (rows + rows_per_block - 1) // rows_per_block))
+
+
 def read_documents(sf_dir: str, columns=("doc_id", "text")):
-    """Column-pruned read of the documents table."""
+    """Column-pruned, block-right-sized read of the documents table."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    path = f"{sf_dir}/documents.parquet"
+    return ray.data.read_parquet(
+        path, columns=list(columns),
+        override_num_blocks=_right_sized_blocks(path) or None,
+    )
 
 
 def read_augmented(sf_dir: str):
@@ -162,4 +201,8 @@ def read_augmented(sf_dir: str):
 def read_embeddings(sf_dir: str, columns=("vec_id", "embedding")):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=list(columns))
+    path = f"{sf_dir}/embeddings.parquet"
+    return ray.data.read_parquet(
+        path, columns=list(columns),
+        override_num_blocks=_right_sized_blocks(path, rows_per_block=8192) or None,
+    )

@@ -8,11 +8,14 @@ Three families, each expressed Ray-Data-first with an exact DuckDB twin:
     happens per block inside Ray's hash aggregate.
   - **MinHash + LSH**: shingle → minhash signature → banded bucket keys, all
     inside one stateless ``map_batches``; candidate generation is a
-    ``groupby(band)`` over the *band rows only*; exact Jaccard verification
-    runs inside ``map_groups`` on the tiny buckets.  No all-pairs pass ever
-    happens — at 10^12 docs the shuffle carries b rows per doc (b=4) keyed by
-    band value, and bucket skew is bounded because identical band values mean
-    near-identical docs (cap enforced in the pair emitter).
+    ``groupby(band)`` over *thin* band rows (doc_id, band_idx, band_val —
+    the shingle sets do NOT ride the band shuffle); exact Jaccard
+    verification is a second stage that attaches each doc's shingle set to
+    its candidate pairs via one ``union`` + ``groupby(doc_id)`` (each doc's
+    set crosses the wire once, not once per band), then reduces per pair.
+    No all-pairs pass ever happens, and bucket skew is bounded by a
+    deterministic cap (doc_id order, replicated in the oracle SQL and
+    surfaced via a stats counter when it fires).
   - **SimHash**: 62-bit fingerprint per doc (token-hash bit majority) inside
     ``map_batches``; LSH over 4×16-bit bands; Hamming verification in
     ``map_groups``; same shuffle shape as MinHash.
@@ -23,15 +26,41 @@ thresholds) in DuckDB, so the comparison is exact, not statistical.
 
 from __future__ import annotations
 
+import logging
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data.aggregate import Count, Max, Min
 
+from ..state.stats import Stats, dump_counters
+
 from . import corpus as cp
 
-MAX_BUCKET = 256  # cap pathological LSH buckets (all-identical spam docs)
+# Cap pathological LSH buckets (all-identical spam docs).  The cap is
+# DETERMINISTIC — each bucket keeps its MAX_BUCKET smallest doc_ids — and
+# replicated in the oracle SQL (row_number over doc_id), so a clipped bucket
+# still hash-matches.  Clips are surfaced, never silent: a stats counter
+# bumps per clip (dumped to $KMETA_STATS_DIR when set) and a warning logs.
+MAX_BUCKET = 256
+
+_log = logging.getLogger(__name__)
+_CLIP_STATS = Stats()  # per worker process; merged via collect_dumped_counters
+
+
+def _note_bucket_clip(bucket_rows: int) -> None:
+    _CLIP_STATS.bump("lsh_bucket_clipped")
+    prev = _CLIP_STATS.counters.get("lsh_bucket_clip_max_rows", 0)
+    _CLIP_STATS.set("lsh_bucket_clip_max_rows", max(prev, bucket_rows))
+    _log.warning(
+        "LSH bucket of %d docs clipped to %d (kept: smallest doc_ids)",
+        bucket_rows, MAX_BUCKET,
+    )
+    dump_dir = os.environ.get("KMETA_STATS_DIR")
+    if dump_dir:
+        dump_counters(dump_dir, f"dedup_{os.getpid()}", _CLIP_STATS.to_dict())
 
 
 # ---------------------------------------------------------------------------
@@ -66,77 +95,161 @@ FROM docs_aug GROUP BY md5(text)
 # ---------------------------------------------------------------------------
 
 def _minhash_band_rows(batch: pa.Table) -> pa.Table:
-    """doc → LSH_BANDS rows (doc_id, band_idx, band_val, s63 shingle set)."""
+    """doc → LSH_BANDS *thin* rows (doc_id, band_idx, band_val).  The shingle
+    sets stay out of the band shuffle (round-1 VERDICT: shipping them 4× per
+    doc dominated the exchange); the verify stage re-derives them."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     texts = batch.column("text").to_pylist()
-    out_id, out_band, out_val, out_s63 = [], [], [], []
+    out_id, out_band, out_val = [], [], []
     for did, t in zip(ids, texts):
         toks = t.split()
         if len(toks) < cp.SHINGLE_K:
             continue
         sh = sorted(set(cp.shingles(toks, cp.SHINGLE_K)))
-        hx = [cp.md5_hex(s) for s in sh]
-        s63 = sorted({int(h[:16], 16) & cp.MASK63 for h in hx})
-        hw = np.array([int(h[:8], 16) for h in hx], dtype=np.uint64)
+        hw = np.array([cp.w32(s) for s in sh], dtype=np.uint64)
         sig = cp.minhash_signature(hw)
         for b in range(cp.LSH_BANDS):
             band = sig[b * cp.LSH_ROWS : (b + 1) * cp.LSH_ROWS]
             out_id.append(int(did))
             out_band.append(b)
             out_val.append(",".join(str(int(v)) for v in band))
-            out_s63.append(s63)
     return pa.table(
         {
             "doc_id": pa.array(out_id, pa.int64()),
             "band_idx": pa.array(out_band, pa.int32()),
             "band_val": pa.array(out_val, pa.string()),
-            "s63": pa.array(out_s63, pa.list_(pa.int64())),
         }
     )
 
 
-def _emit_jaccard_pairs(group: pa.Table) -> pa.Table:
-    """All i<j pairs within one LSH bucket with exact Jaccard over s63 sets."""
-    n = min(len(group), MAX_BUCKET)
-    ids = group.column("doc_id").to_pylist()[:n]
-    sets_ = [set(x) for x in group.column("s63").to_pylist()[:n]]
-    order = np.argsort(ids, kind="stable")
-    a_out, b_out, j_out = [], [], []
-    for ii in range(n):
-        for jj in range(ii + 1, n):
-            x, y = order[ii], order[jj]
-            inter = len(sets_[x] & sets_[y])
-            union = len(sets_[x] | sets_[y])
-            a_out.append(ids[x])
-            b_out.append(ids[y])
-            j_out.append(inter / union if union else 0.0)
+def _emit_candidate_pairs(group: pa.Table) -> pa.Table:
+    """One LSH bucket → all i<j candidate id pairs (no payloads).  Buckets
+    beyond MAX_BUCKET keep their smallest doc_ids (deterministic; the oracle
+    replicates the same cap) and bump the clip counter."""
+    ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
+    if len(ids) > MAX_BUCKET:
+        _note_bucket_clip(len(ids))
+        ids = ids[:MAX_BUCKET]
+    n = len(ids)
+    a_idx, b_idx = np.triu_indices(n, k=1)
     return pa.table(
         {
-            "doc_a": pa.array(a_out, pa.int64()),
-            "doc_b": pa.array(b_out, pa.int64()),
-            "jaccard": pa.array(j_out, pa.float64()),
+            "doc_a": pa.array(ids[a_idx], pa.int64()),
+            "doc_b": pa.array(ids[b_idx], pa.int64()),
         }
     )
+
+
+def _shingle_set_rows(batch: pa.Table) -> pa.Table:
+    """doc → (doc_id, s63 shingle-hash set packed as little-endian int64
+    bytes — Arrow's hash join rejects list-typed payload columns)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    out_id, out_s63 = [], []
+    for did, t in zip(ids, texts):
+        toks = t.split()
+        if len(toks) < cp.SHINGLE_K:
+            continue
+        sh = set(cp.shingles(toks, cp.SHINGLE_K))
+        out_id.append(int(did))
+        out_s63.append(
+            np.fromiter({cp.w63(s) for s in sh}, dtype=np.int64).tobytes()
+        )
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, pa.int64()),
+            "s63": pa.array(out_s63, pa.binary()),
+        }
+    )
+
+
+def _pair_role_rows(batch: pa.Table) -> pa.Table:
+    """Candidate pair → two claim rows (one per member doc).  Pairs arrive
+    possibly duplicated (a pair can surface from up to LSH_BANDS buckets);
+    the per-batch dedup removes most repeats cheaply and the final per-pair
+    reduce removes the rest — no dedicated all-to-all distinct barrier."""
+    batch = batch.group_by(["doc_a", "doc_b"]).aggregate([])
+    a = batch.column("doc_a").combine_chunks()
+    b = batch.column("doc_b").combine_chunks()
+    return pa.table(
+        {
+            "doc_id": pa.chunked_array([a, b]),
+            "pair_a": pa.chunked_array([a, a]),
+            "pair_b": pa.chunked_array([b, b]),
+        }
+    )
+
+
+def _pair_exact_jaccard(group: pa.Table) -> pa.Table:
+    """groupby(pair) over the joined claim rows → exact Jaccard, thresholded.
+    Residual duplicate claims (same pair via several bands in different
+    blocks) collapse here via first-per-doc_id."""
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(ids, return_index=True)
+    if len(first_idx) != 2:
+        return empty
+    rows = group.take(np.sort(first_idx))
+    sa, sb = (
+        set(np.frombuffer(x, dtype=np.int64)) for x in rows.column("s63").to_pylist()
+    )
+    union = len(sa | sb)
+    j = len(sa & sb) / union if union else 0.0
+    if j < cp.MINHASH_JACCARD_THRESHOLD:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array([rows.column("pair_a")[0].as_py()], pa.int64()),
+            "doc_b": pa.array([rows.column("pair_b")[0].as_py()], pa.int64()),
+            "jaccard": pa.array([j], pa.float64()),
+        }
+    )
+
+
+def _join_partitions() -> int:
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
 
 
 def q_dedup_minhash(sf_dir: str):
-    """Near-dup pairs: share ≥1 of 4 minhash bands AND exact Jaccard ≥ 0.5."""
+    """Near-dup pairs: share ≥1 of 4 minhash bands AND exact Jaccard ≥ 0.5.
+
+    Scale shape (10^12 docs): the band ``groupby`` moves only thin
+    (doc_id, band_idx, band_val) rows; each doc's shingle set then crosses
+    the wire exactly ONCE — a hash join stamps sets onto the candidate-pair
+    claim rows — and the final per-pair reduce sees two rows per candidate
+    pair.  Three all-to-all exchanges total (band groupby, doc_id hash
+    join, pair groupby), none carrying a payload more than once per doc."""
     ds = cp.read_augmented(sf_dir)
     bands = ds.map_batches(
         _minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = bands.groupby(["band_idx", "band_val"]).map_groups(
-        _emit_jaccard_pairs, batch_format="pyarrow"
+    cand = bands.groupby(["band_idx", "band_val"]).map_groups(
+        _emit_candidate_pairs, batch_format="pyarrow"
     )
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("jaccard", alias_name="jaccard")
+    claims = cand.map_batches(
+        _pair_role_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    return uniq.map_batches(
-        lambda t: t.filter(
-            pc.greater_equal(t.column("jaccard"), cp.MINHASH_JACCARD_THRESHOLD)
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    sets_ = ds.map_batches(
+        _shingle_set_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stamped = claims.join(
+        sets_, join_type="inner", num_partitions=_join_partitions(),
+        on=("doc_id",),
+    )
+    return stamped.groupby(["pair_a", "pair_b"]).map_groups(
+        _pair_exact_jaccard, batch_format="pyarrow"
     )
 
 
@@ -144,7 +257,7 @@ def _sql_shingle_cte() -> str:
     k = cp.SHINGLE_K
     return f"""
 tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs_aug
+  SELECT doc_id, {cp.SQL_TOKS.format(t='text')} AS toks FROM docs_aug
 ),
 shq AS (
   SELECT doc_id,
@@ -179,10 +292,15 @@ WITH {cp.AUG_DOCS_CTE},
 {_sql_shingle_cte()},
 sig AS (SELECT doc_id, [{mh}] AS mh FROM hs),
 bands AS ({bands_sql}),
+bands_r AS (
+  SELECT *, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+  FROM bands
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands x JOIN bands y
+  FROM bands_r x JOIN bands_r y
     ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+  WHERE x.rn <= {MAX_BUCKET} AND y.rn <= {MAX_BUCKET}
 )
 SELECT doc_a, doc_b,
   len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s63)) AS jaccard
@@ -315,14 +433,18 @@ class SimHasher:
 
 
 def _emit_hamming_pairs(group: pa.Table) -> pa.Table:
-    n = min(len(group), MAX_BUCKET)
-    ids = group.column("doc_id").to_pylist()[:n]
-    sims = group.column("simhash").to_pylist()[:n]
-    order = np.argsort(ids, kind="stable")
+    ids_arr = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids_arr, kind="stable")
+    if len(order) > MAX_BUCKET:
+        _note_bucket_clip(len(order))
+        order = order[:MAX_BUCKET]  # smallest doc_ids kept; oracle-replicated
+    n = len(order)
+    ids = ids_arr[order].tolist()
+    sims_arr = group.column("simhash").to_numpy(zero_copy_only=False)
+    sims = sims_arr[order].tolist()
     a_out, b_out, h_out = [], [], []
-    for ii in range(n):
-        for jj in range(ii + 1, n):
-            x, y = order[ii], order[jj]
+    for x in range(n):
+        for y in range(x + 1, n):
             ham = bin(sims[x] ^ sims[y]).count("1")
             if ham <= cp.SIMHASH_HAMMING_THRESHOLD:
                 a_out.append(ids[x])
@@ -359,7 +481,7 @@ def dedup_simhash_oracle_sql() -> str:
     return f"""
 WITH {cp.AUG_DOCS_CTE},
 tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM docs_aug
+  SELECT doc_id, {cp.SQL_TOKS.format(t='text')} AS toks FROM docs_aug
 ),
 th AS (
   SELECT doc_id, list_transform(toks, t -> {w64}) AS hs
@@ -374,11 +496,16 @@ sim AS (
   FROM th
 ),
 bands AS ({band_selects}),
+bands_r AS (
+  SELECT *, row_number() OVER (PARTITION BY band_idx, band_val ORDER BY doc_id) AS rn
+  FROM bands
+),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
          x.simhash AS sa, y.simhash AS sb
-  FROM bands x JOIN bands y
+  FROM bands_r x JOIN bands_r y
     ON x.band_idx = y.band_idx AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+  WHERE x.rn <= {MAX_BUCKET} AND y.rn <= {MAX_BUCKET}
 )
 SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {cp.SIMHASH_HAMMING_THRESHOLD}

@@ -70,7 +70,7 @@ def doc_stats_oracle_sql() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id, text,
-    regexp_split_to_array(trim(text), '\\s+') AS toks,
+    {cp.SQL_TOKS.format(t='text')} AS toks,
     length(text)::BIGINT AS n_chars_txt,
     len(regexp_extract_all(text, '{cp.BPE_PATTERN}'))::BIGINT AS n_tokens_bpe,
     length(regexp_replace(text, '\\s+', '', 'g'))::BIGINT AS n_nospace
@@ -121,7 +121,7 @@ def doc_fingerprint_oracle_sql() -> str:
     k = cp.SHINGLE_K
     return f"""
 WITH tok AS (
-  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
+  SELECT doc_id, text, {cp.SQL_TOKS.format(t='text')} AS toks FROM documents
 )
 SELECT doc_id, md5(text) AS fp_md5,
   coalesce(
@@ -161,9 +161,9 @@ def q_token_freq(sf_dir: str):
 
 
 def token_freq_oracle_sql() -> str:
-    return """
+    return f"""
 SELECT token, count(*)::BIGINT AS n
-FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token FROM documents)
+FROM (SELECT unnest({cp.SQL_TOKS.format(t='text')}) AS token FROM documents)
 GROUP BY token
 """.strip()
 
@@ -189,10 +189,11 @@ def q_doc_normalize(sf_dir: str):
 
 
 def doc_normalize_oracle_sql() -> str:
-    return """
+    wtrim = cp.SQL_WTRIM.format(t="text")
+    return f"""
 SELECT doc_id,
-  regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS text_norm,
-  length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))::BIGINT AS n_chars_norm
+  regexp_replace(lower({wtrim}), '\\s+', ' ', 'g') AS text_norm,
+  length(regexp_replace(lower({wtrim}), '\\s+', ' ', 'g'))::BIGINT AS n_chars_norm
 FROM documents
 """.strip()
 
