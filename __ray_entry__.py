@@ -65,6 +65,17 @@ def _q_enrich_dedot(sf_dir: str):
     return decode_stage(flagship.build_enriched(sf_dir, cfg)).select_columns(dg.ENRICH_COLUMNS)
 
 
+def _q_enrich_ownerrefs(sf_dir: str):
+    """include_ownerrefs_metadata variant: pods with pod_i % 7 == 2 carry a
+    ReplicaSet ownerReference surfaced as k8s_ownerrefs (reference e2e:
+    test_filter_kubernetes_metadata.rb:891-933)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
+    cfg = DEFAULT_CONFIG.ownerrefs_variant()
+    return decode_stage(flagship.build_enriched(sf_dir, cfg)).select_columns(
+        dg.ENRICH_COLUMNS + ["k8s_ownerrefs"]
+    )
+
+
 def _q_route_counts(sf_dir: str):
     return route_counts(flagship.build_enriched(sf_dir))
 
@@ -84,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_enrich": _q_enrich,
         "q_enrich_skip": _q_enrich_skip,
         "q_enrich_dedot": _q_enrich_dedot,
+        "q_enrich_ownerrefs": _q_enrich_ownerrefs,
         "q_route_counts": _q_route_counts,
         "q_conv_stats": _q_conv_stats,
         "q_top_convs": _q_top_convs,
@@ -100,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "q_enrich": dg.enrich_oracle_sql(),
         "q_enrich_skip": dg.enrich_oracle_sql(skip=True),
         "q_enrich_dedot": dg.enrich_oracle_sql(dedot=True),
+        "q_enrich_ownerrefs": dg.enrich_oracle_sql(ownerrefs=True),
         "q_route_counts": route_counts_oracle_sql(),
         "q_conv_stats": conv_stats_oracle_sql(),
         "q_top_convs": top_convs_oracle_sql(),

@@ -79,13 +79,23 @@ class PipelineConfig:
     enrich_concurrency: int | None = None
     parse_batch_size: int | None = None
 
-    # Fault tolerance (watch_retry_max_times analog,
-    # filter_kubernetes_metadata.rb:94-99) comes from Ray Data's built-in
-    # task retry (a restarted actor rebuilds caches + snapshot in __init__)
-    # plus the checkpoint layer's shard re-run.  Deliberately NOT exposed as
-    # per-stage max_restarts/max_task_retries kwargs: setting either on the
-    # fused actor operator serializes its task pipeline (measured 3×
-    # slowdown).
+    # Bounded retry/backoff on individual store probes — the
+    # watch_retry_interval / watch_retry_exponential_backoff_base /
+    # watch_retry_max_times analog (filter_kubernetes_metadata.rb:94-99):
+    # a probe that raises is retried up to store_retry_max_times with
+    # exponentially growing sleeps before degrading to the orphan path.
+    # Default 0 retries = probe once (an immutable snapshot store can't
+    # succeed on retry; raise for a flaky remote store).
+    store_retry_max_times: int = 0
+    store_retry_interval: float = 1.0
+    store_retry_backoff_base: float = 2.0
+
+    # Worker/task-level fault tolerance (beyond per-probe retries) comes
+    # from Ray Data's built-in task retry (a restarted actor rebuilds
+    # caches + snapshot in __init__) plus the checkpoint layer's shard
+    # re-run.  Deliberately NOT exposed as per-stage
+    # max_restarts/max_task_retries kwargs: setting either on the fused
+    # actor operator serializes its task pipeline (measured 3× slowdown).
 
     def skip_variant(self) -> "PipelineConfig":
         """The skip_labels+skip_container_metadata+skip_master_url variant used
@@ -98,6 +108,12 @@ class PipelineConfig:
         separator."""
         from dataclasses import replace
         return replace(self, de_dot=True)
+
+    def ownerrefs_variant(self) -> "PipelineConfig":
+        """include_ownerrefs_metadata on: pods expose their ownerReferences
+        as k8s_ownerrefs (test_filter_kubernetes_metadata.rb:891-933)."""
+        from dataclasses import replace
+        return replace(self, include_ownerrefs_metadata=True)
 
 
 DEFAULT_CONFIG = PipelineConfig()

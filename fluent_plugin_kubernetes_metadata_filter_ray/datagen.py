@@ -402,10 +402,13 @@ ENRICH_COLUMNS = [
 ]
 
 
-def enrich_oracle_sql(skip: bool = False, dedot: bool = False) -> str:
+def enrich_oracle_sql(skip: bool = False, dedot: bool = False,
+                      ownerrefs: bool = False) -> str:
     """Expected enrichment, default config (or the skip_labels +
     skip_container_metadata + skip_master_url variant, or the legacy de_dot
-    key-mapping variant — annotation keys 'custom.field1'→'custom_field1')."""
+    key-mapping variant — annotation keys 'custom.field1'→'custom_field1' —
+    or the include_ownerrefs_metadata variant: pods with pod_i % 7 == 2
+    carry one ReplicaSet ownerReference, see build_pods_table)."""
     ann_sep = "_" if dedot else "."
     store_cid = "md5('cid:' || ns || '/' || pod) || md5('cid2:' || ns || '/' || pod)"
     if skip:
@@ -433,6 +436,14 @@ def enrich_oracle_sql(skip: bool = False, dedot: bool = False) -> str:
         )
         master_url = f"CASE WHEN cls = 'full' THEN '{C.MASTER_URL}' END"
 
+    owner_col = ""
+    if ownerrefs:
+        owner_col = (
+            ",\n  CASE WHEN cls = 'full' AND pod_i % 7 = 2 THEN"
+            " '[{\"kind\":\"ReplicaSet\",\"name\":\"' || pod || '-rs\"}]'"
+            " END AS k8s_ownerrefs"
+        )
+
     return f"""
 WITH {TRANSCRIPTS_CTE},
 {_CLS_CTE}
@@ -459,7 +470,7 @@ SELECT
   CASE WHEN cls = 'full' THEN '{{"custom{ann_sep}field1":"cf-' || pod || '"}}' END AS k8s_annotations,
   {ns_labels} AS k8s_namespace_labels,
   CASE WHEN cls IN ('full','deleted_pod','recreated_ns')
-       THEN '{{"custom{ann_sep}ns":"cns-' || ns || '"}}' END AS k8s_namespace_annotations
+       THEN '{{"custom{ann_sep}ns":"cns-' || ns || '"}}' END AS k8s_namespace_annotations{owner_col}
 FROM cls3
 """.strip()
 

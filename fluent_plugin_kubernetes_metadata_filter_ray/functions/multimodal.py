@@ -18,6 +18,8 @@ callable CLASS so a real model/codec loads once per actor in ``__init__``.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -69,17 +71,29 @@ class MediaDecoder:
                 ) from e
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         mt = batch.column("media_type").to_pylist()
         payload = batch.column("payload")
         if isinstance(payload, pa.ChunkedArray):
             payload = payload.combine_chunks()
-        n_bytes = np.asarray([len(v) for v in payload.to_pylist()], dtype=np.int64)
+        # n_bytes is computed upstream by media_from_documents — reuse it
+        # (vectorized kernel fallback if a caller feeds a payload-only table)
+        if "n_bytes" in batch.column_names:
+            n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
+        else:
+            n_bytes = pc.binary_length(payload).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
 
         # deterministic fake decode: md5-derived feature + shape metadata
-        fp32 = np.empty(len(ids), dtype=np.int64)
-        for i, v in enumerate(payload.to_pylist()):
-            fp32[i] = int(cp.md5_hex(v.decode())[:8], 16)
+        # (one pass over the buffers; md5 itself is C-speed hashlib)
+        fp32 = np.fromiter(
+            (int.from_bytes(hashlib.md5(v).digest()[:4], "big") for v in
+             payload.to_pylist()),
+            dtype=np.int64, count=len(ids),
+        )
         feat = fp32 / 2**32  # uint32 / 2^32 — exact in float64 on both sides
 
         is_img = np.asarray([m == "image" for m in mt])

@@ -45,7 +45,10 @@ def oracle_sql() -> dict:
         "q_dedup_clusters": dedup.dedup_clusters_oracle_sql(),
         "q_ann_topk": simsearch.ann_topk_oracle_sql(),
         "q_embed_neardup": simsearch.embed_neardup_oracle_sql(),
-        # q_ann_lsh / q_ann_ivf: approximate — rows-only check + recall tests
+        # approximate ANN, but fully deterministic (md5 grids + integer-
+        # quantized bucket decisions) ⇒ exact twins since round 2
+        "q_ann_lsh": simsearch.ann_lsh_oracle_sql(),
+        "q_ann_ivf": simsearch.ann_ivf_oracle_sql(),
         "q_media_decode": multimodal.media_decode_oracle_sql(),
         "q_doc_embed_join": joins.doc_embed_join_oracle_sql(),
     }

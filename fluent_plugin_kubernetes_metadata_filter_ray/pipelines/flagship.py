@@ -60,9 +60,11 @@ def run_flagship(sf_dir: str, out_dir: str | None = None,
     re-running enrichment (and is the resumable pattern: the sink is the
     checkpoint)."""
     if out_dir is not None:
+        from ..stages.route import read_sink
+
         route_write(build_enriched(sf_dir, cfg, rep=rep), out_dir)
         cols = ["role", "k8s_namespace_name", "k8s_namespace_id", "k8s_pod_id", "k8s_pod_ip"]
-        enriched = ray.data.read_parquet(out_dir, columns=cols)  # hive partitioning is the default
+        enriched = read_sink(out_dir, cols)  # hive partitioning is the default
     else:
         enriched = build_enriched(sf_dir, cfg, rep=rep)
     return route_counts(enriched)

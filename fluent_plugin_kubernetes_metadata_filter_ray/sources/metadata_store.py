@@ -210,6 +210,31 @@ class EmptyMetadataStore(MetadataStore):
         return None
 
 
+class TransientFailingStore(MetadataStore):
+    """Fails the first ``fail_times`` probes, then delegates to ``inner`` —
+    exercises the bounded store-probe retry/backoff ladder (the
+    watch_retry_* analog, filter_kubernetes_metadata.rb:94-99) recovering
+    mid-probe."""
+
+    def __init__(self, inner: MetadataStore, fail_times: int = 2):
+        self.inner = inner
+        self.fail_times = fail_times
+        self.calls = 0
+
+    def _maybe_fail(self) -> None:
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise ConnectionError("transient store error")
+
+    def get_pod(self, namespace: str, pod: str) -> dict | None:
+        self._maybe_fail()
+        return self.inner.get_pod(namespace, pod)
+
+    def get_namespace(self, namespace: str) -> dict | None:
+        self._maybe_fail()
+        return self.inner.get_namespace(namespace)
+
+
 class FailingMetadataStore(MetadataStore):
     """Socket-error analog: every probe raises; the enricher degrades to the
     orphan path without failing the batch

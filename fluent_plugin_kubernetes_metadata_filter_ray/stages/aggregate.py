@@ -63,7 +63,13 @@ def route_counts(enriched_ds):
         )
 
     partials = enriched_ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby("role").aggregate(
+    # coalesce the tiny partials (≤4 rows per input block) before the
+    # groupby: with only 4 distinct roles, a wide aggregate leaves most of
+    # its sort partitions EMPTY, and every empty partition surfaces as a
+    # schema-less RefBundle (warning + wasted task).  One partition is
+    # right-sized for a 4-row result at any input scale — the per-block
+    # partial map has already collapsed the data.
+    return partials.repartition(1).groupby("role").aggregate(
         Sum("n_turns", alias_name="n_turns"),
         Sum("n_matched", alias_name="n_matched"),
         Sum("n_orphaned", alias_name="n_orphaned"),

@@ -77,10 +77,11 @@ class Enricher:
     path (each actor loads the small Parquet side tables once), or a Ray
     ObjectRef to a pre-built store (broadcast via ``ray.put``)."""
 
-    def __init__(self, cfg, store=None, clock=None):
+    def __init__(self, cfg, store=None, clock=None, sleep=None):
         import time as _time
         self.cfg = cfg
         self.clock = clock or _time.monotonic
+        self.sleep = sleep or _time.sleep  # injectable for retry tests
         if isinstance(store, str):
             store = ms.TableMetadataStore(store, cfg)
         elif type(store).__name__ == "ObjectRef":
@@ -119,13 +120,35 @@ class Enricher:
 
     # -- store probes with the reference's error degradation ---------------
 
+    def _probe_with_retry(self, probe, counter_prefix: str):
+        """Bounded retry/backoff around one store probe — the
+        watch_retry_* ladder analog (filter_kubernetes_metadata.rb:94-99,
+        kubernetes_metadata_watch_pods.rb:29-112): attempt, on exception
+        sleep interval·base^attempt and retry up to store_retry_max_times,
+        then give up (caller degrades to orphan; never blocks the batch).
+        Raises nothing; returns (ok, value)."""
+        cfg = self.cfg
+        attempts = 1 + max(0, cfg.store_retry_max_times)
+        for attempt in range(attempts):
+            try:
+                return True, probe()
+            except Exception:
+                if attempt + 1 < attempts:
+                    self.stats.bump(f"{counter_prefix}_api_retries")
+                    self.sleep(
+                        cfg.store_retry_interval * cfg.store_retry_backoff_base ** attempt
+                    )
+        self.stats.bump(f"{counter_prefix}_api_nil_error")
+        return False, None
+
     def _fetch_pod(self, ns: str, pod: str) -> dict:
         """fetch_pod_metadata twin (filter_kubernetes_metadata.rb:101-129):
-        miss → {}, error → stats bump + {} (degrade, never block)."""
-        try:
-            meta = self.store.get_pod(ns, pod)
-        except Exception:
-            self.stats.bump("pod_cache_api_nil_error")
+        miss → {}, error → bounded retries, then stats bump + {} (degrade,
+        never block)."""
+        ok, meta = self._probe_with_retry(
+            lambda: self.store.get_pod(ns, pod), "pod_cache"
+        )
+        if not ok:
             return {}
         if meta is None:
             self.stats.bump("pod_cache_api_nil_not_found")
@@ -135,10 +158,10 @@ class Enricher:
         return meta
 
     def _fetch_namespace(self, ns: str) -> dict:
-        try:
-            meta = self.store.get_namespace(ns)
-        except Exception:
-            self.stats.bump("namespace_cache_api_nil_error")
+        ok, meta = self._probe_with_retry(
+            lambda: self.store.get_namespace(ns), "namespace_cache"
+        )
+        if not ok:
             return {}
         if meta is None:
             self.stats.bump("namespace_cache_api_nil_not_found")

@@ -24,6 +24,32 @@ def route_write(enriched_ds, out_dir: str):
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    return _route_write_into(enriched_ds, out_dir)
+
+
+def read_sink(out_dir: str, columns):
+    """Column-pruned read-back of a routed sink with block count matched to
+    the actual file count: Ray's default parallelism over-splits a small
+    sink into empty ghost blocks, and every empty block entering a
+    downstream sort/aggregate triggers a schema-less-RefBundle warning and
+    a wasted task."""
+    import ray
+    import ray.data
+
+    n_files = sum(
+        1 for _, _, files in os.walk(out_dir) for f in files if f.endswith(".parquet")
+    )
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    blocks = max(1, min(n_files, 2 * cpus))
+    return ray.data.read_parquet(
+        out_dir, columns=list(columns), override_num_blocks=blocks
+    )
+
+
+def _route_write_into(enriched_ds, out_dir: str):
     try:
         enriched_ds.write_parquet(out_dir, partition_cols=["role"])
     except TypeError:

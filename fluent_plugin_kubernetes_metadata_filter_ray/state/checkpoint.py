@@ -97,8 +97,10 @@ def run_resumable(
         route_write(enriched, shard_out)
 
         # metrics from a thin-column read-back of the freshly written sink
+        from ..stages.route import read_sink
+
         cols = ["role", "k8s_namespace_name", "k8s_namespace_id", "k8s_pod_id", "k8s_pod_ip"]
-        counts = route_counts(ray.data.read_parquet(shard_out, columns=cols)).to_pandas()
+        counts = route_counts(read_sink(shard_out, cols)).to_pandas()
         rows_out = int(counts["n_turns"].sum())
 
         manifest = {

@@ -112,3 +112,28 @@ def test_clip_counter_and_dump(tmp_path, monkeypatch):
     merged = collect_dumped_counters(dump_dir)
     assert merged["lsh_bucket_clipped"] >= 1
     assert merged["lsh_bucket_clip_max_rows"] == n
+
+
+def test_cluster_label_propagation_deep_chain(ray_session, tmp_path):
+    """Sliding-window docs form a near-dup CHAIN (adjacent windows share
+    most shingles, distant ones don't): min-label propagation must walk the
+    whole diameter, not just one hop — and still match the recursive-SQL
+    oracle exactly."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+
+    toks = [f"w{i}" for i in range(56)]
+    texts = [" ".join(toks[i:i + 16]) for i in range(0, 40)]  # stride 1
+    sf, con = _mini_sf(tmp_path, texts)
+    res = dedup.q_dedup_clusters(sf).to_pandas()
+    _compare(dedup.q_dedup_clusters(sf), con, dedup.dedup_clusters_oracle_sql())
+    orig = res[res["doc_id"] < 1_000_000]
+    # LSH may drop a few adjacent pairs (J≈0.87 ⇒ ~4% band-miss per pair —
+    # the oracle predicts the exact same drops), but surviving chain
+    # segments must be collapsed end-to-end: components span many hops
+    # (each edge spans ≤4 positions), which needs iterated propagation.
+    sizes = orig.groupby("canonical_id").size()
+    assert sizes.max() >= 8
+    assert orig["canonical_id"].nunique() <= 10
+    # every canonical is its component's minimum and is flagged kept
+    kept = orig[orig["is_kept"] == 1]
+    assert set(kept["doc_id"]) == set(orig["canonical_id"].unique())

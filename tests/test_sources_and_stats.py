@@ -99,3 +99,67 @@ def test_stats_dump_and_merge(tmp_path):
     assert merged["id_cache_miss"] == 1
     assert merged["id_cache_orphaned_record"] == 1
     assert merged["last_batch_rows"] == 1
+
+
+def test_msgpack_source_matches_parquet_path(ray_session, sf_dir, tmp_path):
+    """MessagePackEventStream analog (reference
+    test_filter_kubernetes_metadata.rb:727-777): a binary msgpack event
+    stream normalizes to the canonical schema and produces IDENTICAL
+    enriched output to the parquet path."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.msgpack_stream import (
+        read_transcripts_msgpack,
+        write_transcripts_msgpack,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import (
+        decode_stage,
+        enrich_stage,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
+    tdir = dg.transcripts_path(sf_dir)
+    first = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))[0]
+    tbl = pq.read_table(os.path.join(tdir, first)).slice(0, 300)
+    mdir = str(tmp_path / "mp")
+    write_transcripts_msgpack(tbl, mdir, rows_per_file=128)  # >1 file
+    assert len(os.listdir(mdir)) >= 2
+
+    cfg = PipelineConfig()
+    store = dg.metadata_snapshot_dir()
+
+    def run(ds):
+        out = decode_stage(enrich_stage(parse_stage(ds, cfg), cfg, store))
+        return (
+            out.to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    via_mp = run(read_transcripts_msgpack(mdir))
+    via_parquet = run(ray.data.from_arrow(tbl))
+    assert via_mp.equals(via_parquet)
+    assert len(via_mp) == 300
+
+
+def test_msgpack_codec_roundtrip_edge_values():
+    """Codec edge coverage: nil, negative/large ints, floats, long strings,
+    timestamp ext."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.msgpack_stream import (
+        pack_event,
+        unpack_stream,
+    )
+
+    events = [
+        {"a": None, "b": True, "c": False},
+        {"i0": 0, "i1": 127, "i2": -1, "i3": -32, "i4": -33, "i5": 2**40,
+         "i6": -(2**40)},
+        {"f": 3.5, "s": "x" * 31, "t": "y" * 300},
+        {"ts": ("ts_us", 1_700_000_000_123_456)},
+    ]
+    buf = bytearray()
+    for e in events:
+        pack_event(e, buf)
+    out = unpack_stream(bytes(buf))
+    assert out == events
