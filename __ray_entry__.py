@@ -22,6 +22,8 @@ from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
 from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
 from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+    conv_sessions,
+    conv_sessions_oracle_sql,
     conv_stats,
     conv_stats_oracle_sql,
     route_counts,
@@ -88,6 +90,10 @@ def _q_top_convs(sf_dir: str):
     return top_convs(flagship.read_transcripts(sf_dir))
 
 
+def _q_conv_sessions(sf_dir: str):
+    return conv_sessions(flagship.read_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -99,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_route_counts": _q_route_counts,
         "q_conv_stats": _q_conv_stats,
         "q_top_convs": _q_top_convs,
+        "q_conv_sessions": _q_conv_sessions,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     q.update(registry.queries())
@@ -116,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "q_route_counts": route_counts_oracle_sql(),
         "q_conv_stats": conv_stats_oracle_sql(),
         "q_top_convs": top_convs_oracle_sql(),
+        "q_conv_sessions": conv_sessions_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     o.update(registry.oracle_sql())

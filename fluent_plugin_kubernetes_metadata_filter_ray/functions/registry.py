@@ -23,6 +23,7 @@ def queries() -> dict:
         "q_dedup_clusters": dedup.q_dedup_clusters,
         "q_ann_topk": simsearch.q_ann_topk,
         "q_embed_neardup": simsearch.q_embed_neardup,
+        "q_embed_neardup_lsh": simsearch.q_embed_neardup_lsh,
         "q_ann_lsh": simsearch.q_ann_lsh,
         "q_ann_ivf": simsearch.q_ann_ivf,
         "q_media_decode": multimodal.q_media_decode,
@@ -45,6 +46,7 @@ def oracle_sql() -> dict:
         "q_dedup_clusters": dedup.dedup_clusters_oracle_sql(),
         "q_ann_topk": simsearch.ann_topk_oracle_sql(),
         "q_embed_neardup": simsearch.embed_neardup_oracle_sql(),
+        "q_embed_neardup_lsh": simsearch.embed_neardup_lsh_oracle_sql(),
         # approximate ANN, but fully deterministic (md5 grids + integer-
         # quantized bucket decisions) ⇒ exact twins since round 2
         "q_ann_lsh": simsearch.ann_lsh_oracle_sql(),

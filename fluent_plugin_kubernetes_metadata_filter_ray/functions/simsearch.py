@@ -247,11 +247,11 @@ def _md5_grid(n_rows: int, dim: int, key: str) -> np.ndarray:
     return vals
 
 
-def _sql_grid_w(key: str) -> str:
-    """SQL twin of one _md5_grid cell, over lambda vars p (row) and i
-    (1-based dimension)."""
+def _sql_grid_w(key: str, row_expr: str = "p") -> str:
+    """SQL twin of one _md5_grid cell, over a row-index expression (default
+    the lambda var p) and lambda var i (1-based dimension)."""
     return (
-        f"((('0x' || substr(md5('{key}:' || p || ':' || ((i-1)//4)*4), "
+        f"((('0x' || substr(md5('{key}:' || ({row_expr}) || ':' || ((i-1)//4)*4), "
         "25 - 8*((i-1)%4), 8))::UBIGINT / 4294967296.0) * 2.0 - 1.0)"
     )
 
@@ -574,4 +574,177 @@ scored AS (
 )
 SELECT query_id, vec_id, rank::BIGINT AS rank, round(c, {ROUND}) AS cos_sim
 FROM scored WHERE rank <= {TOPK_K}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# banded cosine-LSH near-dup (scale path for q_embed_neardup) — oracle-checked
+#
+# q_embed_neardup is exact but broadcasts the whole matrix (documented
+# ≤~10^7 vectors).  This is the 10^12-scale shape: ND_TABLES independent
+# hyperplane tables bucket every vector (thin band rows — the embeddings do
+# NOT ride the band shuffle); candidate pairs dedupe through a tiny pair
+# groupby; two hash joins stamp both packed embeddings onto each pair; one
+# vectorized map_batches verifies cosine ≥ threshold.  Deterministic
+# (integer-quantized buckets, md5 planes) ⇒ exact DuckDB twin.
+# Approximate BY DESIGN vs the all-pairs op: only pairs colliding in ≥1
+# table surface (recall documented in tests); clipped buckets follow the
+# same deterministic smallest-id cap as the dedup family.
+# ---------------------------------------------------------------------------
+
+ND_TABLES = 4
+ND_MAX_BUCKET = 256
+
+
+def _nd_band_rows(grid_ref, n_tables: int, p_per_table: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        grid = _deref(grid_ref)
+        ids, m = _matrix(batch)
+        q = _qdots(m, grid).reshape(len(ids), n_tables, p_per_table)
+        buckets = (
+            (q > 0).astype(np.int64) << np.arange(p_per_table, dtype=np.int64)
+        ).sum(axis=2)  # (N, L)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
+                "t": pa.array(np.tile(np.arange(n_tables, dtype=np.int64), n), pa.int64()),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def _nd_candidate_pairs(group: pa.Table) -> pa.Table:
+    from . import dedup as dd
+
+    ids = np.sort(group.column("vec_id").to_numpy(zero_copy_only=False))
+    if len(ids) > ND_MAX_BUCKET:
+        dd._note_bucket_clip(len(ids))
+        ids = ids[:ND_MAX_BUCKET]
+    a_idx, b_idx = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {
+            "vec_a": pa.array(ids[a_idx], pa.int64()),
+            "vec_b": pa.array(ids[b_idx], pa.int64()),
+        }
+    )
+
+
+def _packed_embeddings(batch: pa.Table) -> pa.Table:
+    """(vec_id, embedding) → (vec_id, ebin float32-LE bytes): Arrow's hash
+    join rejects list-typed payload columns, so the join side is packed."""
+    ids, m = _matrix(batch)
+    ebin = [m[i].astype(np.float32).tobytes() for i in range(len(ids))]
+    return pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "ebin": pa.array(ebin, pa.binary())}
+    )
+
+
+def _nd_verify(batch: pa.Table) -> pa.Table:
+    """Vectorized per-batch cosine over joined pair rows."""
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+    a = np.stack([np.frombuffer(v, dtype=np.float32) for v in
+                  batch.column("ebin_a").to_pylist()]).astype(np.float64)
+    b = np.stack([np.frombuffer(v, dtype=np.float32) for v in
+                  batch.column("ebin_b").to_pylist()]).astype(np.float64)
+    cos = np.einsum("ij,ij->i", _normalize(a), _normalize(b))
+    keep = cos >= NEARDUP_COS_THRESHOLD
+    return pa.table(
+        {
+            "vec_a": batch.column("vec_a").filter(pa.array(keep)),
+            "vec_b": batch.column("vec_b").filter(pa.array(keep)),
+            "cos_sim": pa.array(np.round(cos[keep], ROUND), pa.float64()),
+        }
+    )
+
+
+def q_embed_neardup_lsh(sf_dir: str):
+    """Banded-LSH cosine near-dup: pairs colliding in ≥1 of ND_TABLES
+    hyperplane tables AND exact cosine ≥ threshold."""
+    import ray
+
+    from ray.data.aggregate import Count
+
+    from .dedup import _join_partitions
+
+    n, dim = _corpus_size_and_dim(sf_dir)
+    P = n_planes_for(n)
+    grid = _md5_grid(ND_TABLES * P, dim, "ndplane")
+    grid_ref = ray.put(grid)
+
+    ds = cp.read_embeddings(sf_dir)
+    bands = ds.map_batches(
+        _nd_band_rows(grid_ref, ND_TABLES, P), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cand = bands.groupby(["t", "bucket"]).map_groups(
+        _nd_candidate_pairs, batch_format="pyarrow"
+    )
+    uniq = cand.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="_nt"))
+    ebin = ds.map_batches(
+        _packed_embeddings, batch_format="pyarrow", zero_copy_batch=True
+    )
+    nparts = _join_partitions()
+    j1 = uniq.join(
+        ebin, join_type="inner", num_partitions=nparts,
+        on=("vec_a",), right_on=("vec_id",), right_suffix="_a",
+    ).map_batches(
+        lambda t: pa.table({"vec_a": t.column("vec_a"), "vec_b": t.column("vec_b"),
+                            "ebin_a": t.column("ebin")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = j1.join(
+        ebin, join_type="inner", num_partitions=nparts,
+        on=("vec_b",), right_on=("vec_id",), right_suffix="_b",
+    ).map_batches(
+        lambda t: pa.table({"vec_a": t.column("vec_a"), "vec_b": t.column("vec_b"),
+                            "ebin_a": t.column("ebin_a"), "ebin_b": t.column("ebin")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return j2.map_batches(_nd_verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embed_neardup_lsh_oracle_sql(target: int = LSH_TARGET_BUCKET_ROWS) -> str:
+    # np joins in as a COLUMN (DuckDB rejects subqueries inside lambda bodies)
+    w = _sql_grid_w("ndplane", row_expr="t * np + p")
+    return f"""
+WITH params AS (
+  SELECT min(p) AS np FROM generate_series({LSH_MIN_PLANES}, {LSH_MAX_PLANES}) g(p)
+  WHERE (1::BIGINT << p) * {target} >= (SELECT count(*) FROM embeddings)
+),
+ed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+),
+bands AS (
+  SELECT vec_id, g.t,
+    list_sum(list_transform(generate_series(0, np - 1), p ->
+      CASE WHEN list_sum(list_transform(generate_series(1, len(emb)), i ->
+        CAST(floor((emb[i] * {w}) * 1e9) AS BIGINT))) > 0
+      THEN (1::BIGINT << p) ELSE 0 END)) AS bucket
+  FROM ed CROSS JOIN params CROSS JOIN generate_series(0, {ND_TABLES} - 1) g(t)
+),
+bands_r AS (
+  SELECT *, row_number() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rn
+  FROM bands
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM bands_r x JOIN bands_r y
+    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE x.rn <= {ND_MAX_BUCKET} AND y.rn <= {ND_MAX_BUCKET}
+)
+SELECT vec_a, vec_b,
+  round(list_cosine_similarity(a.emb, b.emb), {ROUND}) AS cos_sim
+FROM cand JOIN ed a ON a.vec_id = vec_a JOIN ed b ON b.vec_id = vec_b
+WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_COS_THRESHOLD}
 """.strip()

@@ -115,6 +115,74 @@ FROM transcripts_t GROUP BY conv_id
 """.strip()
 
 
+SESSION_GAP_S = 21600  # 6h inter-turn gap ⇒ new session
+
+
+def conv_sessions(ds):
+    """Windowed sessionization — the gap-based streaming-window operator a
+    log pipeline needs (per north_star: custom windowed aggregate): within
+    each conversation, a new session starts when the gap from the previous
+    turn exceeds SESSION_GAP_S; emits one row per session with its turn
+    count and time bounds.
+
+    Ray shape: ``groupby(conv_id).map_groups`` with a vectorized in-group
+    kernel (lexsort by (ts, turn_idx) → diff → cumsum → reduceat).
+    Partitioning assumption (documented): one conversation's turns fit in a
+    worker's memory — the same assumption the per-conv stats make; a
+    conversation too large for that would need a pre-bucketed time-range
+    split."""
+    import numpy as np
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ti, ts))
+        ts_s = ts[order]
+        brk = np.zeros(len(ts_s), dtype=np.int64)
+        if len(ts_s) > 1:
+            brk[1:] = np.diff(ts_s) > SESSION_GAP_S * 1_000_000
+        sess = np.cumsum(brk)
+        starts = np.flatnonzero(np.r_[1, brk[1:]])
+        n_turns = np.diff(np.r_[starts, len(ts_s)])
+        ends = starts + n_turns - 1
+        n = len(starts)
+        return pa.table(
+            {
+                "conv_id": pa.array([g.column("conv_id")[0].as_py()] * n, pa.string()),
+                "session_idx": pa.array(sess[starts], pa.int64()),
+                "n_turns": pa.array(n_turns, pa.int64()),
+                "t_start": pa.array(ts_s[starts], pa.int64()).cast(pa.timestamp("us")),
+                "t_end": pa.array(ts_s[ends], pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+
+
+def conv_sessions_oracle_sql() -> str:
+    from .. import datagen as dg
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+b AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE WHEN date_diff('microsecond',
+           lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx), ts)
+         > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM transcripts_t
+),
+s AS (
+  SELECT conv_id, ts,
+    sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+  FROM b
+)
+SELECT conv_id, session_idx, count(*)::BIGINT AS n_turns,
+  min(ts) AS t_start, max(ts) AS t_end
+FROM s GROUP BY conv_id, session_idx
+""".strip()
+
+
 TOP_CONVS_K = 20
 
 

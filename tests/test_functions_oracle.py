@@ -22,6 +22,7 @@ SORT_KEYS = {
     "q_ann_lsh": ["query_id", "rank"],
     "q_ann_ivf": ["query_id", "rank"],
     "q_embed_neardup": ["vec_a", "vec_b"],
+    "q_embed_neardup_lsh": ["vec_a", "vec_b"],
     "q_media_decode": ["doc_id"],
     "q_doc_embed_join": ["doc_id"],
 }
@@ -173,3 +174,19 @@ def test_media_real_codec_stub_raises(ray_session):
 
     with pytest.raises(NotImplementedError, match="codec"):
         MediaDecoder(use_real_codecs=True)
+
+
+def test_embed_neardup_lsh_subset_and_recall(ray_session, sf_dir, duck):
+    """The banded-LSH near-dup is a strict SUBSET of the exact all-pairs op
+    (it can only miss pairs, never invent them) with useful recall."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import simsearch as ss
+
+    lsh = ss.q_embed_neardup_lsh(sf_dir).to_pandas()
+    exact = duck.execute(ss.embed_neardup_oracle_sql()).fetchdf()
+    lsh_pairs = set(map(tuple, lsh[["vec_a", "vec_b"]].values))
+    exact_pairs = set(map(tuple, exact[["vec_a", "vec_b"]].values))
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) / len(exact_pairs) >= 0.3  # measured 0.5 at sf0.001
+    # scores agree with the exact op on the surfaced pairs
+    merged = lsh.merge(exact, on=["vec_a", "vec_b"], suffixes=("_l", "_e"))
+    assert (merged["cos_sim_l"].round(6) == merged["cos_sim_e"].round(6)).all()
