@@ -33,7 +33,8 @@ def main(argv=None) -> int:
 
     runp = sub.add_parser("run", help="flagship pipeline")
     runp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    runp.add_argument("--out", default=None, help="sink dir (omit: counts only)")
+    runp.add_argument("--out", default=None,
+                      help="sink dir, CLEARED before write (omit: counts only)")
     runp.add_argument("--rep", type=int, default=1)
 
     resp = sub.add_parser("resume", help="checkpointed resumable run")

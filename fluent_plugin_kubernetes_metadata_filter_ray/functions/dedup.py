@@ -213,13 +213,18 @@ def _pair_exact_jaccard(group: pa.Table) -> pa.Table:
 
 
 def _join_partitions() -> int:
+    """Hash-join partition count: each partition is an aggregator ACTOR
+    (spawn cost ~worker fork + imports), so small inputs want few — the
+    label-propagation loop spawns a fresh join per iteration.  Cap 8 here;
+    at real scale override via KMETA_JOIN_PARTITIONS (cluster-sized)."""
+    cap = int(os.environ.get("KMETA_JOIN_PARTITIONS", "8"))
     try:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, min(16, cpus // 2))
+    return max(2, min(cap, cpus // 2))
 
 
 def q_dedup_minhash(sf_dir: str):

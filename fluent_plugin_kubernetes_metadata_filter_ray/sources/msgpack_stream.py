@@ -51,10 +51,15 @@ def _pack_int(v: int, out: bytearray) -> None:
 
 
 def _pack_ts_us(us: int, out: bytearray) -> None:
-    """msgpack timestamp ext (-1), 8-byte form: data64 = ns<<34 | seconds."""
+    """msgpack timestamp ext (-1): 8-byte form (data64 = ns<<34 | seconds)
+    while seconds fit 34 bits, else the spec's 12-byte timestamp96 form
+    (uint32 nsec + int64 sec)."""
     s, rem_us = divmod(us, 1_000_000)
-    data64 = ((rem_us * 1000) << 34) | (s & 0x3_FFFF_FFFF)
-    out += b"\xd7\xff" + struct.pack(">Q", data64)
+    if 0 <= s < (1 << 34):
+        data64 = ((rem_us * 1000) << 34) | s
+        out += b"\xd7\xff" + struct.pack(">Q", data64)
+    else:
+        out += b"\xc7\x0c\xff" + struct.pack(">Iq", rem_us * 1000, s)
 
 
 def pack_event(d: dict, out: bytearray) -> None:
@@ -123,6 +128,9 @@ def _unpack(buf: bytes, pos: int):
         ns = data64 >> 34
         s = data64 & 0x3_FFFF_FFFF
         return ("ts_us", s * 1_000_000 + ns // 1000), pos + 9
+    if t == 0xC7 and buf[pos] == 0x0C and buf[pos + 1] == 0xFF:  # timestamp96
+        ns, s = struct.unpack_from(">Iq", buf, pos + 2)
+        return ("ts_us", s * 1_000_000 + ns // 1000), pos + 14
     raise ValueError(f"unsupported msgpack type byte 0x{t:02x} at {pos - 1}")
 
 

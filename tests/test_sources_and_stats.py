@@ -163,3 +163,39 @@ def test_msgpack_codec_roundtrip_edge_values():
         pack_event(e, buf)
     out = unpack_stream(bytes(buf))
     assert out == events
+
+
+def test_msgpack_codec_roundtrip_property():
+    """Property: any event map of the supported value types round-trips
+    through the codec byte-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.msgpack_stream import (
+        pack_event,
+        unpack_stream,
+    )
+
+    value = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.floats(allow_nan=False, allow_infinity=False),
+        st.text(max_size=300),
+        st.tuples(st.just("ts_us"),
+                  st.integers(min_value=0, max_value=2**40 * 1_000_000)),
+    )
+    events = st.lists(
+        st.dictionaries(st.text(min_size=1, max_size=40), value, max_size=15),
+        min_size=1, max_size=5,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(events)
+    def check(evs):
+        buf = bytearray()
+        for e in evs:
+            pack_event(e, buf)
+        assert unpack_stream(bytes(buf)) == evs
+
+    check()
