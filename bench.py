@@ -53,6 +53,17 @@ def run_bench() -> dict:
     # reuse them (30 fresh actor processes otherwise burn ~60 s of CPU on
     # imports, racing the measured job — the source of bimodal timings)
     flagship.run_flagship("/root/testdata/sf0.001", out_dir=None, rep=1).to_pandas()
+    # Warm the worker pool for the function queries too: this host's
+    # FIRST-touch page faults run ~45 MB/s in fresh processes (measured:
+    # an identical numpy kernel is 60× slower on its first call than its
+    # second — hypervisor memory ballooning), so a mini same-shape run at
+    # sf0.001 lets the measured runs hit pre-touched worker heaps.
+    if os.environ.get("KMETA_BENCH_ONLY", "full") == "full":
+        from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry as _reg
+
+        _fq = _reg.queries()
+        for _name in ("q_dedup_minhash", "q_ann_lsh", "q_embed_neardup_lsh"):
+            _fq[_name]("/root/testdata/sf0.001").count()
 
     queries: dict[str, float] = {}
     mode = os.environ.get("KMETA_BENCH_ONLY", "full")  # full | e2e | compute
@@ -96,11 +107,21 @@ def run_bench() -> dict:
         flagship.build_enriched(SF_DIR, rep=REP).count()
         queries["parse_enrich"] = time.perf_counter() - t0
 
+        # windowed sessionization over the replicated transcripts
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+            conv_sessions,
+        )
+
+        t0 = time.perf_counter()
+        conv_sessions(flagship.read_transcripts(SF_DIR, rep=REP)).count()
+        queries["conv_sessions"] = time.perf_counter() - t0
+
         # training-data ops over the sf documents/embeddings tables
         from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
 
         fq = registry.queries()
-        for name in ("q_dedup_exact", "q_dedup_minhash", "q_ann_topk"):
+        for name in ("q_dedup_exact", "q_dedup_minhash", "q_ann_topk",
+                     "q_ann_lsh", "q_embed_neardup_lsh"):
             t0 = time.perf_counter()
             fq[name](SF_DIR).count()
             queries[name[2:]] = time.perf_counter() - t0

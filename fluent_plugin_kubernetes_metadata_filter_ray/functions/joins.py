@@ -72,3 +72,71 @@ def doc_embed_join_oracle_sql() -> str:
 SELECT d.doc_id, d.n_chars, CAST(e.label AS BIGINT) AS label
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# broadcast AS-OF join: turn → latest metadata-snapshot version ≤ ts
+# ---------------------------------------------------------------------------
+
+# deterministic snapshot-version timeline (static on both sides): 8 versions,
+# every 4 days from 2024-01-01 — the batch analog of the reference's watch
+# updates (each MODIFIED event advances the store's resourceVersion;
+# kubernetes_metadata_watch_pods.rb:160-204): a record is enriched against
+# the newest snapshot that existed when it was logged.
+SNAPSHOT_VERSIONS = [
+    ("2024-01-01 00:00:00", 0), ("2024-01-05 00:00:00", 1),
+    ("2024-01-09 00:00:00", 2), ("2024-01-13 00:00:00", 3),
+    ("2024-01-17 00:00:00", 4), ("2024-01-21 00:00:00", 5),
+    ("2024-01-25 00:00:00", 6), ("2024-01-29 00:00:00", 7),
+]
+
+
+def _version_ts_us() -> np.ndarray:
+    import pandas as pd
+
+    return np.array(
+        [pd.Timestamp(t).value // 1000 for t, _ in SNAPSHOT_VERSIONS], dtype=np.int64
+    )
+
+
+def asof_snapshot_stage(ds):
+    """AS-OF join as a broadcast + vectorized ``searchsorted`` (the custom
+    operator Ray Data lacks natively): the version timeline is tiny and
+    sorted, so each batch binary-searches its ``ts`` column against it —
+    no shuffle, no per-row Python.  At 10^12 rows this is the only sane
+    shape for a small sorted right side; a large right side would need
+    ts-range co-partitioning of both sides + per-range merge."""
+    vts = _version_ts_us()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vts, ts, side="right") - 1  # latest version ≤ ts
+        ver = idx.astype(np.int64)
+        return pa.table(
+            {
+                "conv_id": batch.column("conv_id"),
+                "turn_idx": batch.column("turn_idx"),
+                "snapshot_version": pa.array(ver, pa.int64(), mask=idx < 0),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_turn_snapshot_asof(sf_dir: str):
+    """Each turn → the snapshot version in force at its timestamp."""
+    from ..pipelines import flagship
+
+    return asof_snapshot_stage(flagship.read_transcripts(sf_dir))
+
+
+def turn_snapshot_asof_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    vals = ", ".join(f"(TIMESTAMP '{t}', {v})" for t, v in SNAPSHOT_VERSIONS)
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+versions(vts, ver) AS (VALUES {vals})
+SELECT t.conv_id, t.turn_idx, v.ver AS snapshot_version
+FROM transcripts_t t ASOF LEFT JOIN versions v ON t.ts >= v.vts
+""".strip()

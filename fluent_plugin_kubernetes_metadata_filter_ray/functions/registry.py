@@ -28,6 +28,7 @@ def queries() -> dict:
         "q_ann_ivf": simsearch.q_ann_ivf,
         "q_media_decode": multimodal.q_media_decode,
         "q_doc_embed_join": joins.q_doc_embed_join,
+        "q_turn_snapshot_asof": joins.q_turn_snapshot_asof,
     }
 
 
@@ -53,4 +54,5 @@ def oracle_sql() -> dict:
         "q_ann_ivf": simsearch.ann_ivf_oracle_sql(),
         "q_media_decode": multimodal.media_decode_oracle_sql(),
         "q_doc_embed_join": joins.doc_embed_join_oracle_sql(),
+        "q_turn_snapshot_asof": joins.turn_snapshot_asof_oracle_sql(),
     }

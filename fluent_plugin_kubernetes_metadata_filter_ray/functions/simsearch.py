@@ -268,10 +268,22 @@ def _sql_qdots(key: str, n_rows: int) -> str:
 
 def _qdots(m: np.ndarray, grid: np.ndarray) -> np.ndarray:
     """(N × dim) × (P × dim) → (N × P) int64 quantized dots, order-free:
-    each term floors independently, the sum is exact integer arithmetic."""
-    return (
-        np.floor((m[:, None, :] * grid[None, :, :]) * QUANT).astype(np.int64).sum(axis=2)
-    )
+    each term floors independently, the sum is exact integer arithmetic.
+
+    Looped over grid rows with one reused scratch buffer instead of a
+    broadcast N×P×dim tensor: allocation volume is wall time on this host
+    (first-touch faults), and the float64 sum of integer-valued floors is
+    EXACT (every term and partial sum stays far below 2^53), so it equals
+    the int64 sum the SQL twin computes."""
+    n = m.shape[0]
+    out = np.empty((n, grid.shape[0]), dtype=np.int64)
+    tmp = np.empty_like(m)
+    for p in range(grid.shape[0]):
+        np.multiply(m, grid[p], out=tmp)
+        tmp *= QUANT
+        np.floor(tmp, out=tmp)
+        out[:, p] = tmp.sum(axis=1)
+    return out
 
 
 def n_planes_for(n_rows: int, target: int = LSH_TARGET_BUCKET_ROWS) -> int:
@@ -642,6 +654,17 @@ def _packed_embeddings(batch: pa.Table) -> pa.Table:
     )
 
 
+def _bin_matrix(col) -> np.ndarray:
+    """Equal-width binary column → (n × dim) float32 view, zero-copy off the
+    Arrow offsets/data buffers."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    width = offs[1] - offs[0] if n else 0
+    return data[offs[0] : offs[-1]].view(np.float32).reshape(n, width // 4)
+
+
 def _nd_verify(batch: pa.Table) -> pa.Table:
     """Vectorized per-batch cosine over joined pair rows."""
     n = len(batch)
@@ -653,11 +676,16 @@ def _nd_verify(batch: pa.Table) -> pa.Table:
                 "cos_sim": pa.array([], pa.float64()),
             }
         )
-    a = np.stack([np.frombuffer(v, dtype=np.float32) for v in
-                  batch.column("ebin_a").to_pylist()]).astype(np.float64)
-    b = np.stack([np.frombuffer(v, dtype=np.float32) for v in
-                  batch.column("ebin_b").to_pylist()]).astype(np.float64)
-    cos = np.einsum("ij,ij->i", _normalize(a), _normalize(b))
+    # zero-copy: equal-width binary payloads viewed straight off the Arrow
+    # buffers (no to_pylist, no float64 matrix copies — this host's
+    # first-touch page faults run ~45 MB/s in fresh workers, so allocation
+    # volume IS the wall time); einsum upcasts to float64 internally
+    a = _bin_matrix(batch.column("ebin_a"))
+    b = _bin_matrix(batch.column("ebin_b"))
+    ab = np.einsum("ij,ij->i", a, b, dtype=np.float64)
+    aa = np.einsum("ij,ij->i", a, a, dtype=np.float64)
+    bb = np.einsum("ij,ij->i", b, b, dtype=np.float64)
+    cos = ab / np.sqrt(aa * bb)
     keep = cos >= NEARDUP_COS_THRESHOLD
     return pa.table(
         {
@@ -673,8 +701,6 @@ def q_embed_neardup_lsh(sf_dir: str):
     hyperplane tables AND exact cosine ≥ threshold."""
     import ray
 
-    from ray.data.aggregate import Count
-
     from .dedup import _join_partitions
 
     n, dim = _corpus_size_and_dim(sf_dir)
@@ -687,15 +713,19 @@ def q_embed_neardup_lsh(sf_dir: str):
         _nd_band_rows(grid_ref, ND_TABLES, P), batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # NOTE deliberately no global pair-distinct here: a Ray groupby over
+    # ~N·100s of tiny pair groups pays per-group Python overhead (measured
+    # 30 s at 240k pairs).  Duplicates (a pair colliding in several tables,
+    # ≤ND_TABLES×) ride the cheap vectorized joins + verify, and the
+    # DISTINCT happens on the *surviving* pairs — orders of magnitude fewer.
     cand = bands.groupby(["t", "bucket"]).map_groups(
         _nd_candidate_pairs, batch_format="pyarrow"
     )
-    uniq = cand.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="_nt"))
     ebin = ds.map_batches(
         _packed_embeddings, batch_format="pyarrow", zero_copy_batch=True
     )
     nparts = _join_partitions()
-    j1 = uniq.join(
+    j1 = cand.join(
         ebin, join_type="inner", num_partitions=nparts,
         on=("vec_a",), right_on=("vec_id",), right_suffix="_a",
     ).map_batches(
@@ -711,7 +741,12 @@ def q_embed_neardup_lsh(sf_dir: str):
                             "ebin_a": t.column("ebin_a"), "ebin_b": t.column("ebin")}),
         batch_format="pyarrow", zero_copy_batch=True,
     )
-    return j2.map_batches(_nd_verify, batch_format="pyarrow", zero_copy_batch=True)
+    verified = j2.map_batches(_nd_verify, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Max
+
+    return verified.groupby(["vec_a", "vec_b"]).aggregate(
+        Max("cos_sim", alias_name="cos_sim")
+    )
 
 
 def embed_neardup_lsh_oracle_sql(target: int = LSH_TARGET_BUCKET_ROWS) -> str:

@@ -133,6 +133,12 @@ def conv_sessions(ds):
     split."""
     import numpy as np
 
+    # prune before the groupby: the sort shuffle should carry 3 thin
+    # columns, not the text/tool payloads
+    need = ["conv_id", "turn_idx", "ts"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+
     def per_conv(g: pa.Table) -> pa.Table:
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
