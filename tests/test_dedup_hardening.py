@@ -104,7 +104,7 @@ def test_clip_counter_and_dump(tmp_path, monkeypatch):
             "band_val": pa.array(["b"] * n, pa.string()),
         }
     )
-    pairs = dedup._emit_candidate_pairs(group)
+    pairs = dedup._emit_pairs_sorted_block(group)
     k = dedup.MAX_BUCKET
     assert len(pairs) == k * (k - 1) // 2
     assert pairs.column("doc_a").to_pylist()[0] == 0  # smallest ids kept, sorted
