@@ -34,8 +34,10 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_enrich_skip", ["conv_id", "turn_idx"]),
     ("q_enrich_dedot", ["conv_id", "turn_idx"]),
     ("q_route_counts", ["role"]),
+    ("q_enrich_ownerrefs", ["conv_id", "turn_idx"]),
     ("q_conv_stats", ["conv_id"]),
     ("q_top_convs", ["conv_id"]),
+    ("q_conv_sessions", ["conv_id", "session_idx"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
