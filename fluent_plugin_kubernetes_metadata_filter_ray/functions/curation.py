@@ -1,0 +1,456 @@
+"""Corpus-curation operators: repetition-signal quality scoring,
+benchmark decontamination, sequence packing, and TF-IDF top terms.
+
+These are the operators a training-data pipeline runs after the basic
+text stats (textstats.py) and before/alongside dedup (dedup.py):
+
+- ``q_doc_repetition``  — Gopher-style repetition signals (top-bigram
+  fraction, duplicate-trigram fraction, distinct-token ratio) and a
+  boolean repetition gate.  Embarrassingly parallel: one stateless
+  ``map_batches``, all-pandas C kernels (explode + shifted joins), no
+  shuffle.
+- ``q_decontaminate``   — flag documents sharing any word 3-gram with a
+  deterministic "benchmark" subset (doc_id % EVAL_MOD == 0).  The eval
+  shingle-hash set is tiny by nature (benchmarks are small), so it is
+  collected once, sorted, and broadcast via ``ray.put``; the corpus side
+  streams through ``map_batches`` doing a vectorized ``searchsorted``
+  membership probe — zero shuffle of the big side at any scale.
+- ``q_doc_pack``        — concat-and-chunk sequence packing: within each
+  ``source``, documents ordered by doc_id are laid head-to-tail and cut
+  every PACK_TARGET tokens (GPT-style pretraining packing); each doc is
+  stamped with its global token offset and chunk id.  Shape: thin
+  token-count ``map_batches`` → ``groupby(source).map_groups`` with a
+  vectorized cumsum (assumes one source's doc list fits a worker, like
+  sessionization; at 10^12 docs, range-partition each source by doc_id
+  and carry per-partition prefix sums in a second tiny pass).
+- ``q_doc_tfidf``       — top-TFIDF_TOPK distinctive tokens per doc.
+  Pass 1 computes document frequencies with a per-batch combiner (each
+  batch emits ≤ |vocab| rows pre-shuffle) and collects the tiny vocab
+  table to the driver; idf values are computed with ``math.log`` (libm —
+  bit-identical to DuckDB ``ln``, unlike numpy's SIMD log which is 1 ulp
+  off) and broadcast; pass 2 scores and ranks per doc with pandas
+  kernels — no second shuffle.
+
+Every output column has an exact DuckDB twin: float columns are either
+divisions of int-derived values (correctly-rounded identically on both
+sides) or products of bit-identical doubles, so the driver's value-hash
+check is exact.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import corpus as cp
+
+# deterministic "benchmark" subset for decontamination
+EVAL_MOD = 17
+# pack boundary: cut the concatenated token stream every PACK_TARGET tokens
+PACK_TARGET = 512
+# repetition gates (picked so the synthetic corpus has both classes)
+TOP_BIGRAM_MAX = 0.125
+DUP_TRIGRAM_MAX = 0.30
+DISTINCT_TOKEN_MIN = 0.30
+TFIDF_TOPK = 3
+
+
+# ---------------------------------------------------------------------------
+# repetition signals
+# ---------------------------------------------------------------------------
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals, all C-level pandas kernels: the n-gram
+    streams come from exploded tokens joined with group-wise shifts (no
+    per-row Python), counts/nunique from hash groupbys."""
+    s = pd.Series(batch.column("text").to_pandas())
+    toks = s.str.strip().str.split()
+    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    idx = s.index
+
+    ex = toks.explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    nxt2 = ex.groupby(level=0).shift(-2)
+
+    bg = (ex + " " + nxt).dropna()
+    if len(bg):
+        mx2 = (
+            bg.groupby(level=0).value_counts().groupby(level=0).max()
+            .reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+        )
+    else:
+        mx2 = np.zeros(len(s), dtype=np.int64)
+
+    tg = (ex + " " + nxt + " " + nxt2).dropna()
+    if len(tg):
+        g = tg.groupby(level=0)
+        n3 = g.size().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+        d3 = g.nunique().reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    else:
+        n3 = np.zeros(len(s), dtype=np.int64)
+        d3 = np.zeros(len(s), dtype=np.int64)
+
+    ndist = (
+        ex.dropna().groupby(level=0).nunique()
+        .reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+    )
+
+    # int-derived divisions: correctly-rounded identically in DuckDB
+    nt = np.where(n_tokens > 0, n_tokens, 1)
+    top_bigram_frac = np.where(n_tokens >= 2, (mx2 * 2) / nt, 0.0)
+    dup_trigram_frac = np.where(n3 > 0, (n3 - d3) / np.where(n3 > 0, n3, 1), 0.0)
+    distinct_token_ratio = np.where(n_tokens > 0, ndist / nt, 0.0)
+    is_repetitive = (
+        (top_bigram_frac > TOP_BIGRAM_MAX)
+        | (dup_trigram_frac > DUP_TRIGRAM_MAX)
+        | ((n_tokens > 0) & (distinct_token_ratio < DISTINCT_TOKEN_MIN))
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens),
+            "top_bigram_frac": pa.array(top_bigram_frac),
+            "dup_trigram_frac": pa.array(dup_trigram_frac),
+            "distinct_token_ratio": pa.array(distinct_token_ratio),
+            "is_repetitive": pa.array(is_repetitive),
+        }
+    )
+
+
+def q_doc_repetition(sf_dir: str):
+    return cp.read_documents(sf_dir).map_batches(
+        repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_repetition_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {cp.SQL_TOKS.format(t='text')} AS toks FROM documents
+),
+base AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens FROM tok),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM base WHERE n_tokens >= 2
+),
+bgm AS (
+  SELECT doc_id, max(c) AS mx2
+  FROM (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2) GROUP BY 1
+),
+tg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS g
+  FROM base WHERE n_tokens >= 3
+),
+tgm AS (
+  SELECT doc_id, count(*)::BIGINT AS n3, count(DISTINCT g)::BIGINT AS d3
+  FROM tg GROUP BY 1
+),
+dt AS (
+  SELECT doc_id, count(DISTINCT t)::BIGINT AS ndist
+  FROM (SELECT doc_id, unnest(toks) AS t FROM base) GROUP BY 1
+),
+fr AS (
+  SELECT b.doc_id, b.n_tokens,
+    CASE WHEN b.n_tokens >= 2 THEN (bgm.mx2 * 2)::DOUBLE / b.n_tokens ELSE 0.0 END
+      AS top_bigram_frac,
+    CASE WHEN coalesce(tgm.n3, 0) > 0 THEN (tgm.n3 - tgm.d3)::DOUBLE / tgm.n3 ELSE 0.0 END
+      AS dup_trigram_frac,
+    CASE WHEN b.n_tokens > 0 THEN dt.ndist::DOUBLE / b.n_tokens ELSE 0.0 END
+      AS distinct_token_ratio
+  FROM base b
+  LEFT JOIN bgm ON b.doc_id = bgm.doc_id
+  LEFT JOIN tgm ON b.doc_id = tgm.doc_id
+  LEFT JOIN dt ON b.doc_id = dt.doc_id
+)
+SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac, distinct_token_ratio,
+  (top_bigram_frac > {TOP_BIGRAM_MAX} OR dup_trigram_frac > {DUP_TRIGRAM_MAX}
+   OR (n_tokens > 0 AND distinct_token_ratio < {DISTINCT_TOKEN_MIN})) AS is_repetitive
+FROM fr
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def _shingle_hash_frame(batch: pa.Table) -> pd.DataFrame:
+    """(row-index, w63 shingle hash) long frame for a batch — shingle
+    strings built by exploded-token shifted joins; each DISTINCT shingle
+    string is md5'd once (factorize first, C-speed hashlib after)."""
+    s = pd.Series(batch.column("text").to_pandas())
+    toks = s.str.strip().str.split()
+    ex = toks.explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    nxt2 = ex.groupby(level=0).shift(-2)
+    sh = (ex + " " + nxt + " " + nxt2).dropna()
+    if not len(sh):
+        return pd.DataFrame({"row": np.array([], dtype=np.int64),
+                             "h": np.array([], dtype=np.int64)})
+    codes, uniques = pd.factorize(sh.to_numpy())
+    uh = np.fromiter((cp.w63(u) for u in uniques), dtype=np.int64, count=len(uniques))
+    return pd.DataFrame({"row": sh.index.to_numpy(dtype=np.int64), "h": uh[codes]})
+
+
+def _mod_filter(batch: pa.Table, keep_eval: bool) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    mask = (ids % EVAL_MOD == 0) if keep_eval else (ids % EVAL_MOD != 0)
+    return batch.filter(pa.array(mask))
+
+
+def _eval_shingle_hashes(sf_dir: str) -> np.ndarray:
+    """Distinct sorted w63 hashes of the eval subset's word 3-grams.
+    Eval/benchmark sets are small by construction, so the distinct-hash
+    aggregate is tiny and safe to collect for broadcast."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        f = _shingle_hash_frame(_mod_filter(batch, keep_eval=True))
+        return pa.table({"h": np.unique(f["h"].to_numpy())})
+
+    ds = cp.read_documents(sf_dir).map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hs = ds.to_pandas()["h"].to_numpy(dtype=np.int64)
+    return np.unique(hs)
+
+
+def contamination_stage(ds, eval_ref):
+    """Corpus-side probe: vectorized searchsorted membership against the
+    broadcast sorted eval-hash array.  Task closure, not an actor pool —
+    the only state is the broadcast ref (a local object-store hit per
+    task), and task stages keep small sessions from starving."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ev = ray.get(eval_ref)
+        batch = _mod_filter(batch, keep_eval=False)
+        f = _shingle_hash_frame(batch)
+        n = len(batch)
+        n_shingles = np.zeros(n, dtype=np.int64)
+        n_hits = np.zeros(n, dtype=np.int64)
+        if len(f):
+            rows = f["row"].to_numpy()
+            n_shingles = np.bincount(rows, minlength=n).astype(np.int64)
+            h = f["h"].to_numpy()
+            pos = np.searchsorted(ev, h)
+            hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == h)
+            n_hits = np.bincount(rows, weights=hit, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_shingles": pa.array(n_shingles),
+                "n_eval_hits": pa.array(n_hits),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_decontaminate(sf_dir: str):
+    """Train-side rows (doc_id % EVAL_MOD != 0) flagged when any word
+    3-gram also occurs in the eval subset."""
+    import ray
+
+    eval_ref = ray.put(_eval_shingle_hashes(sf_dir))
+    return contamination_stage(cp.read_documents(sf_dir), eval_ref)
+
+
+def decontaminate_oracle_sql() -> str:
+    w63 = cp.SQL_W63.format(s="s")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {cp.SQL_TOKS.format(t='text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+  FROM tok
+),
+shh AS (SELECT doc_id, {w63} AS h FROM sh),
+ev AS (SELECT DISTINCT h FROM shh WHERE doc_id % {EVAL_MOD} = 0),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN h IN (SELECT h FROM ev) THEN 1 ELSE 0 END)::BIGINT AS n_eval_hits
+  FROM shh WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY 1
+)
+SELECT d.doc_id, coalesce(a.n_shingles, 0) AS n_shingles,
+       coalesce(a.n_eval_hits, 0) AS n_eval_hits,
+       coalesce(a.n_eval_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+WHERE d.doc_id % {EVAL_MOD} <> 0
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def _token_count_batch(batch: pa.Table) -> pa.Table:
+    s = pd.Series(batch.column("text").to_pandas())
+    n = s.str.strip().str.split().str.len().to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "n_tokens": pa.array(n),
+        }
+    )
+
+
+def _pack_group(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    n = df["n_tokens"].to_numpy(dtype=np.int64)
+    off = np.concatenate(([0], np.cumsum(n)[:-1]))
+    df["pack_offset"] = off
+    df["pack_chunk"] = off // PACK_TARGET
+    return df
+
+
+def q_doc_pack(sf_dir: str):
+    """Concat-and-chunk packing per source: docs (ordered by doc_id) laid
+    head-to-tail, cut every PACK_TARGET tokens; a doc belongs to the chunk
+    its first token falls in."""
+    ds = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        _token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("source").map_groups(_pack_group, batch_format="pandas")
+
+
+def doc_pack_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source,
+    len({cp.SQL_TOKS.format(t='text')})::BIGINT AS n_tokens
+  FROM documents
+),
+off AS (
+  SELECT doc_id, source, n_tokens,
+    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_offset
+  FROM tok
+)
+SELECT doc_id, source, n_tokens, pack_offset,
+       pack_offset // {PACK_TARGET} AS pack_chunk
+FROM off
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+def _df_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch document-frequency combiner: ≤ |vocab| rows pre-shuffle."""
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.strip().str.split().explode().dropna()
+    pairs = pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+    dfc = pairs.drop_duplicates().groupby("token", sort=False).size()
+    return pa.table(
+        {
+            "token": pa.array(dfc.index.to_numpy(dtype=object), pa.string()),
+            "df": pa.array(dfc.to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def _doc_frequencies(sf_dir: str) -> tuple[dict[str, tuple[int, float]], int]:
+    """token → (df, idf) over the corpus, plus N.  Assumes each doc's text
+    lives in one row (true of the documents table), so per-batch distinct
+    (doc,token) pairs are globally distinct and Sum-combining is exact.
+    |vocab| ≪ corpus, so the collected table is small by construction."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = cp.read_documents(sf_dir).map_batches(
+        _df_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dfpd = ds.groupby("token").aggregate(Sum("df", alias_name="df")).to_pandas()
+    # math.log (libm) is bit-identical to DuckDB ln(); numpy's SIMD log
+    # differs by 1 ulp — compute idf per distinct df value in Python
+    df_map = {t: int(d) for t, d in zip(dfpd["token"], dfpd["df"])}
+    idf_map = {t: math.log((n_docs + 1) / (d + 1)) for t, d in df_map.items()}
+    return {"df": df_map, "idf": idf_map}, n_docs
+
+
+def tfidf_stage(ds, side_ref, topk: int = TFIDF_TOPK):
+    """Score + rank per doc against the broadcast df table.  Task closure
+    (state is just the broadcast ref).  tfidf = tf × idf is a product of
+    an exact int and a bit-identical double — exact on both sides."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        s = pd.Series(batch.column("text").to_pandas())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = s.str.strip().str.split().explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        tf = (
+            pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+            .groupby(["row", "token"], sort=False).size().rename("tf").reset_index()
+        )
+        tf["df"] = tf["token"].map(side["df"]).astype(np.int64)
+        idf = tf["token"].map(side["idf"]).to_numpy(dtype=np.float64)
+        tf["tfidf"] = tf["tf"].to_numpy(dtype=np.float64) * idf
+        tf = tf.sort_values(
+            ["row", "tfidf", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        tf["rnk"] = tf.groupby("row", sort=False).cumcount() + 1
+        tf = tf[tf["rnk"] <= topk]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[tf["row"].to_numpy()], pa.int64()),
+                "rnk": pa.array(tf["rnk"].to_numpy(dtype=np.int64)),
+                "token": pa.array(tf["token"].to_numpy(dtype=object), pa.string()),
+                "tf": pa.array(tf["tf"].to_numpy(dtype=np.int64)),
+                "df": pa.array(tf["df"].to_numpy(dtype=np.int64)),
+                "tfidf": pa.array(tf["tfidf"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_tfidf(sf_dir: str):
+    """Top-TFIDF_TOPK distinctive tokens per doc (ties broken by token)."""
+    import ray
+
+    side, _ = _doc_frequencies(sf_dir)
+    side_ref = ray.put(side)
+    return tfidf_stage(cp.read_documents(sf_dir), side_ref)
+
+
+def doc_tfidf_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({cp.SQL_TOKS.format(t='text')}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfv AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfv.df,
+         tf.tf * ln((n.n + 1)::DOUBLE / (dfv.df + 1)) AS tfidf
+  FROM tf JOIN dfv USING (token) CROSS JOIN n
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+  FROM sc
+)
+SELECT doc_id, rnk, token, tf, df, tfidf FROM rk WHERE rnk <= {TFIDF_TOPK}
+""".strip()

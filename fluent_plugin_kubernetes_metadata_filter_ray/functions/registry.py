@@ -5,7 +5,7 @@ test suite asserts their semantics instead — e.g. LSH-ANN recall)."""
 
 from __future__ import annotations
 
-from . import dedup, joins, multimodal, sampling, simsearch, textstats
+from . import curation, dedup, joins, multimodal, sampling, simsearch, textstats
 
 
 def queries() -> dict:
@@ -29,6 +29,10 @@ def queries() -> dict:
         "q_media_decode": multimodal.q_media_decode,
         "q_doc_embed_join": joins.q_doc_embed_join,
         "q_turn_snapshot_asof": joins.q_turn_snapshot_asof,
+        "q_doc_repetition": curation.q_doc_repetition,
+        "q_decontaminate": curation.q_decontaminate,
+        "q_doc_pack": curation.q_doc_pack,
+        "q_doc_tfidf": curation.q_doc_tfidf,
     }
 
 
@@ -55,4 +59,8 @@ def oracle_sql() -> dict:
         "q_media_decode": multimodal.media_decode_oracle_sql(),
         "q_doc_embed_join": joins.doc_embed_join_oracle_sql(),
         "q_turn_snapshot_asof": joins.turn_snapshot_asof_oracle_sql(),
+        "q_doc_repetition": curation.doc_repetition_oracle_sql(),
+        "q_decontaminate": curation.decontaminate_oracle_sql(),
+        "q_doc_pack": curation.doc_pack_oracle_sql(),
+        "q_doc_tfidf": curation.doc_tfidf_oracle_sql(),
     }

@@ -26,6 +26,10 @@ SORT_KEYS = {
     "q_media_decode": ["doc_id"],
     "q_doc_embed_join": ["doc_id"],
     "q_turn_snapshot_asof": ["conv_id", "turn_idx"],
+    "q_doc_repetition": ["doc_id"],
+    "q_decontaminate": ["doc_id"],
+    "q_doc_pack": ["doc_id"],
+    "q_doc_tfidf": ["doc_id", "rnk"],
 }
 
 
@@ -175,6 +179,39 @@ def test_media_real_codec_stub_raises(ray_session):
 
     with pytest.raises(NotImplementedError, match="codec"):
         MediaDecoder(use_real_codecs=True)
+
+
+def test_curation_semantics(ray_session, sf_dir):
+    """Beyond oracle equality: the curation ops' invariants hold — both
+    repetition classes exist, eval docs are excluded from decontamination
+    output, packing offsets are gapless per source, tfidf ranks are dense."""
+    import numpy as np
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import curation as cu
+
+    rep = cu.q_doc_repetition(sf_dir).to_pandas()
+    assert 0 < rep["is_repetitive"].sum() < len(rep)
+    assert rep["top_bigram_frac"].between(0, 1).all()
+    assert rep["dup_trigram_frac"].between(0, 1).all()
+
+    dec = cu.q_decontaminate(sf_dir).to_pandas()
+    assert (dec["doc_id"] % cu.EVAL_MOD != 0).all()  # eval rows excluded
+    assert 0 < dec["contaminated"].sum() < len(dec)  # both classes
+    assert (dec["n_eval_hits"] <= dec["n_shingles"]).all()
+
+    pk = cu.q_doc_pack(sf_dir).to_pandas()
+    for _, g in pk.groupby("source"):
+        g = g.sort_values("doc_id")
+        off = g["pack_offset"].to_numpy()
+        n = g["n_tokens"].to_numpy()
+        assert off[0] == 0 and (off[1:] == off[:-1] + n[:-1]).all()  # gapless
+        assert (np.diff(g["pack_chunk"].to_numpy()) >= 0).all()  # monotone
+
+    tfidf = cu.q_doc_tfidf(sf_dir).to_pandas()
+    per_doc = tfidf.groupby("doc_id")["rnk"].agg(["min", "max", "count"])
+    assert (per_doc["min"] == 1).all()
+    assert (per_doc["max"] == per_doc["count"]).all()  # dense 1..k
+    assert (per_doc["max"] <= cu.TFIDF_TOPK).all()
 
 
 def test_embed_neardup_lsh_subset_and_recall(ray_session, sf_dir, duck):
