@@ -126,6 +126,24 @@ def run_bench() -> dict:
             fq[name](SF_DIR).count()
             queries[name[2:]] = time.perf_counter() - t0
 
+        # BIG derived corpus (replicated + permuted/rotated — scalegen.py):
+        # the sf tables top out at 5k docs / 2k vectors, where these ops
+        # mostly measure stage-setup latency; the big entries measure real
+        # throughput at ~180k (augmented) docs / 128k vectors.  Clip logs
+        # silenced (counters still bump); pair counts stay linear in rep
+        # by construction.
+        from fluent_plugin_kubernetes_metadata_filter_ray.functions import scalegen
+
+        os.environ.setdefault("KMETA_QUIET_CLIPS", "1")
+        big_docs = int(os.environ.get("KMETA_BENCH_BIGDOCS", "20"))
+        big_vecs = int(os.environ.get("KMETA_BENCH_BIGVECS", "64"))
+        big = scalegen.big_sf_dir(SF_DIR, big_docs, big_vecs)
+        for name in ("q_dedup_exact", "q_dedup_minhash", "q_ann_lsh",
+                     "q_ann_ivf", "q_embed_neardup_lsh"):
+            t0 = time.perf_counter()
+            fq[name](big).count()
+            queries[name[2:] + "_big"] = time.perf_counter() - t0
+
     # q3 (headline): parse+enrich+route write+per-sink counts
     out_dir = f"/tmp/kmeta_bench_out/cpus{NUM_CPUS}"
     import shutil

@@ -54,10 +54,17 @@ def _note_bucket_clip(bucket_rows: int) -> None:
     _CLIP_STATS.bump("lsh_bucket_clipped")
     prev = _CLIP_STATS.counters.get("lsh_bucket_clip_max_rows", 0)
     _CLIP_STATS.set("lsh_bucket_clip_max_rows", max(prev, bucket_rows))
-    _log.warning(
-        "LSH bucket of %d docs clipped to %d (kept: smallest doc_ids)",
-        bucket_rows, MAX_BUCKET,
-    )
+    # log-once-per-power-of-two per worker: a skew-heavy corpus can clip
+    # thousands of buckets and one warning per clip floods the driver log;
+    # exact totals live in the stats counters.  KMETA_QUIET_CLIPS silences
+    # the log entirely (bench runs; counters still bump).
+    n = _CLIP_STATS.counters["lsh_bucket_clipped"]
+    if n & (n - 1) == 0 and not os.environ.get("KMETA_QUIET_CLIPS"):
+        _log.warning(
+            "LSH bucket of %d docs clipped to %d (kept: smallest doc_ids; "
+            "%d buckets clipped so far in this worker)",
+            bucket_rows, MAX_BUCKET, n,
+        )
     dump_dir = os.environ.get("KMETA_STATS_DIR")
     if dump_dir:
         dump_counters(dump_dir, f"dedup_{os.getpid()}", _CLIP_STATS.to_dict())
@@ -94,53 +101,98 @@ FROM docs_aug GROUP BY md5(text)
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+def _batch_shingles(batch: pa.Table):
+    """Factorized word 3-gram shingles for a whole batch: shingle strings
+    built by exploded-token shifted joins (C kernels, no per-row Python),
+    then ``pd.factorize`` so each DISTINCT shingle is md5'd exactly once —
+    on shared-vocabulary corpora (boilerplate-heavy crawls, our synthetic
+    tables) this cuts the hashing 10-50× vs per-instance md5.
+
+    Returns ``(rows, codes, uniques)`` with ``rows`` (block positions)
+    monotonically nondecreasing, or ``None`` if the batch has no shingles.
+    """
+    import pandas as pd
+
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.split().explode()
+    grp = ex.groupby(level=0)
+    sh = (ex + " " + grp.shift(-1) + " " + grp.shift(-2)).dropna()
+    if not len(sh):
+        return None
+    codes, uniques = pd.factorize(sh.to_numpy())
+    return sh.index.to_numpy(dtype=np.int64), codes, uniques
+
+
 def _minhash_band_rows(batch: pa.Table) -> pa.Table:
     """doc → LSH_BANDS *thin* rows (doc_id, band_idx, band_val).  The shingle
     sets stay out of the band shuffle (round-1 VERDICT: shipping them 4× per
-    doc dominated the exchange); the verify stage re-derives them."""
+    doc dominated the exchange); the verify stage re-derives them.
+
+    Vectorized end-to-end: distinct-shingle md5 (C-speed hashlib over the
+    factorized uniques), a (H × U) multiply-shift matrix for the hash
+    family, and a segmented ``np.minimum.reduceat`` per doc for the
+    signature — no per-doc Python in the hot loop."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = batch.column("text").to_pylist()
+    fs = _batch_shingles(batch)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "band_idx": pa.array([], pa.int32()),
+            "band_val": pa.array([], pa.string()),
+        }
+    )
+    if fs is None:
+        return empty
+    rows, codes, uniques = fs
+    hw_u = np.fromiter((cp.w32(u) for u in uniques), np.uint64, len(uniques))
+    a = np.asarray(cp.MINHASH_A, dtype=np.uint64)[:, None]
+    b = np.asarray(cp.MINHASH_B, dtype=np.uint64)[:, None]
+    mh_u = (a * hw_u[None, :] + b) % np.uint64(2**32)  # (H, U)
+    starts = np.r_[0, np.flatnonzero(np.diff(rows)) + 1]
+    sig = np.minimum.reduceat(mh_u[:, codes], starts, axis=1)  # (H, n_docs)
+    docs = ids[rows[starts]]
+    n = len(docs)
+    sig_s = sig.astype("U10")
     out_id, out_band, out_val = [], [], []
-    for did, t in zip(ids, texts):
-        toks = t.split()
-        if len(toks) < cp.SHINGLE_K:
-            continue
-        sh = sorted(set(cp.shingles(toks, cp.SHINGLE_K)))
-        hw = np.array([cp.w32(s) for s in sh], dtype=np.uint64)
-        sig = cp.minhash_signature(hw)
-        for b in range(cp.LSH_BANDS):
-            band = sig[b * cp.LSH_ROWS : (b + 1) * cp.LSH_ROWS]
-            out_id.append(int(did))
-            out_band.append(b)
-            out_val.append(",".join(str(int(v)) for v in band))
+    for bi in range(cp.LSH_BANDS):
+        val = sig_s[bi * cp.LSH_ROWS]
+        for r in range(1, cp.LSH_ROWS):
+            val = np.char.add(np.char.add(val, ","), sig_s[bi * cp.LSH_ROWS + r])
+        out_id.append(docs)
+        out_band.append(np.full(n, bi, dtype=np.int32))
+        out_val.append(val)
     return pa.table(
         {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "band_idx": pa.array(out_band, pa.int32()),
-            "band_val": pa.array(out_val, pa.string()),
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "band_idx": pa.array(np.concatenate(out_band), pa.int32()),
+            "band_val": pa.array(np.concatenate(out_val), pa.string()),
         }
     )
 
 
 def _shingle_set_rows(batch: pa.Table) -> pa.Table:
     """doc → (doc_id, s63 shingle-hash set packed as little-endian int64
-    bytes — Arrow's hash join rejects list-typed payload columns)."""
+    bytes — Arrow's hash join rejects list-typed payload columns).  Same
+    factorize-once hashing as :func:`_minhash_band_rows`; the per-doc tail
+    (unique + tobytes over ~50 values) is cheap numpy."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = batch.column("text").to_pylist()
-    out_id, out_s63 = [], []
-    for did, t in zip(ids, texts):
-        toks = t.split()
-        if len(toks) < cp.SHINGLE_K:
-            continue
-        sh = set(cp.shingles(toks, cp.SHINGLE_K))
-        out_id.append(int(did))
-        out_s63.append(
-            np.fromiter({cp.w63(s) for s in sh}, dtype=np.int64).tobytes()
+    fs = _batch_shingles(batch)
+    if fs is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "s63": pa.array([], pa.binary())}
         )
+    rows, codes, uniques = fs
+    w63_u = np.fromiter((cp.w63(u) for u in uniques), np.int64, len(uniques))
+    starts = np.r_[0, np.flatnonzero(np.diff(rows)) + 1]
+    docs = ids[rows[starts]]
+    packed = [
+        np.unique(chunk).tobytes()
+        for chunk in np.split(w63_u[codes], starts[1:])
+    ]
     return pa.table(
         {
-            "doc_id": pa.array(out_id, pa.int64()),
-            "s63": pa.array(out_s63, pa.binary()),
+            "doc_id": pa.array(docs, pa.int64()),
+            "s63": pa.array(packed, pa.binary()),
         }
     )
 
@@ -481,53 +533,70 @@ FROM reach GROUP BY doc
 """.strip()
 
 
-class SimHasher:
-    """map_batches callable: doc → 4 band rows (doc_id, band_idx, band_val,
-    simhash).  Token-hash memo lives per actor/worker (vocab-bounded)."""
+# dense doc×vocab count-matrix path cap: above this distinct-token count
+# per batch, fall back to the segmented path (dense memory = n_docs × U)
+_SIMHASH_DENSE_MAX_VOCAB = 4096
 
-    def __init__(self):
-        self._memo: dict[str, int] = {}
 
-    def _h64(self, tok: str) -> int:
-        v = self._memo.get(tok)
-        if v is None:
-            v = cp.w64(tok)
-            self._memo[tok] = v
-        return v
+def simhash_band_rows(batch: pa.Table) -> pa.Table:
+    """doc → 4 band rows (doc_id, band_idx, band_val, simhash), vectorized:
+    tokens factorized per batch (md5 once per DISTINCT token), a U×62 ±1
+    bit matrix for the vocab, and the per-doc weighted bit sums as one
+    dense (n_docs × U) @ (U × 62) matmul when the batch vocab is small
+    (the common shared-vocab case), else a segmented reduceat."""
+    import pandas as pd
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        out_id, out_band, out_val, out_sim = [], [], [], []
-        for did, t in zip(ids, texts):
-            toks = t.split()
-            if not toks:
-                continue
-            uniq: dict[int, int] = {}
-            for tok in toks:
-                h = self._h64(tok)
-                uniq[h] = uniq.get(h, 0) + 1
-            hsv = np.fromiter(uniq.keys(), dtype=np.uint64, count=len(uniq))
-            cnt = np.fromiter(uniq.values(), dtype=np.int64, count=len(uniq))
-            bits = (
-                (hsv[:, None] >> np.arange(cp.SIMHASH_BITS, dtype=np.uint64)[None, :])
-                & np.uint64(1)
-            ).astype(np.int64) * 2 - 1
-            sums = cnt @ bits
-            sim = int(((sums > 0).astype(np.uint64) << np.arange(cp.SIMHASH_BITS, dtype=np.uint64)).sum())
-            for b in range(cp.SIMHASH_N_BANDS):
-                out_id.append(int(did))
-                out_band.append(b)
-                out_val.append((sim >> (cp.SIMHASH_BAND_BITS * b)) & 0xFFFF)
-                out_sim.append(sim)
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id, pa.int64()),
-                "band_idx": pa.array(out_band, pa.int32()),
-                "band_val": pa.array(out_val, pa.int64()),
-                "simhash": pa.array(out_sim, pa.int64()),
-            }
-        )
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "band_idx": pa.array([], pa.int32()),
+            "band_val": pa.array([], pa.int64()),
+            "simhash": pa.array([], pa.int64()),
+        }
+    )
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.split().explode().dropna()
+    if not len(ex):
+        return empty
+    codes, uniques = pd.factorize(ex.to_numpy())
+    rows = ex.index.to_numpy(dtype=np.int64)
+    h_u = np.fromiter((cp.w64(u) for u in uniques), np.uint64, len(uniques))
+    bits_u = (
+        (h_u[:, None] >> np.arange(cp.SIMHASH_BITS, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64) * 2 - 1  # (U, 62) in ±1
+
+    # doc universe: positions that HAVE tokens, in block order
+    starts = np.r_[0, np.flatnonzero(np.diff(rows)) + 1]
+    docs = ids[rows[starts]]
+    u = len(uniques)
+    if u <= _SIMHASH_DENSE_MAX_VOCAB:
+        drow = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(rows)]))
+        cmat = np.zeros((len(starts), u), dtype=np.int64)
+        np.add.at(cmat, (drow, codes), 1)
+        sums = cmat @ bits_u  # (n_docs, 62)
+    else:
+        sums = np.add.reduceat(bits_u[codes], starts, axis=0)
+    sim = ((sums > 0).astype(np.uint64) << np.arange(cp.SIMHASH_BITS, dtype=np.uint64)).sum(
+        axis=1
+    ).astype(np.int64)
+
+    n = len(docs)
+    out_id, out_band, out_val, out_sim = [], [], [], []
+    for b in range(cp.SIMHASH_N_BANDS):
+        out_id.append(docs)
+        out_band.append(np.full(n, b, dtype=np.int32))
+        out_val.append((sim >> (cp.SIMHASH_BAND_BITS * b)) & 0xFFFF)
+        out_sim.append(sim)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+            "band_idx": pa.array(np.concatenate(out_band), pa.int32()),
+            "band_val": pa.array(np.concatenate(out_val), pa.int64()),
+            "simhash": pa.array(np.concatenate(out_sim), pa.int64()),
+        }
+    )
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
@@ -590,8 +659,9 @@ def _emit_hamming_sorted_block(batch: pa.Table) -> pa.Table:
 def q_dedup_simhash(sf_dir: str):
     """Near-dup pairs: share ≥1 of 4 16-bit simhash bands AND Hamming ≤ 3."""
     ds = cp.read_augmented(sf_dir)
-    bands = ds.map_batches(SimHasher, batch_format="pyarrow", zero_copy_batch=True,
-                           concurrency=2)
+    bands = ds.map_batches(
+        simhash_band_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
     pairs = bands.sort(["band_idx", "band_val"]).map_batches(
         _emit_hamming_sorted_block, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -408,6 +408,11 @@ def _bucketed_ann(sf_dir: str, grid: np.ndarray, mode: str, probe_map: dict,
     probed = bucketed.map_batches(
         _probe_filter(probe_map), batch_format="pyarrow", zero_copy_batch=True
     )
+    # the probe filter keeps ~(queries × probes × target-bucket) rows out of
+    # the whole corpus, leaving most blocks empty — and empty blocks entering
+    # a groupby produce schema-less RefBundles (warning + wasted tasks).
+    # Coalesce the small filtered stream to a handful of blocks first.
+    probed = probed.repartition(max(2, min(32, len(probe_map) // 16)))
     partials = probed.groupby("bucket").map_groups(
         _bucket_search(q_ref), batch_format="pyarrow"
     )
@@ -609,6 +614,15 @@ ND_MAX_BUCKET = 256
 
 
 def _nd_band_rows(grid_ref, n_tables: int, p_per_table: int):
+    """(t, bucket, vec_id, ebin) band rows — the packed float32 vector RIDES
+    the band shuffle (≤ ~1 KB × ND_TABLES per vector).  For cosine-LSH with
+    size-driven target-64 buckets every bucket is pair-dense (~2000
+    candidates), so candidate-pair volume ≫ corpus and verify-by-join would
+    ship two embeddings per PAIR (measured 8 GB / 560 s at 128k vectors);
+    carrying the vector once per band row and verifying inside the bucket
+    is ~64× less traffic.  (The MinHash op keeps the opposite choice — thin
+    band rows + joins — because there candidates ≪ corpus.)"""
+
     def fn(batch: pa.Table) -> pa.Table:
         grid = _deref(grid_ref)
         ids, m = _matrix(batch)
@@ -617,40 +631,74 @@ def _nd_band_rows(grid_ref, n_tables: int, p_per_table: int):
             (q > 0).astype(np.int64) << np.arange(p_per_table, dtype=np.int64)
         ).sum(axis=2)  # (N, L)
         n = len(ids)
+        m32 = m.astype(np.float32)
+        ebin = [m32[i].tobytes() for i in range(n)]
         return pa.table(
             {
-                "vec_id": pa.array(np.repeat(ids, n_tables), pa.int64()),
-                "t": pa.array(np.tile(np.arange(n_tables, dtype=np.int64), n), pa.int64()),
-                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+                "t": pa.array(np.repeat(np.arange(n_tables, dtype=np.int64), n), pa.int64()),
+                "bucket": pa.array(buckets.T.reshape(-1), pa.int64()),
+                "vec_id": pa.array(np.tile(ids, n_tables), pa.int64()),
+                "ebin": pa.array(ebin * n_tables, pa.binary()),
             }
         )
 
     return fn
 
 
-def _nd_candidate_pairs(group: pa.Table) -> pa.Table:
+def _nd_bucket_verify_sorted_block(batch: pa.Table) -> pa.Table:
+    """Surviving near-dup pairs from a block of band rows SORTED by
+    (t, bucket): vectorized boundary scan finds buckets; each bucket clips
+    deterministically (smallest vec_ids), expands its pairs, and verifies
+    cosine with the SAME einsum ops as the join-based path (op order
+    matters for oracle bit-equality).  Only survivors leave the task."""
     from . import dedup as dd
 
-    ids = np.sort(group.column("vec_id").to_numpy(zero_copy_only=False))
-    if len(ids) > ND_MAX_BUCKET:
-        dd._note_bucket_clip(len(ids))
-        ids = ids[:ND_MAX_BUCKET]
-    a_idx, b_idx = np.triu_indices(len(ids), k=1)
-    return pa.table(
+    n = len(batch)
+    empty = pa.table(
         {
-            "vec_a": pa.array(ids[a_idx], pa.int64()),
-            "vec_b": pa.array(ids[b_idx], pa.int64()),
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
         }
     )
-
-
-def _packed_embeddings(batch: pa.Table) -> pa.Table:
-    """(vec_id, embedding) → (vec_id, ebin float32-LE bytes): Arrow's hash
-    join rejects list-typed payload columns, so the join side is packed."""
-    ids, m = _matrix(batch)
-    ebin = [m[i].astype(np.float32).tobytes() for i in range(len(ids))]
+    if n == 0:
+        return empty
+    t = batch.column("t").to_numpy(zero_copy_only=False)
+    bk = batch.column("bucket").to_numpy(zero_copy_only=False)
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    x = _bin_matrix(batch.column("ebin"))
+    change = np.flatnonzero((t[1:] != t[:-1]) | (bk[1:] != bk[:-1])) + 1
+    starts = np.r_[0, change]
+    ends = np.r_[change, n]
+    outs_a, outs_b, outs_c = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        order = np.argsort(ids[s:e], kind="stable")
+        if len(order) > ND_MAX_BUCKET:
+            dd._note_bucket_clip(len(order))
+            order = order[:ND_MAX_BUCKET]
+        g_ids = ids[s:e][order]
+        g_x = x[s:e][order]
+        a_idx, b_idx = np.triu_indices(len(g_ids), k=1)
+        a = g_x[a_idx]
+        b = g_x[b_idx]
+        ab = np.einsum("ij,ij->i", a, b, dtype=np.float64)
+        aa = np.einsum("ij,ij->i", a, a, dtype=np.float64)
+        bb = np.einsum("ij,ij->i", b, b, dtype=np.float64)
+        cos = ab / np.sqrt(aa * bb)
+        keep = cos >= NEARDUP_COS_THRESHOLD
+        outs_a.append(g_ids[a_idx][keep])
+        outs_b.append(g_ids[b_idx][keep])
+        outs_c.append(np.round(cos[keep], ROUND))
+    if not outs_a:
+        return empty
     return pa.table(
-        {"vec_id": pa.array(ids, pa.int64()), "ebin": pa.array(ebin, pa.binary())}
+        {
+            "vec_a": pa.array(np.concatenate(outs_a), pa.int64()),
+            "vec_b": pa.array(np.concatenate(outs_b), pa.int64()),
+            "cos_sim": pa.array(np.concatenate(outs_c), pa.float64()),
+        }
     )
 
 
@@ -665,43 +713,18 @@ def _bin_matrix(col) -> np.ndarray:
     return data[offs[0] : offs[-1]].view(np.float32).reshape(n, width // 4)
 
 
-def _nd_verify(batch: pa.Table) -> pa.Table:
-    """Vectorized per-batch cosine over joined pair rows."""
-    n = len(batch)
-    if n == 0:
-        return pa.table(
-            {
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cos_sim": pa.array([], pa.float64()),
-            }
-        )
-    # zero-copy: equal-width binary payloads viewed straight off the Arrow
-    # buffers (no to_pylist, no float64 matrix copies — this host's
-    # first-touch page faults run ~45 MB/s in fresh workers, so allocation
-    # volume IS the wall time); einsum upcasts to float64 internally
-    a = _bin_matrix(batch.column("ebin_a"))
-    b = _bin_matrix(batch.column("ebin_b"))
-    ab = np.einsum("ij,ij->i", a, b, dtype=np.float64)
-    aa = np.einsum("ij,ij->i", a, a, dtype=np.float64)
-    bb = np.einsum("ij,ij->i", b, b, dtype=np.float64)
-    cos = ab / np.sqrt(aa * bb)
-    keep = cos >= NEARDUP_COS_THRESHOLD
-    return pa.table(
-        {
-            "vec_a": batch.column("vec_a").filter(pa.array(keep)),
-            "vec_b": batch.column("vec_b").filter(pa.array(keep)),
-            "cos_sim": pa.array(np.round(cos[keep], ROUND), pa.float64()),
-        }
-    )
-
-
 def q_embed_neardup_lsh(sf_dir: str):
     """Banded-LSH cosine near-dup: pairs colliding in ≥1 of ND_TABLES
-    hyperplane tables AND exact cosine ≥ threshold."""
-    import ray
+    hyperplane tables AND exact cosine ≥ threshold.
 
-    from .dedup import _join_partitions
+    Shape: band rows (with the ~256 B packed vector riding along) →
+    ``sort(t, bucket)`` → bucket-local pair expansion + cosine verify in a
+    vectorized boundary-scan task → DISTINCT over survivors only.  No
+    joins and no materialized candidate list: cosine-LSH buckets sized to
+    ~64 rows are pair-dense, so candidates ≫ corpus and must never cross
+    the wire (measured: verify-by-join shuffled 8 GB and ran 560 s at
+    128k vectors; this shape runs the same input in seconds)."""
+    import ray
 
     n, dim = _corpus_size_and_dim(sf_dir)
     P = n_planes_for(n)
@@ -713,35 +736,11 @@ def q_embed_neardup_lsh(sf_dir: str):
         _nd_band_rows(grid_ref, ND_TABLES, P), batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    # NOTE deliberately no global pair-distinct here: a Ray groupby over
-    # ~N·100s of tiny pair groups pays per-group Python overhead (measured
-    # 30 s at 240k pairs).  Duplicates (a pair colliding in several tables,
-    # ≤ND_TABLES×) ride the cheap vectorized joins + verify, and the
-    # DISTINCT happens on the *surviving* pairs — orders of magnitude fewer.
-    cand = bands.groupby(["t", "bucket"]).map_groups(
-        _nd_candidate_pairs, batch_format="pyarrow"
+    verified = bands.sort(["t", "bucket"]).map_batches(
+        _nd_bucket_verify_sorted_block, batch_format="pyarrow", zero_copy_batch=True
     )
-    ebin = ds.map_batches(
-        _packed_embeddings, batch_format="pyarrow", zero_copy_batch=True
-    )
-    nparts = _join_partitions()
-    j1 = cand.join(
-        ebin, join_type="inner", num_partitions=nparts,
-        on=("vec_a",), right_on=("vec_id",), right_suffix="_a",
-    ).map_batches(
-        lambda t: pa.table({"vec_a": t.column("vec_a"), "vec_b": t.column("vec_b"),
-                            "ebin_a": t.column("ebin")}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    j2 = j1.join(
-        ebin, join_type="inner", num_partitions=nparts,
-        on=("vec_b",), right_on=("vec_id",), right_suffix="_b",
-    ).map_batches(
-        lambda t: pa.table({"vec_a": t.column("vec_a"), "vec_b": t.column("vec_b"),
-                            "ebin_a": t.column("ebin_a"), "ebin_b": t.column("ebin")}),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    verified = j2.map_batches(_nd_verify, batch_format="pyarrow", zero_copy_batch=True)
+    # DISTINCT over the SURVIVORS only (a pair can collide in ≤ND_TABLES
+    # tables); survivors are orders of magnitude fewer than candidates
     from ray.data.aggregate import Max
 
     return verified.groupby(["vec_a", "vec_b"]).aggregate(
