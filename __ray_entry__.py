@@ -22,6 +22,8 @@ from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
 from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
 from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+    conv_percentiles,
+    conv_percentiles_oracle_sql,
     conv_sessions,
     conv_sessions_oracle_sql,
     conv_stats,
@@ -94,6 +96,10 @@ def _q_conv_sessions(sf_dir: str):
     return conv_sessions(flagship.read_transcripts(sf_dir))
 
 
+def _q_conv_percentiles(sf_dir: str):
+    return conv_percentiles(flagship.read_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -106,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conv_stats": _q_conv_stats,
         "q_top_convs": _q_top_convs,
         "q_conv_sessions": _q_conv_sessions,
+        "q_conv_percentiles": _q_conv_percentiles,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     q.update(registry.queries())
@@ -124,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "q_conv_stats": conv_stats_oracle_sql(),
         "q_top_convs": top_convs_oracle_sql(),
         "q_conv_sessions": conv_sessions_oracle_sql(),
+        "q_conv_percentiles": conv_percentiles_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     o.update(registry.oracle_sql())

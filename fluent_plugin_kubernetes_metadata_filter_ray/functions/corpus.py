@@ -39,6 +39,12 @@ LSH_BANDS = 4
 LSH_ROWS = 4  # MINHASH_H / LSH_BANDS
 SHINGLE_K = 3  # word k-grams
 MINHASH_JACCARD_THRESHOLD = 0.5
+# signature-estimated-Jaccard prefilter at pair emission: a band collision
+# guarantees LSH_ROWS equal components "for free", so requiring ≥ 5 of
+# MINHASH_H kills ~all random band collisions (est ≈ 4/16) while dropping
+# only P(Binom(12, j) = 0) ≈ 0.02% of true j ≥ 0.5 pairs.  Replicated in
+# the oracle SQL — part of the operator's contract, not a silent heuristic.
+MINHASH_PREFILTER_MIN = 5
 
 _GOLD = 2654435761
 MINHASH_A = [(_GOLD * (2 * i + 1)) % 2**32 for i in range(MINHASH_H)]

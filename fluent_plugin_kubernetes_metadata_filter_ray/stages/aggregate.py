@@ -189,6 +189,62 @@ FROM s GROUP BY conv_id, session_idx
 """.strip()
 
 
+PCTL_QS = (50, 90, 99)
+
+
+def conv_percentiles(ds):
+    """Exact conversation-length percentiles via the HISTOGRAM pattern:
+    per-conv lengths (combiner-aggregated) → ``groupby(n_turns).count()``
+    — one row per DISTINCT length — then a driver-side cumulative scan
+    over that tiny histogram.  Nothing sorts the corpus and the only
+    materialized object is the length histogram (bounded by #distinct
+    lengths, not #conversations), so this is exact at any scale.
+
+    Percentile definition (replicated in the oracle): nearest-rank lower —
+    the value at 0-based sorted index ``(q·(n-1)) // 100`` (integer math,
+    no float interpolation to diverge on)."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    hist = (
+        conv_stats(ds)
+        .groupby("n_turns")
+        .aggregate(Count(alias_name="n_convs"))
+        .to_pandas()
+        .sort_values("n_turns")
+        .reset_index(drop=True)
+    )
+    n = int(hist["n_convs"].sum())
+    cum = hist["n_convs"].cumsum().to_numpy(dtype=np.int64)
+    lens = hist["n_turns"].to_numpy(dtype=np.int64)
+    out = {"n_convs": np.int64(n)}
+    for q in PCTL_QS:
+        idx = (q * (n - 1)) // 100
+        out[f"p{q}"] = lens[np.searchsorted(cum, idx + 1)]
+    return pd.DataFrame([out])
+
+
+def conv_percentiles_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    picks = ",\n  ".join(
+        f"(SELECT min(n_turns) FROM hc WHERE cum >= ({q} * (n.n - 1)) // 100 + 1) AS p{q}"
+        for q in PCTL_QS
+    )
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+cs AS (SELECT conv_id, count(*)::BIGINT AS n_turns FROM transcripts_t GROUP BY conv_id),
+h AS (SELECT n_turns, count(*)::BIGINT AS c FROM cs GROUP BY n_turns),
+hc AS (SELECT n_turns, sum(c) OVER (ORDER BY n_turns)::BIGINT AS cum FROM h),
+n AS (SELECT count(*)::BIGINT AS n FROM cs)
+SELECT n.n AS n_convs,
+  {picks}
+FROM n
+""".strip()
+
+
 TOP_CONVS_K = 20
 
 

@@ -97,11 +97,13 @@ def test_clip_counter_and_dump(tmp_path, monkeypatch):
     monkeypatch.setenv("KMETA_STATS_DIR", dump_dir)
     before = dedup._CLIP_STATS.counters.get("lsh_bucket_clipped", 0)
     n = dedup.MAX_BUCKET + 10
+    sig = np.arange(16, dtype=np.uint32).tobytes()  # identical → est 16/16
     group = pa.table(
         {
             "doc_id": pa.array(np.arange(n)[::-1], pa.int64()),  # reverse order in
             "band_idx": pa.array([0] * n, pa.int32()),
             "band_val": pa.array(["b"] * n, pa.string()),
+            "sig": pa.array([sig] * n, pa.binary()),
         }
     )
     pairs = dedup._emit_pairs_sorted_block(group)

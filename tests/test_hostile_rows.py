@@ -1,0 +1,74 @@
+"""Hostile-input hardening: rows with null/malformed fields must flow
+through parse → enrich unenriched (matched=0), never crash the pipeline.
+Mirrors the reference's defensive behavior (filter passes records through
+untouched when the tag doesn't parse or the store misses —
+filter_kubernetes_metadata.rb `filter_stream` rescue paths)."""
+
+import os
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _hostile_dir(tmp_path) -> str:
+    d = str(tmp_path / "hostile")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c1", "c2", None, "c3", "c4"], pa.string()),
+            "turn_idx": pa.array([0, 1, 0, 0, 0, 0], pa.int32()),
+            "role": pa.array(["user", None, "tool", "assistant", "user", "tool"], pa.string()),
+            "text": pa.array(
+                [
+                    "ok",
+                    None,
+                    'turn-2 type=purchase props={"k": broken',  # malformed JSON
+                    "",
+                    "x" * 10000,  # oversized
+                    "no props here",
+                ],
+                pa.string(),
+            ),
+            "tool": pa.array(
+                [
+                    "var.log.containers.POD-0_NS-5_APP-ABC.log",  # upper-case + bad hash
+                    None,  # null tag
+                    "var.log.pods.ns-4_pod-1_.app.0.log",  # empty pod uuid
+                    "not.a.kube.tag",  # grammar miss
+                    "var.log.containers.pod-0_ns-5_app-" + "0" * 64 + ".log",
+                    "",
+                ],
+                pa.string(),
+            ),
+            "ts": pa.array([pd.Timestamp("2024-01-02")] * 6, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, f"{d}/part-0.parquet")
+    return d
+
+
+def test_hostile_rows_pass_through_unenriched(ray_session, tmp_path):
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen
+    from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import enrich as en
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
+    ds = ray.data.read_parquet(_hostile_dir(tmp_path))
+    parsed = parse_stage(ds, DEFAULT_CONFIG)
+    out = en.decode_stage(
+        en.enrich_stage(parsed, DEFAULT_CONFIG, datagen.metadata_snapshot_dir())
+    ).to_pandas()
+
+    assert len(out) == 6  # nothing dropped, nothing crashed
+    matched = out["k8s_pod_id"].notna()
+    # only the two grammatical kube tags enrich; hostile rows stay bare
+    assert matched.sum() == 2
+    assert set(out.loc[matched, "k8s_pod_name"]) == {"pod-0", "pod-1"}
+    hostile = out[~matched]
+    for col in ("k8s_pod_name", "k8s_namespace_name", "k8s_container_name"):
+        assert hostile[col].isna().all()
