@@ -32,6 +32,8 @@ from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
     route_counts_oracle_sql,
     top_convs,
     top_convs_oracle_sql,
+    turn_rates,
+    turn_rates_oracle_sql,
 )
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
 
@@ -100,6 +102,10 @@ def _q_conv_percentiles(sf_dir: str):
     return conv_percentiles(flagship.read_transcripts(sf_dir))
 
 
+def _q_turn_rates(sf_dir: str):
+    return turn_rates(flagship.read_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -113,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_top_convs": _q_top_convs,
         "q_conv_sessions": _q_conv_sessions,
         "q_conv_percentiles": _q_conv_percentiles,
+        "q_turn_rates": _q_turn_rates,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     q.update(registry.queries())
@@ -132,6 +139,7 @@ def oracle_sql() -> dict[str, str]:
         "q_top_convs": top_convs_oracle_sql(),
         "q_conv_sessions": conv_sessions_oracle_sql(),
         "q_conv_percentiles": conv_percentiles_oracle_sql(),
+        "q_turn_rates": turn_rates_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     o.update(registry.oracle_sql())

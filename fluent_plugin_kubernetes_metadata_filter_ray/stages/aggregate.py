@@ -189,6 +189,39 @@ FROM s GROUP BY conv_id, session_idx
 """.strip()
 
 
+def turn_rates(ds):
+    """Time-bucketed ingest rates: turns per (role, hour) — the tumbling-
+    window counterpart of the per-sink counts.  Same combiner pushdown:
+    each batch collapses to ≤(roles × hours-in-batch) rows before the
+    shuffle; hour truncation is integer µs division (bit-identical to
+    DuckDB ``date_trunc`` for epoch-positive timestamps)."""
+    import pyarrow.compute as pc
+
+    hour_us = 3_600_000_000
+
+    def with_hour(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hr = pc.multiply(pc.divide(us, hour_us), hour_us)  # floor to hour
+        return pa.table(
+            {"role": t.column("role"), "hour_ts": hr.cast(pa.timestamp("us"))}
+        )
+
+    bucketed = ds.select_columns(["role", "ts"]).map_batches(
+        with_hour, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return per_key_counts(bucketed, ["role", "hour_ts"])
+
+
+def turn_rates_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE}
+SELECT role, date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS n_turns
+FROM transcripts_t GROUP BY role, date_trunc('hour', ts)
+""".strip()
+
+
 PCTL_QS = (50, 90, 99)
 
 

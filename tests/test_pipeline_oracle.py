@@ -39,6 +39,7 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_top_convs", ["conv_id"]),
     ("q_conv_sessions", ["conv_id", "session_idx"]),
     ("q_conv_percentiles", ["n_convs"]),
+    ("q_turn_rates", ["role", "hour_ts"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
