@@ -27,6 +27,9 @@ REP = int(os.environ.get("KMETA_BENCH_REP", "25"))
 def run_bench() -> dict:
     import ray
 
+    # BEFORE ray.init: worker processes inherit the env from the node they
+    # fork from — setting this after init never reaches them (verified)
+    os.environ.setdefault("KMETA_QUIET_CLIPS", "1")
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     from ray.data import DataContext
@@ -134,7 +137,6 @@ def run_bench() -> dict:
         # by construction.
         from fluent_plugin_kubernetes_metadata_filter_ray.functions import scalegen
 
-        os.environ.setdefault("KMETA_QUIET_CLIPS", "1")
         big_docs = int(os.environ.get("KMETA_BENCH_BIGDOCS", "20"))
         big_vecs = int(os.environ.get("KMETA_BENCH_BIGVECS", "64"))
         big = scalegen.big_sf_dir(SF_DIR, big_docs, big_vecs)

@@ -166,6 +166,32 @@ def augment_batch(batch):
     )
 
 
+def batch_shingles(batch):
+    """Factorized word SHINGLE_K-gram shingles for a whole batch: shingle
+    strings built by exploded-token shifted joins (C kernels, no per-row
+    Python), then ``pd.factorize`` so each DISTINCT shingle is hashed
+    exactly once by callers — on shared-vocabulary corpora (boilerplate-
+    heavy crawls, our synthetic tables) this cuts the hashing 10-50× vs
+    per-instance md5.  Shared by the MinHash dedup kernels and the
+    decontamination op, so shingle semantics can never silently diverge
+    between their oracles.
+
+    Returns ``(rows, codes, uniques)`` with ``rows`` (block positions)
+    monotonically nondecreasing, or ``None`` if the batch has no shingles.
+    Null texts explode to NaN and drop out (no shingles), matching the
+    pass-through hardening of the transcript path."""
+    import pandas as pd
+
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.split().explode()
+    grp = ex.groupby(level=0)
+    sh = (ex + " " + grp.shift(-1) + " " + grp.shift(-2)).dropna()
+    if not len(sh):
+        return None
+    codes, uniques = pd.factorize(sh.to_numpy())
+    return sh.index.to_numpy(dtype=np.int64), codes, uniques
+
+
 def _right_sized_blocks(path: str, rows_per_block: int = 16384) -> int:
     """Block count for a small side table: Ray's default splits even a
     5k-row file into 64 blocks, and every downstream sort/groupby barrier

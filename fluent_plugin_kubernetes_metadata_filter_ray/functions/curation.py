@@ -68,7 +68,8 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     per-row Python), counts/nunique from hash groupbys."""
     s = pd.Series(batch.column("text").to_pandas())
     toks = s.str.strip().str.split()
-    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    # null text → 0 tokens (pass-through hardening: never crash the job)
+    n_tokens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
     idx = s.index
 
     ex = toks.explode()
@@ -179,21 +180,18 @@ FROM fr
 # ---------------------------------------------------------------------------
 
 def _shingle_hash_frame(batch: pa.Table) -> pd.DataFrame:
-    """(row-index, w63 shingle hash) long frame for a batch — shingle
-    strings built by exploded-token shifted joins; each DISTINCT shingle
-    string is md5'd once (factorize first, C-speed hashlib after)."""
-    s = pd.Series(batch.column("text").to_pandas())
-    toks = s.str.strip().str.split()
-    ex = toks.explode()
-    nxt = ex.groupby(level=0).shift(-1)
-    nxt2 = ex.groupby(level=0).shift(-2)
-    sh = (ex + " " + nxt + " " + nxt2).dropna()
-    if not len(sh):
+    """(row-index, w63 shingle hash) long frame for a batch — built on the
+    SHARED factorized shingle kernel (corpus.batch_shingles, also used by
+    the MinHash dedup ops) so shingle semantics can never silently diverge
+    between the decontamination and dedup oracles; each DISTINCT shingle
+    string is md5'd once."""
+    fs = cp.batch_shingles(batch)
+    if fs is None:
         return pd.DataFrame({"row": np.array([], dtype=np.int64),
                              "h": np.array([], dtype=np.int64)})
-    codes, uniques = pd.factorize(sh.to_numpy())
+    rows, codes, uniques = fs
     uh = np.fromiter((cp.w63(u) for u in uniques), dtype=np.int64, count=len(uniques))
-    return pd.DataFrame({"row": sh.index.to_numpy(dtype=np.int64), "h": uh[codes]})
+    return pd.DataFrame({"row": rows, "h": uh[codes]})
 
 
 def _mod_filter(batch: pa.Table, keep_eval: bool) -> pa.Table:
@@ -214,8 +212,10 @@ def _eval_shingle_hashes(sf_dir: str) -> np.ndarray:
     ds = cp.read_documents(sf_dir).map_batches(
         part, batch_format="pyarrow", zero_copy_batch=True
     )
-    hs = ds.to_pandas()["h"].to_numpy(dtype=np.int64)
-    return np.unique(hs)
+    df = ds.to_pandas()  # all-empty blocks can come back column-less
+    if "h" not in df.columns or not len(df):
+        return np.empty(0, dtype=np.int64)
+    return np.unique(df["h"].to_numpy(dtype=np.int64))
 
 
 def contamination_stage(ds, eval_ref):
@@ -235,10 +235,11 @@ def contamination_stage(ds, eval_ref):
         if len(f):
             rows = f["row"].to_numpy()
             n_shingles = np.bincount(rows, minlength=n).astype(np.int64)
-            h = f["h"].to_numpy()
-            pos = np.searchsorted(ev, h)
-            hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == h)
-            n_hits = np.bincount(rows, weights=hit, minlength=n).astype(np.int64)
+            if len(ev):  # empty eval set (all-short eval docs) ⇒ zero hits
+                h = f["h"].to_numpy()
+                pos = np.searchsorted(ev, h)
+                hit = (pos < len(ev)) & (ev[np.minimum(pos, len(ev) - 1)] == h)
+                n_hits = np.bincount(rows, weights=hit, minlength=n).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -292,7 +293,7 @@ WHERE d.doc_id % {EVAL_MOD} <> 0
 
 def _token_count_batch(batch: pa.Table) -> pa.Table:
     s = pd.Series(batch.column("text").to_pandas())
-    n = s.str.strip().str.split().str.len().to_numpy(dtype=np.int64)
+    n = s.str.strip().str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

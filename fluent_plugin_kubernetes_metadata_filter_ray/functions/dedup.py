@@ -76,14 +76,24 @@ def _note_bucket_clip(bucket_rows: int) -> None:
 
 def _add_text_hash(batch: pa.Table) -> pa.Table:
     texts = batch.column("text").to_pylist()
-    h = pa.array([cp.md5_hex(t) for t in texts], pa.string())
+    # null text → null hash, like DuckDB md5(NULL) (hostile-input hardening)
+    h = pa.array([None if t is None else cp.md5_hex(t) for t in texts], pa.string())
     return pa.table({"text_hash": h, "doc_id": batch.column("doc_id")})
 
 
 def q_dedup_exact(sf_dir: str):
-    """Keep the smallest doc_id per distinct text; report group sizes."""
+    """Keep the smallest doc_id per distinct text; report group sizes.
+    Null-text rows are excluded (they have no content to dedup, and a null
+    groupby key crashes Ray's sort-based aggregate)."""
+    import pyarrow.compute as pc_
+
     ds = cp.read_augmented(sf_dir)
-    ds = ds.map_batches(_add_text_hash, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        lambda t: (lambda h: h.filter(pc_.is_valid(h.column("text_hash"))))(
+            _add_text_hash(t)
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     return ds.groupby("text_hash").aggregate(
         Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
     )
@@ -136,7 +146,25 @@ def q_dedup_incremental(sf_dir: str):
         ds.map_batches(hash_split(True), batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_hash")
         .aggregate(Count(alias_name="n_ref"))
-    )
+    ).materialize()
+    n_ref = ref_hashes.count()
+    if n_ref == 0:  # empty reference ⇒ everything is novel
+        return new_side.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "text_hash": t.column("text_hash"),
+                    "is_novel": pa.array(np.ones(len(t), dtype=bool)),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    # launder schema-less empty blocks: an empty partition inside the
+    # groupby emits a 0-row block with NO schema, and the acero join then
+    # rejects the key field ("No match for FieldRef") for any partition
+    # that receives it.  A map does NOT fix this (Ray passes the block
+    # through untouched); repartition rebuilds typed blocks.
+    ref_hashes = ref_hashes.repartition(max(2, min(64, n_ref // 65536 + 1)))
     joined = new_side.join(
         ref_hashes, join_type="left_outer", num_partitions=_join_partitions(),
         on=("text_hash",),
@@ -172,26 +200,8 @@ FROM newd n LEFT JOIN ref r USING (text_hash)
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def _batch_shingles(batch: pa.Table):
-    """Factorized word 3-gram shingles for a whole batch: shingle strings
-    built by exploded-token shifted joins (C kernels, no per-row Python),
-    then ``pd.factorize`` so each DISTINCT shingle is md5'd exactly once —
-    on shared-vocabulary corpora (boilerplate-heavy crawls, our synthetic
-    tables) this cuts the hashing 10-50× vs per-instance md5.
-
-    Returns ``(rows, codes, uniques)`` with ``rows`` (block positions)
-    monotonically nondecreasing, or ``None`` if the batch has no shingles.
-    """
-    import pandas as pd
-
-    s = pd.Series(batch.column("text").to_pandas())
-    ex = s.str.split().explode()
-    grp = ex.groupby(level=0)
-    sh = (ex + " " + grp.shift(-1) + " " + grp.shift(-2)).dropna()
-    if not len(sh):
-        return None
-    codes, uniques = pd.factorize(sh.to_numpy())
-    return sh.index.to_numpy(dtype=np.int64), codes, uniques
+# shared factorized shingle kernel (also used by the decontamination op)
+_batch_shingles = cp.batch_shingles
 
 
 def _minhash_band_rows(batch: pa.Table) -> pa.Table:
@@ -210,6 +220,7 @@ def _minhash_band_rows(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array([], pa.int64()),
             "band_idx": pa.array([], pa.int32()),
             "band_val": pa.array([], pa.string()),
+            "sig": pa.array([], pa.binary()),
         }
     )
     if fs is None:
@@ -407,6 +418,23 @@ def q_dedup_minhash(sf_dir: str):
     cand = bands.sort(["band_idx", "band_val"]).map_batches(
         _emit_pairs_sorted_block, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(_dedupe_pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize + empty-guard: an all-empty join side reaches the hash
+    # aggregator as schema-less partitions and acero rejects the key refs
+    # (same guard shape as q_dedup_clusters); the join is a barrier anyway,
+    # so materializing the thin pair list costs one object-store pass
+    cand = cand.materialize()
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
     sets_ = ds.map_batches(
         _shingle_set_rows, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -537,6 +565,10 @@ def q_dedup_clusters(sf_dir: str):
 
     # init: each edge node's label = min(self, min neighbor)
     labels = edges.groupby("src").aggregate(AMin("dst", alias_name="nbr"))
+    # repartition before every join use: aggregate outputs can contain
+    # schema-less empty blocks (empty groupby partitions) that acero joins
+    # reject — repartition rebuilds typed blocks (labels are tiny: edge
+    # nodes only)
     labels = labels.map_batches(
         lambda t: pa.table(
             {
@@ -546,7 +578,7 @@ def q_dedup_clusters(sf_dir: str):
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()
+    ).repartition(nparts).materialize()
 
     ids_ds = cp.read_augmented_ids(sf_dir)
     if labels.count() == 0:  # no near-dup pairs at all: identity assignment
@@ -576,6 +608,7 @@ def q_dedup_clusters(sf_dir: str):
             labels.union(msgs)
             .groupby("node")
             .aggregate(AMin("lbl", alias_name="lbl"))
+            .repartition(nparts)  # launder empty-partition blocks pre-join
             .materialize()
         )
         cur_sum = labels.sum("lbl") or 0
@@ -626,17 +659,19 @@ FROM reach GROUP BY doc
 """.strip()
 
 
-# dense doc×vocab count-matrix path cap: above this distinct-token count
-# per batch, fall back to the segmented path (dense memory = n_docs × U)
-_SIMHASH_DENSE_MAX_VOCAB = 4096
+# simhash dense-matmul doc-chunk size: bounds the count-matrix allocation
+# at DENSE_CHUNK_DOCS × U float64 per chunk regardless of block size
+_SIMHASH_CHUNK_DOCS = 2048
 
 
 def simhash_band_rows(batch: pa.Table) -> pa.Table:
     """doc → 4 band rows (doc_id, band_idx, band_val, simhash), vectorized:
     tokens factorized per batch (md5 once per DISTINCT token), a U×62 ±1
-    bit matrix for the vocab, and the per-doc weighted bit sums as one
-    dense (n_docs × U) @ (U × 62) matmul when the batch vocab is small
-    (the common shared-vocab case), else a segmented reduceat."""
+    bit matrix for the vocab, and the per-doc weighted bit sums as dense
+    (chunk × U) @ (U × 62) float64 matmuls over doc CHUNKS — float64 keeps
+    BLAS (int64 matmul is a generic loop) and is exact (counts × ±1 sums
+    stay far below 2^53); chunking bounds the count-matrix allocation no
+    matter how large the block is (map_batches passes whole blocks)."""
     import pandas as pd
 
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -658,19 +693,22 @@ def simhash_band_rows(batch: pa.Table) -> pa.Table:
     bits_u = (
         (h_u[:, None] >> np.arange(cp.SIMHASH_BITS, dtype=np.uint64)[None, :])
         & np.uint64(1)
-    ).astype(np.int64) * 2 - 1  # (U, 62) in ±1
+    ).astype(np.float64) * 2.0 - 1.0  # (U, 62) in ±1
 
     # doc universe: positions that HAVE tokens, in block order
     starts = np.r_[0, np.flatnonzero(np.diff(rows)) + 1]
+    ends = np.r_[starts[1:], len(rows)]
     docs = ids[rows[starts]]
     u = len(uniques)
-    if u <= _SIMHASH_DENSE_MAX_VOCAB:
-        drow = np.repeat(np.arange(len(starts)), np.diff(np.r_[starts, len(rows)]))
-        cmat = np.zeros((len(starts), u), dtype=np.int64)
-        np.add.at(cmat, (drow, codes), 1)
-        sums = cmat @ bits_u  # (n_docs, 62)
-    else:
-        sums = np.add.reduceat(bits_u[codes], starts, axis=0)
+    n_docs = len(starts)
+    drow = np.repeat(np.arange(n_docs), ends - starts)
+    sums = np.empty((n_docs, cp.SIMHASH_BITS), dtype=np.float64)
+    for c0 in range(0, n_docs, _SIMHASH_CHUNK_DOCS):
+        c1 = min(c0 + _SIMHASH_CHUNK_DOCS, n_docs)
+        lo, hi = starts[c0], ends[c1 - 1]
+        cmat = np.zeros((c1 - c0, u), dtype=np.float64)
+        np.add.at(cmat, (drow[lo:hi] - c0, codes[lo:hi]), 1.0)
+        sums[c0:c1] = cmat @ bits_u
     sim = ((sums > 0).astype(np.uint64) << np.arange(cp.SIMHASH_BITS, dtype=np.uint64)).sum(
         axis=1
     ).astype(np.int64)

@@ -81,38 +81,43 @@ class MediaDecoder:
         # n_bytes is computed upstream by media_from_documents — reuse it
         # (vectorized kernel fallback if a caller feeds a payload-only table)
         if "n_bytes" in batch.column_names:
-            n_bytes = batch.column("n_bytes").to_numpy(zero_copy_only=False)
+            n_bytes_col = batch.column("n_bytes")
         else:
-            n_bytes = pc.binary_length(payload).cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
+            n_bytes_col = pc.binary_length(payload).cast(pa.int64())
 
         # deterministic fake decode: md5-derived feature + shape metadata
-        # (one pass over the buffers; md5 itself is C-speed hashlib)
+        # (one pass over the buffers; md5 itself is C-speed hashlib).
+        # Null payloads (hostile rows) get null feature/metadata — no crash.
+        pl = payload.to_pylist()
+        valid = np.fromiter((v is not None for v in pl), dtype=bool, count=len(pl))
         fp32 = np.fromiter(
-            (int.from_bytes(hashlib.md5(v).digest()[:4], "big") for v in
-             payload.to_pylist()),
+            (0 if v is None else int.from_bytes(hashlib.md5(v).digest()[:4], "big")
+             for v in pl),
             dtype=np.int64, count=len(ids),
         )
         feat = fp32 / 2**32  # uint32 / 2^32 — exact in float64 on both sides
 
+        nb = np.nan_to_num(
+            n_bytes_col.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+        ).astype(np.int64)
         is_img = np.asarray([m == "image" for m in mt])
         is_aud = np.asarray([m == "audio" for m in mt])
-        width = np.where(is_img, 64 + n_bytes % 961, -1)
-        height = np.where(is_img, 64 + (n_bytes * 31) % 961, -1)
-        duration_ms = np.where(is_aud, 1000 + (n_bytes * 17) % 59000, -1)
-        n_frames = np.where(~is_img & ~is_aud, 1 + n_bytes % 240, -1)
+        width = np.where(is_img, 64 + nb % 961, -1)
+        height = np.where(is_img, 64 + (nb * 31) % 961, -1)
+        duration_ms = np.where(is_aud, 1000 + (nb * 17) % 59000, -1)
+        n_frames = np.where(~is_img & ~is_aud, 1 + nb % 240, -1)
 
+        invalid = ~valid
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "media_type": batch.column("media_type"),
-                "n_bytes": pa.array(n_bytes),
-                "width": pa.array(width.astype(np.int64)),
-                "height": pa.array(height.astype(np.int64)),
-                "duration_ms": pa.array(duration_ms.astype(np.int64)),
-                "n_frames": pa.array(n_frames.astype(np.int64)),
-                "feat": pa.array(feat, pa.float64()),
+                "n_bytes": n_bytes_col,
+                "width": pa.array(width.astype(np.int64), mask=invalid),
+                "height": pa.array(height.astype(np.int64), mask=invalid),
+                "duration_ms": pa.array(duration_ms.astype(np.int64), mask=invalid),
+                "n_frames": pa.array(n_frames.astype(np.int64), mask=invalid),
+                "feat": pa.array(feat, pa.float64(), mask=invalid),
             }
         )
 

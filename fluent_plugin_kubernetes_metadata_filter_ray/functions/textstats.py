@@ -104,6 +104,10 @@ def doc_fingerprint_batch(batch: pa.Table) -> pa.Table:
     md5s = np.empty(len(texts), dtype=object)
     minsh = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
+        if t is None:  # null text → null md5 / no shingles, like the SQL twin
+            md5s[i] = None
+            minsh[i] = -1
+            continue
         md5s[i] = cp.md5_hex(t)
         sh = cp.shingles(t.split(), cp.SHINGLE_K)
         minsh[i] = min((cp.w63(x) for x in sh), default=-1)

@@ -254,6 +254,9 @@ def conv_percentiles(ds):
     lens = hist["n_turns"].to_numpy(dtype=np.int64)
     out = {"n_convs": np.int64(n)}
     for q in PCTL_QS:
+        if n == 0:  # empty input: NULL percentiles, like the SQL twin
+            out[f"p{q}"] = None
+            continue
         idx = (q * (n - 1)) // 100
         out[f"p{q}"] = lens[np.searchsorted(cum, idx + 1)]
     return pd.DataFrame([out])
