@@ -9,5 +9,9 @@ Public surface:
     )
 """
 
+from .state import raypatch as _raypatch
+
+_raypatch.apply()  # Ray 2.49 hash-shuffle schema-broadcast race (see module doc)
+
 from .config import DEFAULT_CONFIG, PipelineConfig  # noqa: F401
 from .pipelines.flagship import build_enriched, read_transcripts, run_flagship  # noqa: F401

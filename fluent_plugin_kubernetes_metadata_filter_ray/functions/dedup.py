@@ -45,6 +45,15 @@ from . import corpus as cp
 # still hash-matches.  Clips are surfaced, never silent: a stats counter
 # bumps per clip (dumped to $KMETA_STATS_DIR when set) and a warning logs.
 MAX_BUCKET = 256
+# doc_ids are non-negative (datagen + scalegen offsets); -1 marks the
+# keep-the-schema-typed sentinel row threaded through the minhash joins
+SENTINEL_ID = -1
+
+
+def _drop_sentinel_pairs(batch):
+    import pyarrow.compute as _pc
+
+    return batch.filter(_pc.not_equal(batch.column("doc_a"), SENTINEL_ID))
 
 _log = logging.getLogger(__name__)
 _CLIP_STATS = Stats()  # per worker process; merged via collect_dumped_counters
@@ -374,12 +383,16 @@ def _pair_jaccard_batch(batch: pa.Table) -> pa.Table:
         inter = np.intersect1d(a, b, assume_unique=True).size
         union = a.size + b.size - inter
         j[i] = inter / union if union else 0.0
-    keep = pa.array(j >= cp.MINHASH_JACCARD_THRESHOLD)
+    da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    # the -1 sentinel pair (see q_dedup_minhash) must survive verification so
+    # the final aggregate always sees >=1 typed row; filtered after that
+    keep_np = (j >= cp.MINHASH_JACCARD_THRESHOLD) | (da == SENTINEL_ID)
+    keep = pa.array(keep_np)
     return pa.table(
         {
             "doc_a": batch.column("doc_a").filter(keep),
             "doc_b": batch.column("doc_b").filter(keep),
-            "jaccard": pa.array(j[j >= cp.MINHASH_JACCARD_THRESHOLD], pa.float64()),
+            "jaccard": pa.array(j[keep_np], pa.float64()),
         }
     )
 
@@ -415,29 +428,30 @@ def q_dedup_minhash(sf_dir: str):
     bands = ds.map_batches(
         _minhash_band_rows, batch_format="pyarrow", zero_copy_batch=True
     )
+    import ray.data as rd
+
     cand = bands.sort(["band_idx", "band_val"]).map_batches(
         _emit_pairs_sorted_block, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(_dedupe_pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
-    # materialize + empty-guard: an all-empty join side reaches the hash
-    # aggregator as schema-less partitions and acero rejects the key refs
-    # (same guard shape as q_dedup_clusters); the join is a barrier anyway,
-    # so materializing the thin pair list costs one object-store pass
-    cand = cand.materialize()
-    if cand.count() == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
+    # Lazy empty-guard: an all-empty join side reaches the hash aggregator
+    # as schema-less partitions and acero rejects the key refs.  A driver
+    # materialize()+count() here fixes that but serializes the pipeline —
+    # the corpus re-read feeding _shingle_set_rows then can't overlap the
+    # band sort (measured ~1.5x wall on the 180k-doc scale corpus).  Instead
+    # union ONE sentinel row into each join side: the sentinel pair joins
+    # only the sentinel set row, survives verification and the final
+    # aggregate (so every stage sees >=1 typed row end-to-end, even on a
+    # pair-free corpus), and a tail filter drops it.
+    cand = cand.union(rd.from_arrow(pa.table(
+        {"doc_a": pa.array([SENTINEL_ID], pa.int64()),
+         "doc_b": pa.array([SENTINEL_ID], pa.int64())}
+    )))
     sets_ = ds.map_batches(
         _shingle_set_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "s63": pa.array([b""], pa.binary())}
+    )))
     nparts = _join_partitions()
     j1 = cand.join(
         sets_, join_type="inner", num_partitions=nparts,
@@ -460,7 +474,7 @@ def q_dedup_minhash(sf_dir: str):
     )
     return verified.groupby(["doc_a", "doc_b"]).aggregate(
         AMax("jaccard", alias_name="jaccard")
-    )
+    ).map_batches(_drop_sentinel_pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _sql_shingle_cte() -> str:

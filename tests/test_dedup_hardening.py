@@ -116,6 +116,31 @@ def test_clip_counter_and_dump(tmp_path, monkeypatch):
     assert merged["lsh_bucket_clip_max_rows"] == n
 
 
+def test_minhash_zero_pairs_lazy_guard(ray_session, tmp_path):
+    """A pair-free corpus must flow the whole lazy join pipeline (sentinel
+    row keeps every stage schema-typed — no driver materialize barrier) and
+    come out empty WITH the typed 3-column schema; clusters degrade to the
+    identity assignment."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+
+    # every text is shorter than SHINGLE_K tokens -> no shingles anywhere
+    # (augmented copies included) -> zero band rows, zero candidate pairs
+    texts = [f"t{i} u{i}" for i in range(6)]
+    sf, con = _mini_sf(tmp_path, texts)
+    ds = dedup.q_dedup_minhash(sf)
+    assert ds.count() == 0
+    # (to_pandas of a fully-empty Dataset drops columns — a Ray quirk that
+    # predates the lazy guard — so assert schema on the Dataset itself)
+    assert sorted(ds.schema().names) == ["doc_a", "doc_b", "jaccard"]
+    assert con.execute(dedup.dedup_minhash_oracle_sql()).df().empty
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import corpus as cp
+
+    clusters = dedup.q_dedup_clusters(sf).to_pandas()
+    assert len(clusters) == cp.read_augmented_ids(sf).count()
+    assert (clusters["doc_id"] == clusters["canonical_id"]).all()
+    assert (clusters["is_kept"] == 1).all()
+
+
 def test_cluster_label_propagation_deep_chain(ray_session, tmp_path):
     """Sliding-window docs form a near-dup CHAIN (adjacent windows share
     most shingles, distant ones don't): min-label propagation must walk the
