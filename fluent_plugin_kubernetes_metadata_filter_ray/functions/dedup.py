@@ -147,39 +147,36 @@ def q_dedup_incremental(sf_dir: str):
 
         return fn
 
+    import ray.data as rd
+
     ds = cp.read_augmented(sf_dir)
+    # One sentinel row per join side keeps every stage schema-typed even
+    # when a split is empty (same scheme as q_dedup_minhash; the raypatch
+    # drops the schema-less empties the groupby can emit).  No driver
+    # materialize: both corpus passes stream and overlap.  The left
+    # sentinel joins nothing (novel) and is filtered in finalize; the
+    # right one matches no new row, so left_outer drops it.
     new_side = ds.map_batches(
         hash_split(False), batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).union(rd.from_arrow(pa.table(  # same column ORDER as _add_text_hash
+        {"text_hash": pa.array(["\x00sentinel_new"], pa.string()),
+         "doc_id": pa.array([SENTINEL_ID], pa.int64())}
+    )))
     ref_hashes = (
         ds.map_batches(hash_split(True), batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_hash")
         .aggregate(Count(alias_name="n_ref"))
-    ).materialize()
-    n_ref = ref_hashes.count()
-    if n_ref == 0:  # empty reference ⇒ everything is novel
-        return new_side.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": t.column("doc_id"),
-                    "text_hash": t.column("text_hash"),
-                    "is_novel": pa.array(np.ones(len(t), dtype=bool)),
-                }
-            ),
-            batch_format="pyarrow", zero_copy_batch=True,
-        )
-    # launder schema-less empty blocks: an empty partition inside the
-    # groupby emits a 0-row block with NO schema, and the acero join then
-    # rejects the key field ("No match for FieldRef") for any partition
-    # that receives it.  A map does NOT fix this (Ray passes the block
-    # through untouched); repartition rebuilds typed blocks.
-    ref_hashes = ref_hashes.repartition(max(2, min(64, n_ref // 65536 + 1)))
+    ).union(rd.from_arrow(pa.table(
+        {"text_hash": pa.array(["\x00sentinel_ref"], pa.string()),
+         "n_ref": pa.array([1], pa.int64())}
+    )))
     joined = new_side.join(
         ref_hashes, join_type="left_outer", num_partitions=_join_partitions(),
         on=("text_hash",),
     )
 
     def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("doc_id"), SENTINEL_ID))
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
