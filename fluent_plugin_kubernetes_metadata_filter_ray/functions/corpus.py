@@ -210,7 +210,13 @@ def _right_sized_blocks(path: str, rows_per_block: int = 16384) -> int:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
         cpus = 4
-    return max(2, min(2 * cpus, (rows + rows_per_block - 1) // rows_per_block))
+    by_rows = (rows + rows_per_block - 1) // rows_per_block
+    # fan out to the session's CPUs whenever each block still holds ≥2k
+    # rows: the pure rows/16k split gave the 100k-row scale corpus only 7
+    # blocks, so every downstream map stage ran 7 tasks on 32 CPUs (4/5 of
+    # the machine idle through the minhash/shingle kernels)
+    par = min(cpus, rows // 2048)
+    return max(2, min(2 * cpus, max(by_rows, par)))
 
 
 def augment_ids_batch(batch):
