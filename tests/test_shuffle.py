@@ -35,3 +35,31 @@ def test_cli_run_smoke(ray_session, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "role" in out and "n_turns" in out
+
+
+def test_hash_shuffle_empty_block_patch(ray_session):
+    """Joins whose inputs contain empty blocks must not lose the schema
+    broadcast (Ray 2.49 race: an empty FIRST block burns the one-shot
+    broadcast without typing the aggregators, and acero then rejects the
+    key refs for any partition that stays empty — state/raypatch.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+    from fluent_plugin_kubernetes_metadata_filter_ray.state import raypatch
+
+    assert raypatch._applied
+
+    def keep_seven(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column("id"), 7))
+
+    # 15 of 16 left blocks come out empty; whichever arrives first, the
+    # join must still type every partition and produce the one match
+    left = rd.range(16, override_num_blocks=16).map_batches(
+        keep_seven, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = rd.from_arrow(pa.table({"id": pa.array([7, 9], pa.int64()),
+                                    "v": pa.array([70, 90], pa.int64())}))
+    out = left.join(right, join_type="inner", num_partitions=4,
+                    on=("id",)).to_pandas()
+    assert out.to_dict("records") == [{"id": 7, "v": 70}]
