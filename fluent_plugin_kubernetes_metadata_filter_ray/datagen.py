@@ -412,12 +412,15 @@ def enrich_oracle_sql(skip: bool = False, dedot: bool = False,
     ann_sep = "_" if dedot else "."
     store_cid = "md5('cid:' || ns || '/' || pod) || md5('cid2:' || ns || '/' || pod)"
     if skip:
+        # typed NULLs: a bare NULL column comes back float64/NaN from
+        # DuckDB→pandas while the Ray side emits string nulls — same
+        # values, different physical type on the driver's compare
         container_id = "CASE WHEN matched THEN tag_did END"
-        image = "NULL"
-        image_id = "NULL"
-        labels = "NULL"
-        ns_labels = "NULL"
-        master_url = "NULL"
+        image = "CAST(NULL AS VARCHAR)"
+        image_id = "CAST(NULL AS VARCHAR)"
+        labels = "CAST(NULL AS VARCHAR)"
+        ns_labels = "CAST(NULL AS VARCHAR)"
+        master_url = "CAST(NULL AS VARCHAR)"
     else:
         container_id = f"""CASE
           WHEN cls = 'full' AND pod_i % 10 <> {C.EMPTY_CONTAINER_ID_REM} THEN {store_cid}

@@ -194,7 +194,14 @@ def turn_rates(ds):
     window counterpart of the per-sink counts.  Same combiner pushdown:
     each batch collapses to ≤(roles × hours-in-batch) rows before the
     shuffle; hour truncation is integer µs division (bit-identical to
-    DuckDB ``date_trunc`` for epoch-positive timestamps)."""
+    DuckDB ``date_trunc`` for epoch-positive timestamps).
+
+    The hour key stays int64 µs THROUGH the groupby and becomes
+    timestamp[us] only in a final map over the tiny aggregated result:
+    Ray's hash-aggregate normalizes timestamp keys to the coarsest
+    lossless unit (timestamp[us] on hour boundaries comes back
+    timestamp[s]), which would diverge from the oracle's
+    ``date_trunc`` schema on the driver's value-hash compare."""
     import pyarrow.compute as pc
 
     hour_us = 3_600_000_000
@@ -202,14 +209,23 @@ def turn_rates(ds):
     def with_hour(t: pa.Table) -> pa.Table:
         us = t.column("ts").cast(pa.int64())
         hr = pc.multiply(pc.divide(us, hour_us), hour_us)  # floor to hour
-        return pa.table(
-            {"role": t.column("role"), "hour_ts": hr.cast(pa.timestamp("us"))}
-        )
+        return pa.table({"role": t.column("role"), "hour_us": hr})
 
     bucketed = ds.select_columns(["role", "ts"]).map_batches(
         with_hour, batch_format="pyarrow", zero_copy_batch=True
     )
-    return per_key_counts(bucketed, ["role", "hour_ts"])
+    counts = per_key_counts(bucketed, ["role", "hour_us"])
+
+    def to_ts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "role": t.column("role"),
+                "hour_ts": t.column("hour_us").cast(pa.timestamp("us")),
+                "n_turns": t.column("n_turns"),
+            }
+        )
+
+    return counts.map_batches(to_ts, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def turn_rates_oracle_sql() -> str:
