@@ -40,6 +40,7 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_conv_sessions", ["conv_id", "session_idx"]),
     ("q_conv_percentiles", ["n_convs"]),
     ("q_turn_rates", ["role", "hour_ts"]),
+    ("q_log_redact", ["conv_id", "turn_idx"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
@@ -51,6 +52,40 @@ def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     duck_df = duck_df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
     assert list(ray_df.columns) == list(duck_df.columns)
     _assert_frames_equal(ray_df, duck_df, ray_df.columns)
+
+
+def test_redact_scrubs_crafted_pii(ray_session):
+    """The redaction stage must mask every pattern class on crafted rows —
+    the synthetic corpus only exercises hex ids, so emails / IPs / bearer
+    tokens are proven here — and pass nulls through as null with count 0."""
+    import pyarrow as pa
+    import ray.data
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import redact_stage
+
+    rows = pa.table({
+        "conv_id": pa.array(["c"] * 5, pa.string()),
+        "turn_idx": pa.array(range(5), pa.int32()),
+        "text": pa.array([
+            "mail me at alice.smith+dev@example.co.uk now",
+            "src 10.0.42.7 dst 192.168.1.254",
+            "Authorization: Bearer abc.DEF-123_x= done",
+            "cid " + "a1" * 32 + " and uid " + "0f" * 16,
+            None,
+        ], pa.string()),
+        "tool": pa.array(["t", None, "t", "t", None], pa.string()),
+    })
+    out = (
+        redact_stage(ray.data.from_arrow(rows))
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert out["text"][0] == "mail me at <email> now"
+    assert out["text"][1] == "src <ip> dst <ip>"
+    assert out["text"][2] == "Authorization: <secret> done"
+    assert out["text"][3] == "cid <hex> and uid <hex>"
+    assert out["text"][4] is None and out["tool"][4] is None
+    assert out["n_redacted"].tolist() == [1, 2, 1, 2, 0]
 
 
 def test_entry_smoke(ray_session):
