@@ -172,6 +172,116 @@ GROUP BY token
 """.strip()
 
 
+LM_Q = 1e9  # logprob quantization: floor(ln(p)·1e9) summed as exact int64
+LM_KEEP_MIN = -3.6  # avg-ln-prob gate (unigram; ≈ppl 36.6 cutoff)
+
+
+def _lm_side(sf_dir: str) -> dict:
+    """Corpus unigram model: token → quantized logprob (int64), plus the
+    OOV floor.  Pass 1 of the KenLM-style perplexity filter: the vocab is
+    |V| ≪ corpus by construction (same combiner shape as token_freq), so
+    collecting it to the driver and broadcasting via ``ray.put`` is the
+    scale play — the corpus itself never shuffles.
+
+    Determinism: per-token lq = floor(ln(c/N)·1e9) with math.log (libm,
+    bit-identical to DuckDB ``ln``) in the exact operand order the SQL twin
+    uses; int64 sums are exact, so doc scores match the oracle bit-for-bit
+    (the float-sum-order trap simsearch._qdots documents)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = cp.read_documents(sf_dir).map_batches(
+        token_freq_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vocab = ds.groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    n_total = int(vocab["n"].sum())
+    lq = {
+        t: math.floor(math.log(int(c) / n_total) * LM_Q)
+        for t, c in zip(vocab["token"], vocab["n"])
+    }
+    oov = math.floor(math.log(1.0 / n_total) * LM_Q)
+    return {"lq": lq, "oov": oov}
+
+
+def lm_score_stage(ds, side_ref):
+    """Pass 2: per-doc unigram log-likelihood against the broadcast model.
+    Task closure (state is just the broadcast ref — per-task ray.get is a
+    local object-store hit); vectorized map/groupby per batch, no shuffle."""
+    import ray
+
+    def fn(batch: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        s = pd.Series(batch.column("text").to_pandas())
+        toks = s.str.strip().str.split()
+        n_tokens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        if len(ex):
+            lqs = ex.map(side["lq"]).fillna(side["oov"]).astype(np.int64)
+            sums = (
+                lqs.groupby(level=0).sum().reindex(s.index, fill_value=0)
+            ).to_numpy(dtype=np.int64)
+        else:
+            sums = np.zeros(len(s), dtype=np.int64)
+        nt = np.where(n_tokens > 0, n_tokens, 1).astype(np.float64)
+        avg = np.where(n_tokens > 0, (sums.astype(np.float64) / nt) / LM_Q, 0.0)
+        keep = (n_tokens > 0) & (avg >= LM_KEEP_MIN)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens),
+                "logprob_q": pa.array(sums),
+                "avg_logprob": pa.array(avg),
+                "lm_keep": pa.array(keep),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Unigram-LM quality scoring (KenLM-style perplexity filter): pass 1
+    builds the corpus unigram model, pass 2 scores every doc against the
+    broadcast model and gates on average log-probability."""
+    import ray
+
+    side_ref = ray.put(_lm_side(sf_dir))
+    return lm_score_stage(cp.read_documents(sf_dir), side_ref)
+
+
+def doc_lm_score_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({cp.SQL_TOKS.format(t='text')}) AS token FROM documents
+),
+freq AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+n AS (SELECT sum(c)::BIGINT AS n FROM freq),
+lp AS (
+  SELECT token, floor(ln(c::DOUBLE / n.n) * {LM_Q:.0f}.0)::BIGINT AS lq
+  FROM freq CROSS JOIN n
+),
+doc_sums AS (
+  SELECT tok.doc_id, count(*)::BIGINT AS n_tokens, sum(lp.lq)::BIGINT AS logprob_q
+  FROM tok JOIN lp USING (token) GROUP BY tok.doc_id
+),
+alldocs AS (
+  SELECT d.doc_id,
+    coalesce(s.n_tokens, 0) AS n_tokens,
+    coalesce(s.logprob_q, 0) AS logprob_q
+  FROM documents d LEFT JOIN doc_sums s USING (doc_id)
+)
+SELECT doc_id, n_tokens, logprob_q,
+  CASE WHEN n_tokens > 0
+       THEN (logprob_q::DOUBLE / n_tokens::DOUBLE) / {LM_Q:.0f}.0
+       ELSE 0.0 END AS avg_logprob,
+  (n_tokens > 0 AND
+   CASE WHEN n_tokens > 0
+        THEN (logprob_q::DOUBLE / n_tokens::DOUBLE) / {LM_Q:.0f}.0
+        ELSE 0.0 END >= {LM_KEEP_MIN}) AS lm_keep
+FROM alldocs
+""".strip()
+
+
 def normalize_batch(batch: pa.Table) -> pa.Table:
     """Canonical text normalization: trim, lowercase, collapse internal
     whitespace — pure pyarrow kernels, zero Python per row."""

@@ -11,6 +11,7 @@ SORT_KEYS = {
     "q_doc_fingerprint": ["doc_id"],
     "q_token_freq": ["token"],
     "q_doc_normalize": ["doc_id"],
+    "q_doc_lm_score": ["doc_id"],
     "q_doc_sample": ["doc_id"],
     "q_doc_sample_stratified": ["source", "doc_id"],
     "q_doc_quality_filter": ["doc_id"],
