@@ -34,6 +34,8 @@ from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
     top_convs_oracle_sql,
     turn_rates,
     turn_rates_oracle_sql,
+    turn_rolling,
+    turn_rolling_oracle_sql,
 )
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import (
@@ -109,6 +111,10 @@ def _q_turn_rates(sf_dir: str):
     return turn_rates(flagship.read_transcripts(sf_dir))
 
 
+def _q_turn_rolling(sf_dir: str):
+    return turn_rolling(flagship.read_transcripts(sf_dir))
+
+
 def _q_log_redact(sf_dir: str):
     from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import redact_stage
     return redact_stage(flagship.read_transcripts(sf_dir))
@@ -128,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conv_sessions": _q_conv_sessions,
         "q_conv_percentiles": _q_conv_percentiles,
         "q_turn_rates": _q_turn_rates,
+        "q_turn_rolling": _q_turn_rolling,
         "q_log_redact": _q_log_redact,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
@@ -149,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
         "q_conv_sessions": conv_sessions_oracle_sql(),
         "q_conv_percentiles": conv_percentiles_oracle_sql(),
         "q_turn_rates": turn_rates_oracle_sql(),
+        "q_turn_rolling": turn_rolling_oracle_sql(),
         "q_log_redact": _redact_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry

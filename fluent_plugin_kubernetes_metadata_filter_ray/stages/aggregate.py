@@ -238,6 +238,58 @@ FROM transcripts_t GROUP BY role, date_trunc('hour', ts)
 """.strip()
 
 
+ROLLING_WINDOW_S = 3600  # trailing 1h
+
+
+def turn_rolling(ds):
+    """Sliding-window rate per turn: for every turn, the count of turns in
+    the same conversation whose ts falls in the trailing ROLLING_WINDOW_S
+    seconds — SQL RANGE-frame semantics (current row and its ts-peers
+    included), the per-record burst-rate signal a log pipeline tags events
+    with (rate limiting, anomaly flags).
+
+    Ray shape: ``groupby(conv_id).map_groups`` with a vectorized
+    twin-``searchsorted`` kernel over the group's sorted int64-µs
+    timestamps — O(n log n) per conversation, no Python row loop.  Same
+    partitioning assumption as the other per-conv windows (one conv fits a
+    worker); the shuffle carries 3 thin columns."""
+    import numpy as np
+
+    need = ["conv_id", "turn_idx", "ts"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+    win_us = ROLLING_WINDOW_S * 1_000_000
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_sorted = np.sort(ts)
+        lo = np.searchsorted(ts_sorted, ts - win_us, side="left")
+        hi = np.searchsorted(ts_sorted, ts, side="right")
+        return pa.table(
+            {
+                "conv_id": g.column("conv_id"),
+                "turn_idx": g.column("turn_idx"),
+                "ts": g.column("ts"),
+                "n_last_hour": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+
+
+def turn_rolling_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, ts,
+  count(*) OVER (PARTITION BY conv_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL {ROLLING_WINDOW_S} SECONDS PRECEDING
+                 AND CURRENT ROW)::BIGINT AS n_last_hour
+FROM transcripts_t
+""".strip()
+
+
 PCTL_QS = (50, 90, 99)
 
 

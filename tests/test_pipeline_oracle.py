@@ -41,6 +41,7 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_conv_percentiles", ["n_convs"]),
     ("q_turn_rates", ["role", "hour_ts"]),
     ("q_log_redact", ["conv_id", "turn_idx"]),
+    ("q_turn_rolling", ["conv_id", "turn_idx"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
