@@ -110,6 +110,15 @@ def run_bench() -> dict:
         flagship.build_enriched(SF_DIR, rep=REP).count()
         queries["parse_enrich"] = time.perf_counter() - t0
 
+        # record scrubbing over the replicated transcripts (RE2 mask pass)
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import (
+            redact_stage,
+        )
+
+        t0 = time.perf_counter()
+        redact_stage(flagship.read_transcripts(SF_DIR, rep=REP)).count()
+        queries["redact_only"] = time.perf_counter() - t0
+
         # windowed sessionization over the replicated transcripts
         from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
             conv_sessions,
