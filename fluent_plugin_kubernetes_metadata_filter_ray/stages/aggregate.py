@@ -118,6 +118,38 @@ FROM transcripts_t GROUP BY conv_id
 SESSION_GAP_S = 21600  # 6h inter-turn gap ⇒ new session
 
 
+# Ray's map_groups SORTS the group keys, and a null key breaks the numpy
+# object-dtype comparator (None < str TypeError).  SQL PARTITION BY puts
+# all NULL keys in one group — mirror that by masking nulls to a sentinel
+# before the groupby and unmasking in the kernel's output.
+_NULL_KEY = "\x00\x00null-key"
+
+
+def _mask_null_key(ds, col: str):
+    import pyarrow.compute as pc
+
+    def fill(t: pa.Table) -> pa.Table:
+        c = t.column(col)
+        if c.null_count:
+            t = t.set_column(
+                t.column_names.index(col), col, pc.fill_null(c, _NULL_KEY)
+            )
+        return t
+
+    return ds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _unmask_null_key(col):
+    """Group-key column → output column with the sentinel restored to null.
+    All rows in a map_groups block share one key, so rebuild from the
+    scalar (compute kernels over the zero-copy group SLICE hit a pyarrow
+    sliced-offsets bug: 'First or last binary offset out of bounds')."""
+    key = col[0].as_py() if len(col) else None
+    if key == _NULL_KEY:
+        return pa.nulls(len(col), pa.string())
+    return pa.array([key] * len(col), pa.string())
+
+
 def conv_sessions(ds):
     """Windowed sessionization — the gap-based streaming-window operator a
     log pipeline needs (per north_star: custom windowed aggregate): within
@@ -152,9 +184,12 @@ def conv_sessions(ds):
         n_turns = np.diff(np.r_[starts, len(ts_s)])
         ends = starts + n_turns - 1
         n = len(starts)
+        cid = g.column("conv_id")[0].as_py()
         return pa.table(
             {
-                "conv_id": pa.array([g.column("conv_id")[0].as_py()] * n, pa.string()),
+                "conv_id": pa.array(
+                    [None if cid == _NULL_KEY else cid] * n, pa.string()
+                ),
                 "session_idx": pa.array(sess[starts], pa.int64()),
                 "n_turns": pa.array(n_turns, pa.int64()),
                 "t_start": pa.array(ts_s[starts], pa.int64()).cast(pa.timestamp("us")),
@@ -162,6 +197,7 @@ def conv_sessions(ds):
             }
         )
 
+    ds = _mask_null_key(ds, "conv_id")
     return ds.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
 
 
@@ -267,13 +303,14 @@ def turn_rolling(ds):
         hi = np.searchsorted(ts_sorted, ts, side="right")
         return pa.table(
             {
-                "conv_id": g.column("conv_id"),
+                "conv_id": _unmask_null_key(g.column("conv_id")),
                 "turn_idx": g.column("turn_idx"),
                 "ts": g.column("ts"),
                 "n_last_hour": pa.array(hi - lo, pa.int64()),
             }
         )
 
+    ds = _mask_null_key(ds, "conv_id")
     return ds.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
 
 

@@ -72,3 +72,72 @@ def test_hostile_rows_pass_through_unenriched(ray_session, tmp_path):
     hostile = out[~matched]
     for col in ("k8s_pod_name", "k8s_namespace_name", "k8s_container_name"):
         assert hostile[col].isna().all()
+
+
+def test_hostile_rows_window_and_redact(ray_session, tmp_path):
+    """The windowed and scrubbing stages must survive the same hostile rows:
+    null conv_id forms its own group, null text/tool stay null, nothing
+    dropped."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        conv_sessions,
+        turn_rolling,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import redact_stage
+
+    ds = ray.data.read_parquet(_hostile_dir(tmp_path))
+
+    rolled = turn_rolling(ds).to_pandas()
+    assert len(rolled) == 6
+    # the null conv_id row survives the groupby (as one SQL-style group)
+    assert rolled["conv_id"].isna().sum() == 1
+    # all six rows share one ts → each conv's rows count only themselves
+    assert rolled.groupby("conv_id", dropna=False)["n_last_hour"].max().le(2).all()
+    assert rolled["n_last_hour"].ge(1).all()
+
+    sessions = conv_sessions(ds).to_pandas()
+    # one session per conv (all at one ts), incl. the null-conv group
+    assert len(sessions) == 5 and sessions["conv_id"].isna().sum() == 1
+    assert sessions["n_turns"].sum() == 6
+
+    scrubbed = redact_stage(ds).to_pandas()
+    assert len(scrubbed) == 6
+    nulls = scrubbed["text"].isna()
+    assert nulls.sum() == 1 and scrubbed.loc[~nulls, "text"].notna().all()
+    # the 64-hex docker id in the tool tag is masked; null tool stays null
+    assert scrubbed["tool"].str.contains("0" * 64).fillna(False).sum() == 0
+    assert (scrubbed["n_redacted"] >= 0).all()
+
+
+def test_hostile_docs_lm_score(ray_session, tmp_path):
+    """LM scoring over docs with null / empty / whitespace-only text: rows
+    flow through with n_tokens 0, score 0, keep False."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import textstats
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b a", None, "", "   "], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+    side_ref = ray.put(textstats._lm_side(d))
+    import ray.data
+    out = (
+        textstats.lm_score_stage(ray.data.read_parquet(f"{d}/documents.parquet"), side_ref)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_tokens"].tolist() == [3, 0, 0, 0]
+    assert (out.loc[1:, "logprob_q"] == 0).all()
+    assert out["lm_keep"].tolist()[1:] == [False, False, False]
+    assert out["lm_keep"][0]  # p(a)=2/3, p(b)=1/3 → avg ln ≈ -0.5 > gate
