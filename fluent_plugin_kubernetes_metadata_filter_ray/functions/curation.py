@@ -304,7 +304,11 @@ def _token_count_batch(batch: pa.Table) -> pa.Table:
 
 
 def _pack_group(df: pd.DataFrame) -> pd.DataFrame:
+    from ..stages.aggregate import _NULL_KEY
+
     df = df.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+    if len(df) and df["source"].iat[0] == _NULL_KEY:
+        df["source"] = None  # restore the SQL-style null stratum
     n = df["n_tokens"].to_numpy(dtype=np.int64)
     off = np.concatenate(([0], np.cumsum(n)[:-1]))
     df["pack_offset"] = off
@@ -316,10 +320,14 @@ def q_doc_pack(sf_dir: str):
     """Concat-and-chunk packing per source: docs (ordered by doc_id) laid
     head-to-tail, cut every PACK_TARGET tokens; a doc belongs to the chunk
     its first token falls in."""
+    from ..stages.aggregate import _mask_null_key
+
     ds = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
         _token_count_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    return ds.groupby("source").map_groups(_pack_group, batch_format="pandas")
+    return _mask_null_key(ds, "source").groupby("source").map_groups(
+        _pack_group, batch_format="pandas"
+    )
 
 
 def doc_pack_oracle_sql() -> str:

@@ -54,14 +54,27 @@ SELECT doc_id, text FROM documents WHERE ({w32} % 100) < {SAMPLE_PCT}
 
 
 def _head_k(group: pa.Table) -> pa.Table:
+    from ..stages.aggregate import _unmask_null_key
+
     order = np.argsort(group.column("doc_id").to_numpy(zero_copy_only=False), kind="stable")
-    return group.take(pa.array(order[:STRATA_K]))
+    out = group.take(pa.array(order[:STRATA_K]))
+    return out.set_column(
+        out.column_names.index("source"),
+        "source",
+        _unmask_null_key(out.column("source")),
+    )
 
 
 def q_doc_sample_stratified(sf_dir: str):
-    """First-k docs (by doc_id) per source stratum."""
+    """First-k docs (by doc_id) per source stratum.  A null source is one
+    SQL-style stratum (sentinel-masked around the groupby: Ray's
+    map_groups key sort rejects null keys)."""
+    from ..stages.aggregate import _mask_null_key
+
     ds = cp.read_documents(sf_dir, columns=("doc_id", "source"))
-    return ds.groupby("source").map_groups(_head_k, batch_format="pyarrow")
+    return _mask_null_key(ds, "source").groupby("source").map_groups(
+        _head_k, batch_format="pyarrow"
+    )
 
 
 def doc_sample_stratified_oracle_sql() -> str:

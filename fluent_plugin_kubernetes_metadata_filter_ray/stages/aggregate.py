@@ -147,7 +147,7 @@ def _unmask_null_key(col):
     key = col[0].as_py() if len(col) else None
     if key == _NULL_KEY:
         return pa.nulls(len(col), pa.string())
-    return pa.array([key] * len(col), pa.string())
+    return col  # untouched groups pay nothing
 
 
 def conv_sessions(ds):

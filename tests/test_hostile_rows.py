@@ -110,6 +110,37 @@ def test_hostile_rows_window_and_redact(ray_session, tmp_path):
     assert (scrubbed["n_redacted"] >= 0).all()
 
 
+def test_hostile_docs_null_source_strata(ray_session, tmp_path):
+    """Docs with a null source form one SQL-style stratum in the
+    source-keyed map_groups operators instead of crashing the key sort."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import curation, sampling
+
+    d = str(tmp_path / "nsdocs")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a b", "c", "d e f", "g"], pa.string()),
+            "source": pa.array(["web", None, None, "web"], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+
+    strat = sampling.q_doc_sample_stratified(d).to_pandas()
+    assert len(strat) == 4  # k ≥ group sizes → everything kept
+    assert strat["source"].isna().sum() == 2
+
+    packed = curation.q_doc_pack(d).to_pandas().sort_values("doc_id")
+    assert len(packed) == 4
+    assert packed["source"].isna().sum() == 2
+    # null stratum packs independently: doc 2 at offset 0, doc 3 at 1
+    assert packed.set_index("doc_id")["pack_offset"].loc[[2, 3]].tolist() == [0, 1]
+
+
 def test_hostile_docs_lm_score(ray_session, tmp_path):
     """LM scoring over docs with null / empty / whitespace-only text: rows
     flow through with n_tokens 0, score 0, keep False."""
