@@ -26,6 +26,7 @@ def queries() -> dict:
         "q_ann_topk": simsearch.q_ann_topk,
         "q_embed_neardup": simsearch.q_embed_neardup,
         "q_embed_neardup_lsh": simsearch.q_embed_neardup_lsh,
+        "q_embed_centroids": simsearch.q_embed_centroids,
         "q_ann_lsh": simsearch.q_ann_lsh,
         "q_ann_ivf": simsearch.q_ann_ivf,
         "q_media_decode": multimodal.q_media_decode,
@@ -56,6 +57,7 @@ def oracle_sql() -> dict:
         "q_ann_topk": simsearch.ann_topk_oracle_sql(),
         "q_embed_neardup": simsearch.embed_neardup_oracle_sql(),
         "q_embed_neardup_lsh": simsearch.embed_neardup_lsh_oracle_sql(),
+        "q_embed_centroids": simsearch.embed_centroids_oracle_sql(),
         # approximate ANN, but fully deterministic (md5 grids + integer-
         # quantized bucket decisions) ⇒ exact twins since round 2
         "q_ann_lsh": simsearch.ann_lsh_oracle_sql(),

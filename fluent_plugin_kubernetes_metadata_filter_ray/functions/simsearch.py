@@ -782,3 +782,83 @@ SELECT vec_a, vec_b,
 FROM cand JOIN ed a ON a.vec_id = vec_a JOIN ed b ON b.vec_id = vec_b
 WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_COS_THRESHOLD}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (data-cartography / cluster-stats primitive)
+
+CENTROID_Q = 1e9  # element quantization: floor(x·1e9) summed as exact int64
+
+
+def _centroid_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: quantized element sums per label — the shuffle
+    carries ≤ |labels|·dim short rows per batch (long format: one row per
+    (label, dim)), never the vectors themselves."""
+    lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    m = m.reshape(len(lab), -1)
+    q = np.floor(m * CENTROID_Q).astype(np.int64)
+    order = np.argsort(lab, kind="stable")
+    lab_s, q_s = lab[order], q[order]
+    starts = np.flatnonzero(np.r_[1, np.diff(lab_s) != 0])
+    labels_u = lab_s[starts]
+    sums = np.add.reduceat(q_s, starts, axis=0)  # (k, dim)
+    counts = np.diff(np.r_[starts, len(lab_s)])
+    k, dim = sums.shape
+    return pa.table(
+        {
+            "label": pa.array(np.repeat(labels_u, dim)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
+            "qsum": pa.array(sums.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(counts.astype(np.int64), dim)),
+        }
+    )
+
+
+def q_embed_centroids(sf_dir: str):
+    """Element-wise mean embedding per label, long format (label, dim):
+    combiner pushdown inside ``map_batches`` (quantized int64 partial sums
+    — exact under any summation order, unlike float sums), then a tiny
+    ``groupby(label, dim)`` Sum and a final stateless divide."""
+    from ray.data.aggregate import Sum
+
+    ds = cp.read_embeddings(sf_dir, columns=("vec_id", "embedding", "label"))
+    partials = ds.map_batches(
+        _centroid_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby(["label", "dim"]).aggregate(
+        Sum("qsum", alias_name="qsum"), Sum("n_vecs", alias_name="n_vecs")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        q = t.column("qsum").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": t.column("dim"),
+                "n_vecs": t.column("n_vecs"),
+                "centroid": pa.array((q / n) / CENTROID_Q),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embed_centroids_oracle_sql() -> str:
+    return f"""
+WITH dims AS (SELECT DISTINCT unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings),
+el AS (
+  SELECT e.label::BIGINT AS label, d.dim::BIGINT AS dim,
+    floor(e.embedding[d.dim]::DOUBLE * {CENTROID_Q:.0f}.0)::BIGINT AS qx
+  FROM embeddings e CROSS JOIN dims d
+)
+SELECT label, dim,
+  count(*)::BIGINT AS n_vecs,
+  (sum(qx)::DOUBLE / count(*)::DOUBLE) / {CENTROID_Q:.0f}.0 AS centroid
+FROM el GROUP BY label, dim
+""".strip()

@@ -24,6 +24,7 @@ SORT_KEYS = {
     "q_ann_lsh": ["query_id", "rank"],
     "q_ann_ivf": ["query_id", "rank"],
     "q_embed_neardup": ["vec_a", "vec_b"],
+    "q_embed_centroids": ["label", "dim"],
     "q_embed_neardup_lsh": ["vec_a", "vec_b"],
     "q_media_decode": ["doc_id"],
     "q_doc_embed_join": ["doc_id"],
