@@ -322,3 +322,97 @@ def q_doc_fingerprint(sf_dir: str):
     return cp.read_documents(sf_dir).map_batches(
         doc_fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed heavy hitters (frequent tokens ≥ HH_FRAC of the corpus)
+
+HH_FRAC = 0.03  # heavy = token frequency ≥ 3% of all tokens
+_HH_TOTAL = "\x00total"  # sentinel row carrying each batch's token total
+
+
+def _hh_candidate_partial(batch: pa.Table) -> pa.Table:
+    """Pass 1: per-batch candidate generation.  Pigeonhole: a token with
+    global frequency ≥ s·N must be locally ≥ s·n_b in at least one batch,
+    so emitting only locally-heavy tokens (plus a total-count sentinel)
+    loses no true heavy hitter.  This bounds the shuffle to candidates —
+    the whole point at 10^10-token vocabularies where token_freq's full
+    |vocab| exchange stops being 'small'."""
+    vc = token_freq_partial(batch)
+    n = vc.column("n").to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    keep = n >= HH_FRAC * total
+    return pa.table(
+        {
+            "token": pa.concat_arrays(
+                [
+                    vc.column("token").combine_chunks()
+                    if isinstance(vc.column("token"), pa.ChunkedArray)
+                    else vc.column("token"),
+                    pa.array([_HH_TOTAL], pa.string()),
+                ]
+            ).filter(pa.array(np.r_[keep, True])),
+            "n": pa.array(np.r_[n, total][np.r_[keep, True]].astype(np.int64)),
+        }
+    )
+
+
+def q_token_heavy(sf_dir: str):
+    """Exact heavy hitters: candidate pass (locally-heavy tokens only cross
+    the wire) → driver collects the tiny candidate set + corpus token total
+    → broadcast membership → exact-count pass over candidates → threshold.
+    Both passes are combiner-pushed ``map_batches``; the corpus never
+    shuffles raw tokens."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    cand = (
+        cp.read_documents(sf_dir)
+        .map_batches(_hh_candidate_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # candidates ≤ 1/s per batch — small by construction
+    )
+    n_total = int(cand.loc[cand["token"] == _HH_TOTAL, "n"].sum())
+    cand_set = set(cand.loc[cand["token"] != _HH_TOTAL, "token"])
+    thresh = math.ceil(HH_FRAC * n_total)
+    side_ref = ray.put(cand_set)
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        side = ray.get(side_ref)
+        vc = token_freq_partial(batch)
+        mask = pa.array([t in side for t in vc.column("token").to_pylist()])
+        return vc.filter(mask)
+
+    counts = (
+        cp.read_documents(sf_dir)
+        .map_batches(exact_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        keep = n >= thresh
+        out = t.filter(pa.array(keep))
+        frac = out.column("n").to_numpy(zero_copy_only=False).astype(np.float64) / n_total
+        return pa.table(
+            {"token": out.column("token"), "n": out.column("n"), "frac": pa.array(frac)}
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_heavy_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT unnest({cp.SQL_TOKS.format(t='text')}) AS token FROM documents
+),
+n AS (SELECT count(*)::BIGINT AS n FROM tok)
+SELECT token, count(*)::BIGINT AS n,
+  count(*)::DOUBLE / (SELECT n FROM n) AS frac
+FROM tok GROUP BY token
+HAVING count(*) >= ceil({HH_FRAC} * (SELECT n FROM n))
+""".strip()
