@@ -795,6 +795,15 @@ def _centroid_partial(batch: pa.Table) -> pa.Table:
     carries ≤ |labels|·dim short rows per batch (long format: one row per
     (label, dim)), never the vectors themselves."""
     lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    if not len(lab):  # empty block: reshape(0, -1) is a numpy error
+        return pa.table(
+            {
+                "label": pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "qsum": pa.array([], pa.int64()),
+                "n_vecs": pa.array([], pa.int64()),
+            }
+        )
     emb = batch.column("embedding")
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()

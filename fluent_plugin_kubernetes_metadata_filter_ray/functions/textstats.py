@@ -195,7 +195,9 @@ def _lm_side(sf_dir: str) -> dict:
         token_freq_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     vocab = ds.groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
-    n_total = int(vocab["n"].sum())
+    n_total = int(vocab["n"].sum()) if len(vocab) else 0
+    if n_total == 0:  # empty / all-blank corpus: no model, nothing scores
+        return {"lq": {}, "oov": 0}
     lq = {
         t: math.floor(math.log(int(c) / n_total) * LM_Q)
         for t, c in zip(vocab["token"], vocab["n"])
@@ -383,7 +385,9 @@ def q_token_heavy(sf_dir: str):
     def exact_partial(batch: pa.Table) -> pa.Table:
         side = ray.get(side_ref)
         vc = token_freq_partial(batch)
-        mask = pa.array([t in side for t in vc.column("token").to_pylist()])
+        mask = pa.array(
+            [t in side for t in vc.column("token").to_pylist()], pa.bool_()
+        )
         return vc.filter(mask)
 
     counts = (

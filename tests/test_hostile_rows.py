@@ -141,6 +141,55 @@ def test_hostile_docs_null_source_strata(ray_session, tmp_path):
     assert packed.set_index("doc_id")["pack_offset"].loc[[2, 3]].tolist() == [0, 1]
 
 
+def test_blank_corpus_lm_and_heavy(ray_session, tmp_path):
+    """An all-blank corpus (no tokens anywhere) must produce an empty model
+    (no ZeroDivision on ln(1/0)) and zero heavy hitters, not a crash."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import textstats
+
+    d = str(tmp_path / "blankdocs")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["", "   "], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+
+    side = textstats._lm_side(d)
+    assert side == {"lq": {}, "oov": 0}
+    scored = textstats.q_doc_lm_score(d).to_pandas()
+    assert scored["n_tokens"].tolist() == [0, 0]
+    assert not scored["lm_keep"].any()
+
+    heavy = textstats.q_token_heavy(d)
+    assert heavy.count() == 0
+
+
+def test_centroid_partial_empty_block():
+    """Empty blocks reach map_batches kernels mid-stream; the centroid
+    combiner must emit a typed empty partial, not die in reshape(0, -1)."""
+    import pyarrow as pa
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.simsearch import (
+        _centroid_partial,
+    )
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "embedding": pa.array([], pa.list_(pa.float32())),
+            "label": pa.array([], pa.int32()),
+        }
+    )
+    out = _centroid_partial(empty)
+    assert len(out) == 0
+    assert out.schema.field("qsum").type == pa.int64()
+
+
 def test_hostile_docs_lm_score(ray_session, tmp_path):
     """LM scoring over docs with null / empty / whitespace-only text: rows
     flow through with n_tokens 0, score 0, keep False."""
