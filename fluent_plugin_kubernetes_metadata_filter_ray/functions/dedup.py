@@ -202,6 +202,95 @@ FROM newd n LEFT JOIN ref r USING (text_hash)
 """.strip()
 
 
+def q_dedup_incremental_fuzzy(sf_dir: str):
+    """FUZZY crawl-N vs crawl-N-1 dedup: flag new docs that NEAR-duplicate
+    (Jaccard ≥ threshold) any reference-split doc — the production form of
+    incremental dedup, where re-crawled pages differ by boilerplate.
+
+    Composition: the banded-LSH pair pipeline (q_dedup_minhash) already
+    finds all verified near-dup pairs across the whole corpus; this op
+    keeps only cross-split pairs, combines them per new doc, and
+    left-joins the flag onto the new split.  Everything streams — the
+    extra stages beyond the pair pipeline shuffle only (doc_id, count)
+    rows."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pairs = q_dedup_minhash(sf_dir)
+
+    def cross_partial(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        a_ref = a % INCR_REF_MOD == 0
+        b_ref = b % INCR_REF_MOD == 0
+        new_ids = np.concatenate([b[a_ref & ~b_ref], a[~a_ref & b_ref]])
+        ids_u, counts = np.unique(new_ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_u.astype(np.int64)),
+                "n_ref_matches": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    # sentinel keeps the aggregate/join side typed on a pair-free corpus
+    # (same scheme as q_dedup_minhash); doc_id=-1 never joins a real row
+    matches = (
+        pairs.map_batches(cross_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+             "n_ref_matches": pa.array([0], pa.int64())}
+        )))
+        .groupby("doc_id")
+        .aggregate(Sum("n_ref_matches", alias_name="n_ref_matches"))
+    )
+
+    def new_ids(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids[ids % INCR_REF_MOD != 0].astype(np.int64))}
+        )
+
+    newd = cp.read_augmented(sf_dir).map_batches(
+        new_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = newd.join(
+        matches, join_type="left_outer", num_partitions=_join_partitions(),
+        on=("doc_id",),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        n = pc_.coalesce(t.column("n_ref_matches"), pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_ref_matches": n,
+                "is_fuzzy_dup": pc_.greater(n, 0),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_incremental_fuzzy_oracle_sql() -> str:
+    return f"""
+WITH {cp.AUG_DOCS_CTE},
+pairs AS (SELECT doc_a, doc_b FROM ({dedup_minhash_oracle_sql()}) p),
+crossm AS (
+  SELECT CASE WHEN doc_a % {INCR_REF_MOD} = 0 THEN doc_b ELSE doc_a END AS doc_id
+  FROM pairs
+  WHERE (doc_a % {INCR_REF_MOD} = 0) <> (doc_b % {INCR_REF_MOD} = 0)
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n FROM crossm GROUP BY doc_id),
+newd AS (SELECT doc_id FROM docs_aug WHERE doc_id % {INCR_REF_MOD} <> 0)
+SELECT n.doc_id,
+  coalesce(a.n, 0) AS n_ref_matches,
+  coalesce(a.n, 0) > 0 AS is_fuzzy_dup
+FROM newd n LEFT JOIN agg a USING (doc_id)
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

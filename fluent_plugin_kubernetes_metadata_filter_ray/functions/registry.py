@@ -21,6 +21,7 @@ def queries() -> dict:
         "q_doc_quality_filter": sampling.q_doc_quality_filter,
         "q_dedup_exact": dedup.q_dedup_exact,
         "q_dedup_incremental": dedup.q_dedup_incremental,
+        "q_dedup_incremental_fuzzy": dedup.q_dedup_incremental_fuzzy,
         "q_dedup_minhash": dedup.q_dedup_minhash,
         "q_dedup_simhash": dedup.q_dedup_simhash,
         "q_dedup_clusters": dedup.q_dedup_clusters,
@@ -53,6 +54,7 @@ def oracle_sql() -> dict:
         "q_doc_quality_filter": sampling.doc_quality_filter_oracle_sql(),
         "q_dedup_exact": dedup.dedup_exact_oracle_sql(),
         "q_dedup_incremental": dedup.dedup_incremental_oracle_sql(),
+        "q_dedup_incremental_fuzzy": dedup.dedup_incremental_fuzzy_oracle_sql(),
         "q_dedup_minhash": dedup.dedup_minhash_oracle_sql(),
         "q_dedup_simhash": dedup.dedup_simhash_oracle_sql(),
         "q_dedup_clusters": dedup.dedup_clusters_oracle_sql(),

@@ -18,6 +18,7 @@ SORT_KEYS = {
     "q_doc_quality_filter": ["doc_id"],
     "q_dedup_exact": ["text_hash"],
     "q_dedup_incremental": ["doc_id"],
+    "q_dedup_incremental_fuzzy": ["doc_id"],
     "q_dedup_minhash": ["doc_a", "doc_b"],
     "q_dedup_simhash": ["doc_a", "doc_b"],
     "q_dedup_clusters": ["doc_id"],
