@@ -277,6 +277,18 @@ FROM transcripts_t GROUP BY role, date_trunc('hour', ts)
 ROLLING_WINDOW_S = 3600  # trailing 1h
 
 
+def rolling_counts(ts, win_us: int):
+    """Per element of ``ts`` (int64 µs, any order): how many elements fall
+    in [t - win_us, t] — SQL RANGE-frame semantics, current row and its
+    ts-peers included.  Twin-searchsorted over one sort: O(n log n)."""
+    import numpy as np
+
+    ts_sorted = np.sort(ts)
+    lo = np.searchsorted(ts_sorted, ts - win_us, side="left")
+    hi = np.searchsorted(ts_sorted, ts, side="right")
+    return hi - lo
+
+
 def turn_rolling(ds):
     """Sliding-window rate per turn: for every turn, the count of turns in
     the same conversation whose ts falls in the trailing ROLLING_WINDOW_S
@@ -298,15 +310,12 @@ def turn_rolling(ds):
 
     def per_conv(g: pa.Table) -> pa.Table:
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ts_sorted = np.sort(ts)
-        lo = np.searchsorted(ts_sorted, ts - win_us, side="left")
-        hi = np.searchsorted(ts_sorted, ts, side="right")
         return pa.table(
             {
                 "conv_id": _unmask_null_key(g.column("conv_id")),
                 "turn_idx": g.column("turn_idx"),
                 "ts": g.column("ts"),
-                "n_last_hour": pa.array(hi - lo, pa.int64()),
+                "n_last_hour": pa.array(rolling_counts(ts, win_us), pa.int64()),
             }
         )
 

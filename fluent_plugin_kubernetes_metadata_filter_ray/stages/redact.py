@@ -35,32 +35,37 @@ REDACT_PATTERNS: list[tuple[str, str, str]] = [
 _REDACT_COLUMNS = ("text", "tool")
 
 
-def redact_stage(ds, columns: tuple[str, ...] = _REDACT_COLUMNS):
+def scrub_table(t: pa.Table, columns: tuple[str, ...] = _REDACT_COLUMNS) -> pa.Table:
     """Scrub ``columns`` in place and append an ``n_redacted`` audit count.
 
     Null values pass through as null (count 0), matching SQL semantics —
-    the hostile-row guarantee the rest of the pipeline makes.
-    """
+    the hostile-row guarantee the rest of the pipeline makes.  Counts are
+    taken on the ORIGINAL value; replacements apply in REDACT_PATTERNS
+    order (replacement tokens are chosen so no pattern matches them —
+    scrubbing is idempotent on the text)."""
+    import pyarrow.compute as pc
 
+    total = pa.nulls(len(t), pa.int64())
+    total = pc.fill_null(total, 0)
+    out = {}
+    for name in t.column_names:
+        col = t.column(name)
+        if name in columns:
+            orig = col
+            for _, pat, repl in REDACT_PATTERNS:
+                cnt = pc.fill_null(
+                    pc.count_substring_regex(orig, pat).cast(pa.int64()), 0
+                )
+                total = pc.add(total, cnt)
+                col = pc.replace_substring_regex(col, pat, repl)
+        out[name] = col
+    out["n_redacted"] = total
+    return pa.table(out)
+
+
+def redact_stage(ds, columns: tuple[str, ...] = _REDACT_COLUMNS):
     def scrub(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        total = pa.nulls(len(t), pa.int64())
-        total = pc.fill_null(total, 0)
-        out = {}
-        for name in t.column_names:
-            col = t.column(name)
-            if name in columns:
-                orig = col
-                for _, pat, repl in REDACT_PATTERNS:
-                    cnt = pc.fill_null(
-                        pc.count_substring_regex(orig, pat).cast(pa.int64()), 0
-                    )
-                    total = pc.add(total, cnt)
-                    col = pc.replace_substring_regex(col, pat, repl)
-            out[name] = col
-        out["n_redacted"] = total
-        return pa.table(out)
+        return scrub_table(t, columns)
 
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
 

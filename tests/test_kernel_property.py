@@ -1,0 +1,106 @@
+"""Property-based checks of the pure per-batch kernels (no Ray session):
+the sliding-window count against an O(n²) brute force, redaction
+idempotence, and the heavy-hitter candidate pass's pigeonhole guarantee
+under arbitrary corpus → batch partitions."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import rolling_counts
+from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import scrub_table
+from fluent_plugin_kubernetes_metadata_filter_ray.functions.textstats import (
+    HH_FRAC,
+    _HH_TOTAL,
+    _hh_candidate_partial,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ts=st.lists(st.integers(0, 50), min_size=1, max_size=40),
+    win=st.integers(0, 60),
+)
+def test_rolling_counts_matches_bruteforce(ts, win):
+    a = np.array(ts, dtype=np.int64)
+    got = rolling_counts(a, win)
+    for i, t in enumerate(ts):
+        expect = sum(1 for u in ts if t - win <= u <= t)
+        assert got[i] == expect
+
+
+_noise = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=40
+)
+_pii = st.sampled_from(
+    [
+        "bob@ex.io",
+        "10.1.2.3",
+        "Bearer tok-1",
+        "ab" * 16,
+        "deadbeef" * 8,
+        "x@y.zz 1.2.3.4",
+    ]
+)
+_texts = st.lists(
+    st.one_of(st.none(), st.tuples(_noise, _pii, _noise).map(lambda t: t[0] + t[1] + t[2]), _noise),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(texts=_texts)
+def test_scrub_idempotent_on_text(texts):
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    once = scrub_table(t, columns=("text",))
+    twice = scrub_table(
+        pa.table({"text": once.column("text")}), columns=("text",)
+    )
+    assert once.column("text").to_pylist() == twice.column("text").to_pylist()
+    # second pass finds nothing left to mask
+    assert all(n == 0 for n in twice.column("n_redacted").to_pylist())
+    # nulls stay null
+    for before, after in zip(texts, once.column("text").to_pylist()):
+        assert (before is None) == (after is None)
+
+
+_token = st.sampled_from([f"t{i}" for i in range(12)])
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=24),
+    n_batches=st.integers(1, 5),
+)
+def test_heavy_hitter_candidates_cover_global(docs, n_batches):
+    """Pigeonhole: the union of per-batch locally-heavy candidates must
+    contain every token with global frequency ≥ HH_FRAC·N, for ANY
+    partition of the corpus into batches."""
+    all_tokens = [w for d in docs for w in d.split()]
+    n_total = len(all_tokens)
+    from collections import Counter
+
+    counts = Counter(all_tokens)
+    heavy = {t for t, c in counts.items() if n_total and c >= HH_FRAC * n_total}
+
+    cands = set()
+    seen_total = 0
+    for chunk in np.array_split(np.array(docs, dtype=object), n_batches):
+        batch = pa.table(
+            {
+                "doc_id": pa.array(range(len(chunk)), pa.int64()),
+                "text": pa.array(list(chunk), pa.string()),
+            }
+        )
+        part = _hh_candidate_partial(batch)
+        for tok, n in zip(
+            part.column("token").to_pylist(), part.column("n").to_pylist()
+        ):
+            if tok == _HH_TOTAL:
+                seen_total += n
+            else:
+                cands.add(tok)
+    assert seen_total == n_total
+    assert heavy <= cands
