@@ -250,9 +250,16 @@ def q_dedup_incremental_fuzzy(sf_dir: str):
             {"doc_id": pa.array(ids[ids % INCR_REF_MOD != 0].astype(np.int64))}
         )
 
+    # sentinel on the probe side too: a ref-only (or blank) corpus makes
+    # newd empty end-to-end, and a fully-empty join side loses the one-shot
+    # schema broadcast (the Ray 2.49 race raypatch can't fix for
+    # empty-END-TO-END inputs).  It joins only the matches sentinel and is
+    # dropped in finalize.
     newd = cp.read_augmented(sf_dir).map_batches(
         new_ids, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64())}
+    )))
     joined = newd.join(
         matches, join_type="left_outer", num_partitions=_join_partitions(),
         on=("doc_id",),
@@ -261,6 +268,7 @@ def q_dedup_incremental_fuzzy(sf_dir: str):
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc_
 
+        t = t.filter(pc_.not_equal(t.column("doc_id"), SENTINEL_ID))
         n = pc_.coalesce(t.column("n_ref_matches"), pa.scalar(0, pa.int64()))
         return pa.table(
             {

@@ -330,7 +330,11 @@ def q_doc_fingerprint(sf_dir: str):
 # Exact distributed heavy hitters (frequent tokens ≥ HH_FRAC of the corpus)
 
 HH_FRAC = 0.03  # heavy = token frequency ≥ 3% of all tokens
-_HH_TOTAL = "\x00total"  # sentinel row carrying each batch's token total
+# sentinel row carrying each batch's token total: contains a SPACE, which
+# no whitespace-split token can — collision-free against adversarial text
+# (a doc containing the literal sentinel token would otherwise corrupt the
+# total and become silently unreportable)
+_HH_TOTAL = " total "
 
 
 def _hh_candidate_partial(batch: pa.Table) -> pa.Table:
@@ -378,17 +382,17 @@ def q_token_heavy(sf_dir: str):
         .to_pandas()  # candidates ≤ 1/s per batch — small by construction
     )
     n_total = int(cand.loc[cand["token"] == _HH_TOTAL, "n"].sum())
-    cand_set = set(cand.loc[cand["token"] != _HH_TOTAL, "token"])
     thresh = math.ceil(HH_FRAC * n_total)
-    side_ref = ray.put(cand_set)
+    side_ref = ray.put(
+        pa.array(sorted(cand.loc[cand["token"] != _HH_TOTAL, "token"]), pa.string())
+    )
 
     def exact_partial(batch: pa.Table) -> pa.Table:
-        side = ray.get(side_ref)
+        import pyarrow.compute as pc_
+
+        side = ray.get(side_ref)  # local-store hit; typed even when empty
         vc = token_freq_partial(batch)
-        mask = pa.array(
-            [t in side for t in vc.column("token").to_pylist()], pa.bool_()
-        )
-        return vc.filter(mask)
+        return vc.filter(pc_.is_in(vc.column("token"), value_set=side))
 
     counts = (
         cp.read_documents(sf_dir)

@@ -43,10 +43,10 @@ def scrub_table(t: pa.Table, columns: tuple[str, ...] = _REDACT_COLUMNS) -> pa.T
     taken on the ORIGINAL value; replacements apply in REDACT_PATTERNS
     order (replacement tokens are chosen so no pattern matches them —
     scrubbing is idempotent on the text)."""
+    import numpy as np
     import pyarrow.compute as pc
 
-    total = pa.nulls(len(t), pa.int64())
-    total = pc.fill_null(total, 0)
+    total = pa.array(np.zeros(len(t), dtype=np.int64))
     out = {}
     for name in t.column_names:
         col = t.column(name)

@@ -141,6 +141,35 @@ def test_minhash_zero_pairs_lazy_guard(ray_session, tmp_path):
     assert (clusters["is_kept"] == 1).all()
 
 
+def test_fuzzy_incremental_pair_free_and_oracle(ray_session, tmp_path):
+    """Fuzzy incremental dedup on a pair-free corpus: every new-split doc
+    comes back un-flagged (count 0), matching the oracle — the sentinel
+    threading keeps the whole composed pipeline typed with zero pairs."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+
+    texts = [f"t{i} u{i}" for i in range(6)]  # < SHINGLE_K tokens → no pairs
+    sf, con = _mini_sf(tmp_path, texts)
+    ds = dedup.q_dedup_incremental_fuzzy(sf)
+    _compare(ds, con, dedup.dedup_incremental_fuzzy_oracle_sql())
+    df = ds.to_pandas()
+    assert len(df) > 0 and not df["is_fuzzy_dup"].any()
+
+
+def test_heavy_hitters_sentinel_collision_proof(ray_session, tmp_path):
+    """A doc trying to spoof the heavy-hitter total sentinel can't: the
+    sentinel contains a space, which no whitespace-split token can, so the
+    hostile token is counted and reported like any other."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import textstats
+
+    hostile = "\x00total"
+    texts = [f"{hostile} {hostile} {hostile}", f"{hostile} x"]
+    sf, con = _mini_sf(tmp_path, texts)
+    out = textstats.q_token_heavy(sf).to_pandas()
+    row = out[out["token"] == hostile]
+    assert len(row) == 1 and int(row["n"].iloc[0]) == 4
+    _compare(textstats.q_token_heavy(sf), con, textstats.token_heavy_oracle_sql())
+
+
 def test_cluster_label_propagation_deep_chain(ray_session, tmp_path):
     """Sliding-window docs form a near-dup CHAIN (adjacent windows share
     most shingles, distant ones don't): min-label propagation must walk the
