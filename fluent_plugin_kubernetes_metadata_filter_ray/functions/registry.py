@@ -16,6 +16,7 @@ def queries() -> dict:
         "q_doc_normalize": textstats.q_doc_normalize,
         "q_doc_lm_score": textstats.q_doc_lm_score,
         "q_token_heavy": textstats.q_token_heavy,
+        "q_corpus_summary": textstats.q_corpus_summary,
         "q_doc_sample": sampling.q_doc_sample,
         "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
         "q_doc_quality_filter": sampling.q_doc_quality_filter,
@@ -49,6 +50,7 @@ def oracle_sql() -> dict:
         "q_doc_normalize": textstats.doc_normalize_oracle_sql(),
         "q_doc_lm_score": textstats.doc_lm_score_oracle_sql(),
         "q_token_heavy": textstats.token_heavy_oracle_sql(),
+        "q_corpus_summary": textstats.corpus_summary_oracle_sql(),
         "q_doc_sample": sampling.doc_sample_oracle_sql(),
         "q_doc_sample_stratified": sampling.doc_sample_stratified_oracle_sql(),
         "q_doc_quality_filter": sampling.doc_quality_filter_oracle_sql(),

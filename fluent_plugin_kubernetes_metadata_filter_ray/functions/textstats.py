@@ -424,3 +424,94 @@ SELECT token, count(*)::BIGINT AS n,
 FROM tok GROUP BY token
 HAVING count(*) >= ceil({HH_FRAC} * (SELECT n FROM n))
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Corpus report card (dataset-datasheet summary)
+
+
+def q_corpus_summary(sf_dir: str):
+    """One-row corpus summary — the datasheet numbers a training-data run
+    publishes: doc/token/char totals, language mix, distinct-text count and
+    duplicate rate.  Two streaming passes, each combiner-pushed: scalar
+    totals collapse to one row per batch; the distinct count reuses the
+    exact-dedup shape (hash in map_batches, groupby moves one row per
+    distinct hash).  Only scalars reach the driver."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def part(batch: pa.Table) -> pa.Table:
+        st = doc_stats_batch(batch)
+        en = pc.cast(
+            pc.greater_equal(st.column("en_stop_hits"), 2), pa.int64()
+        )
+        return pa.table(
+            {
+                "n_docs": pa.array([len(st)], pa.int64()),
+                "n_tokens": pa.array(
+                    [pc.sum(st.column("n_tokens")).as_py() or 0], pa.int64()
+                ),
+                "n_chars": pa.array(
+                    [pc.sum(st.column("n_chars_txt")).as_py() or 0], pa.int64()
+                ),
+                "n_en_docs": pa.array([pc.sum(en).as_py() or 0], pa.int64()),
+            }
+        )
+
+    ds = cp.read_documents(sf_dir)
+    totals = ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True).aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_chars", alias_name="n_chars"),
+        Sum("n_en_docs", alias_name="n_en_docs"),
+    )
+
+    def hash_part(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        hs = [
+            hashlib.md5(t.encode()).hexdigest() if t is not None else None
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table({"text_hash": pa.array(hs, pa.string())})
+
+    n_distinct = (
+        ds.map_batches(hash_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_hash")
+        .count()
+        .count()
+    )
+
+    n_docs = int(totals["n_docs"])
+    dup_rate = (n_docs - n_distinct) / n_docs if n_docs else 0.0
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([int(totals["n_tokens"])], pa.int64()),
+            "n_chars": pa.array([int(totals["n_chars"])], pa.int64()),
+            "n_en_docs": pa.array([int(totals["n_en_docs"])], pa.int64()),
+            "n_distinct_texts": pa.array([int(n_distinct)], pa.int64()),
+            "dup_rate": pa.array([dup_rate], pa.float64()),
+        }
+    )
+
+
+def corpus_summary_oracle_sql() -> str:
+    return f"""
+WITH st AS (
+  SELECT doc_id, text,
+    len({cp.SQL_TOKS.format(t='text')})::BIGINT AS n_tokens,
+    length(text)::BIGINT AS n_chars,
+    len(list_filter({cp.SQL_TOKS.format(t='text')}, t -> t IN ({_SQL_STOP})))::BIGINT AS stop_hits
+  FROM documents
+)
+SELECT
+  count(*)::BIGINT AS n_docs,
+  sum(n_tokens)::BIGINT AS n_tokens,
+  sum(n_chars)::BIGINT AS n_chars,
+  sum(CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_en_docs,
+  count(DISTINCT md5(text))::BIGINT AS n_distinct_texts,
+  (count(*)::BIGINT - count(DISTINCT md5(text))::BIGINT)::DOUBLE / count(*)::BIGINT AS dup_rate
+FROM st
+""".strip()

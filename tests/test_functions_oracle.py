@@ -11,6 +11,7 @@ SORT_KEYS = {
     "q_doc_fingerprint": ["doc_id"],
     "q_token_freq": ["token"],
     "q_token_heavy": ["token"],
+    "q_corpus_summary": ["n_docs"],
     "q_doc_normalize": ["doc_id"],
     "q_doc_lm_score": ["doc_id"],
     "q_doc_sample": ["doc_id"],
