@@ -149,8 +149,8 @@ def run_bench() -> dict:
         big_docs = int(os.environ.get("KMETA_BENCH_BIGDOCS", "20"))
         big_vecs = int(os.environ.get("KMETA_BENCH_BIGVECS", "64"))
         big = scalegen.big_sf_dir(SF_DIR, big_docs, big_vecs)
-        for name in ("q_dedup_exact", "q_dedup_minhash", "q_ann_lsh",
-                     "q_ann_ivf", "q_embed_neardup_lsh"):
+        for name in ("q_dedup_exact", "q_dedup_minhash", "q_dedup_incremental_fuzzy",
+                     "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh"):
             t0 = time.perf_counter()
             fq[name](big).count()
             queries[name[2:] + "_big"] = time.perf_counter() - t0
