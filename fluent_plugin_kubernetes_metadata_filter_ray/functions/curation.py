@@ -463,3 +463,97 @@ rk AS (
 )
 SELECT doc_id, rnk, token, tf, df, tfidf FROM rk WHERE rnk <= {TFIDF_TOPK}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Global ranking (distributed zipWithIndex)
+
+
+def q_doc_rank(sf_dir: str):
+    """Global quality ranking — the distributed row_number/zipWithIndex
+    primitive Ray Data lacks: rank every doc by (quality_score DESC,
+    doc_id ASC) with contiguous 1-based ranks.
+
+    Shape: thin (doc_id, score) columns → distributed sort → materialize
+    (pins the batch split so both passes see identical tiling) → pass 1
+    emits ONE (first_doc_id, n_rows) row per batch; the driver prefix-sums
+    that tiny table in key order and broadcasts first_doc_id → offset;
+    pass 2 assigns offset + arange per batch.  Only batch-count rows reach
+    the driver — the corpus crosses the wire once, in the sort."""
+    import ray
+
+    from .textstats import doc_stats_batch
+
+    def thin(batch: pa.Table) -> pa.Table:
+        st = doc_stats_batch(batch)
+        return pa.table(
+            {"doc_id": st.column("doc_id"), "quality_score": st.column("quality_score")}
+        )
+
+    sorted_ds = (
+        cp.read_documents(sf_dir)
+        .map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["quality_score", "doc_id"], descending=[True, False])
+        .materialize()
+    )
+
+    def batch_head(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {
+                    "first_doc": pa.array([], pa.int64()),
+                    "first_score": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "first_doc": pa.array([t.column("doc_id")[0].as_py()], pa.int64()),
+                "first_score": pa.array(
+                    [t.column("quality_score")[0].as_py()], pa.float64()
+                ),
+                "n": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    heads = sorted_ds.map_batches(
+        batch_head, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    # batches tile the global sort order; their first keys inherit it
+    heads = heads.sort_values(
+        ["first_score", "first_doc"], ascending=[False, True], kind="mergesort"
+    )
+    offsets = dict(
+        zip(heads["first_doc"], np.r_[0, np.cumsum(heads["n"].to_numpy())[:-1]])
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "quality_score": pa.array([], pa.float64()),
+                    "doc_rank": pa.array([], pa.int64()),
+                }
+            )
+        off = ray.get(off_ref)[t.column("doc_id")[0].as_py()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "quality_score": t.column("quality_score"),
+                "doc_rank": pa.array(off + np.arange(1, len(t) + 1, dtype=np.int64)),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def doc_rank_oracle_sql() -> str:
+    from .textstats import doc_stats_oracle_sql
+
+    return f"""
+SELECT doc_id, quality_score,
+  row_number() OVER (ORDER BY quality_score DESC, doc_id)::BIGINT AS doc_rank
+FROM ({doc_stats_oracle_sql()}) st
+""".strip()

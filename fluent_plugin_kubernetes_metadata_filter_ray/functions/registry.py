@@ -39,6 +39,7 @@ def queries() -> dict:
         "q_decontaminate": curation.q_decontaminate,
         "q_doc_pack": curation.q_doc_pack,
         "q_doc_tfidf": curation.q_doc_tfidf,
+        "q_doc_rank": curation.q_doc_rank,
     }
 
 
@@ -75,4 +76,5 @@ def oracle_sql() -> dict:
         "q_decontaminate": curation.decontaminate_oracle_sql(),
         "q_doc_pack": curation.doc_pack_oracle_sql(),
         "q_doc_tfidf": curation.doc_tfidf_oracle_sql(),
+        "q_doc_rank": curation.doc_rank_oracle_sql(),
     }

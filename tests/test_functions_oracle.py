@@ -36,6 +36,7 @@ SORT_KEYS = {
     "q_decontaminate": ["doc_id"],
     "q_doc_pack": ["doc_id"],
     "q_doc_tfidf": ["doc_id", "rnk"],
+    "q_doc_rank": ["doc_rank"],
 }
 
 
