@@ -41,6 +41,7 @@ from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stag
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import (
     redact_oracle_sql as _redact_oracle_sql,
 )
+from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics as _la
 
 
 def entry() -> Any:
@@ -120,6 +121,26 @@ def _q_log_redact(sf_dir: str):
     return redact_stage(flagship.read_transcripts(sf_dir))
 
 
+def _q_log_templates(sf_dir: str):
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
+    return loganalytics.log_templates(flagship.read_transcripts(sf_dir))
+
+
+def _q_role_transitions(sf_dir: str):
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
+    return loganalytics.role_transitions(flagship.read_transcripts(sf_dir))
+
+
+def _q_turn_hopping(sf_dir: str):
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
+    return loganalytics.turn_hopping(flagship.read_transcripts(sf_dir))
+
+
+def _q_rate_anomaly(sf_dir: str):
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
+    return loganalytics.rate_anomaly(flagship.read_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -136,6 +157,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_rates": _q_turn_rates,
         "q_turn_rolling": _q_turn_rolling,
         "q_log_redact": _q_log_redact,
+        "q_log_templates": _q_log_templates,
+        "q_role_transitions": _q_role_transitions,
+        "q_turn_hopping": _q_turn_hopping,
+        "q_rate_anomaly": _q_rate_anomaly,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     q.update(registry.queries())
@@ -158,6 +183,10 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_rates": turn_rates_oracle_sql(),
         "q_turn_rolling": turn_rolling_oracle_sql(),
         "q_log_redact": _redact_oracle_sql(),
+        "q_log_templates": _la.log_templates_oracle_sql(),
+        "q_role_transitions": _la.role_transitions_oracle_sql(),
+        "q_turn_hopping": _la.turn_hopping_oracle_sql(),
+        "q_rate_anomaly": _la.rate_anomaly_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     o.update(registry.oracle_sql())

@@ -1,0 +1,408 @@
+"""Log-analytics operators over the transcripts table (SURVEY.md §2.5/§2.9):
+template mining, turn-sequence transitions, hopping-window rates, and burst
+detection — the operator family a production log pipeline runs downstream of
+parse → enrich → route (the reference's deployments feed exactly these
+analyses from their `<match>` sinks; cf. the benchmark configs under
+/root/reference/doc/benchmark/*/readme.md which count and rate the routed
+stream).
+
+Every operator follows the repo's scale pattern: collapse inside
+``map_batches`` first (combiner pushdown), shuffle only tiny partials, and
+mask null group keys with the shared sentinel (Ray's sort/hash shuffle
+comparators reject null keys) — unmasked back to SQL-style NULL groups on
+the aggregated result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Count, Min, Sum
+
+from .aggregate import _NULL_KEY, _mask_null_key, per_key_counts
+
+# int64 sentinel for null time-bucket keys (epoch µs is always far above it)
+_NULL_US = -(2**62)
+
+# --------------------------------------------------------------------------
+# Log template mining (Drain-lite): mask the variable fragments of a log
+# line (hex ids, numbers) and aggregate the surviving constant skeletons.
+# Patterns are RE2 on BOTH sides (Arrow and DuckDB embed the same engine)
+# and apply in fixed order; <hex> first so long ids don't leak digit runs
+# into the <num> pass.
+# --------------------------------------------------------------------------
+
+TEMPLATE_PATTERNS: list[tuple[str, str, str]] = [
+    ("hex_id", "[0-9a-f]{16,}", "<hex>"),
+    ("number", "[0-9]+", "<num>"),
+]
+
+
+def template_column(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    for _, pat, repl in TEMPLATE_PATTERNS:
+        col = pc.replace_substring_regex(col, pat, repl)
+    return col
+
+
+def log_templates(ds):
+    """Mine log templates: one row per (role, template) with turn count,
+    exact distinct-conversation count, and the lexically-first example
+    conversation.
+
+    Ray shape — two combiner-pushed paths united into ONE final groupby:
+
+    - turn counts: per-batch ``group_by(role, template)`` collapses each
+      block to its distinct templates before the shuffle;
+    - exact distinct convs: per-batch DISTINCT (role, template, conv_id)
+      triples → ``groupby`` over the triples (one row per distinct triple
+      globally) → per-batch re-group to (role, template) partial counts +
+      min example.  The triple shuffle carries per-batch-distinct rows,
+      not turns — the standard exact-count-distinct shape.
+
+    Both paths emit the same (role, template, n_turns, n_convs,
+    example_conv) schema with zeros/nulls for the other path's measures,
+    so a single Sum/Sum/Min aggregate merges them (Min ignores nulls,
+    matching SQL ``min``; null conv_ids are excluded from the distinct
+    path, matching SQL ``count(DISTINCT ...)``)."""
+
+    ds = ds.select_columns(["conv_id", "role", "text"])
+
+    def partial_turns(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "role": pc.fill_null(t.column("role"), _NULL_KEY),
+                "template": pc.fill_null(template_column(t.column("text")), _NULL_KEY),
+            }
+        )
+        g = tt.group_by(["role", "template"]).aggregate([([], "count_all")])
+        n = len(g)
+        return pa.table(
+            {
+                "role": g.column("role"),
+                "template": g.column("template"),
+                "n_turns": g.column("count_all").cast(pa.int64()),
+                "n_convs": pa.array(np.zeros(n, dtype=np.int64)),
+                "example_conv": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def partial_triples(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "role": pc.fill_null(t.column("role"), _NULL_KEY),
+                "template": pc.fill_null(template_column(t.column("text")), _NULL_KEY),
+                "conv_id": t.column("conv_id"),
+            }
+        )
+        tt = tt.filter(pc.is_valid(tt.column("conv_id")))
+        return tt.group_by(["role", "template", "conv_id"]).aggregate([])
+
+    def partial_convs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["role", "template"]).aggregate(
+            [("conv_id", "count"), ("conv_id", "min")]
+        )
+        n = len(g)
+        return pa.table(
+            {
+                "role": g.column("role"),
+                "template": g.column("template"),
+                "n_turns": pa.array(np.zeros(n, dtype=np.int64)),
+                "n_convs": g.column("conv_id_count").cast(pa.int64()),
+                "example_conv": g.column("conv_id_min"),
+            }
+        )
+
+    turns = ds.map_batches(partial_turns, batch_format="pyarrow", zero_copy_batch=True)
+    convs = (
+        ds.map_batches(partial_triples, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["role", "template", "conv_id"])
+        .aggregate(Count(alias_name="x"))
+        .map_batches(partial_convs, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    merged = turns.union(convs).groupby(["role", "template"]).aggregate(
+        Sum("n_turns", alias_name="n_turns"),
+        Sum("n_convs", alias_name="n_convs"),
+        Min("example_conv", alias_name="example_conv"),
+    )
+
+    def unmask(t: pa.Table) -> pa.Table:
+        def um(col):
+            return pc.if_else(
+                pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col
+            )
+
+        return pa.table(
+            {
+                "role": um(t.column("role")),
+                "template": um(t.column("template")),
+                "n_turns": t.column("n_turns"),
+                "n_convs": t.column("n_convs"),
+                "example_conv": t.column("example_conv"),
+            }
+        )
+
+    return merged.map_batches(unmask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def log_templates_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    tpl = "text"
+    for _, pat, repl in TEMPLATE_PATTERNS:
+        tpl = f"regexp_replace({tpl}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+tm AS (SELECT role, {tpl} AS template, conv_id FROM transcripts_t)
+SELECT role, template, count(*)::BIGINT AS n_turns,
+  count(DISTINCT conv_id)::BIGINT AS n_convs,
+  min(conv_id) AS example_conv
+FROM tm GROUP BY role, template
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Role-transition counts: the turn-sequence bigram (who speaks after whom)
+# — the Markov/funnel statistic over conversation order.
+# --------------------------------------------------------------------------
+
+
+def role_transitions(ds):
+    """Count role → next-role transitions across consecutive turns of each
+    conversation (ordered by turn_idx, ties by ts), aggregated corpus-wide.
+
+    Ray shape: ``groupby(conv_id).map_groups`` with a vectorized in-group
+    kernel (lexsort → shifted pair → pandas group count) emitting per-conv
+    partial pair counts (≤ roles² rows per conv), then a tiny
+    ``groupby(from_role, to_role)`` Sum.  Same partitioning assumption as
+    the other per-conv windows: one conversation fits a worker.  Null roles
+    form SQL-style groups (sentinel-masked through the shuffle)."""
+
+    ds = _mask_null_key(ds.select_columns(["conv_id", "turn_idx", "role", "ts"]), "conv_id")
+
+    empty = pa.table(
+        {
+            "from_role": pa.array([], pa.string()),
+            "to_role": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        if len(g) < 2:
+            return empty
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, ti))
+        roles = np.asarray(
+            [r if r is not None else _NULL_KEY for r in g.column("role").to_pylist()],
+            dtype=object,
+        )[order]
+        import pandas as pd
+
+        df = pd.DataFrame({"from_role": roles[:-1], "to_role": roles[1:]})
+        cnt = df.groupby(["from_role", "to_role"], sort=False).size()
+        out = cnt.reset_index(name="n_pairs")
+        return pa.table(
+            {
+                "from_role": pa.array(out["from_role"], pa.string()),
+                "to_role": pa.array(out["to_role"], pa.string()),
+                "n_pairs": pa.array(out["n_pairs"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    partials = ds.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+    agg = partials.groupby(["from_role", "to_role"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs")
+    )
+
+    def unmask(t: pa.Table) -> pa.Table:
+        def um(col):
+            return pc.if_else(
+                pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col
+            )
+
+        return pa.table(
+            {
+                "from_role": um(t.column("from_role")),
+                "to_role": um(t.column("to_role")),
+                "n_pairs": t.column("n_pairs"),
+            }
+        )
+
+    return agg.map_batches(unmask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def role_transitions_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+w AS (
+  SELECT role AS from_role,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS to_role,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS rn,
+    count(*) OVER (PARTITION BY conv_id) AS nc
+  FROM transcripts_t
+)
+SELECT from_role, to_role, count(*)::BIGINT AS n_pairs
+FROM w WHERE rn < nc GROUP BY from_role, to_role
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Hopping-window rates: overlapping sliding windows (Flink/KSQL HOP) — each
+# turn contributes to N_HOPS windows; implemented as bucket-then-expand so
+# the ×N_HOPS expansion happens on per-batch AGGREGATED rows, never on the
+# turn stream (the interval-join collapses to an expansion because the
+# windows form a regular grid).
+# --------------------------------------------------------------------------
+
+HOP_S = 1800  # window start every 30 min
+N_HOPS = 3  # each window spans 3 hops = 90 min
+_HOP_US = HOP_S * 1_000_000
+
+
+def turn_hopping(ds):
+    """Turns per hopping window (length N_HOPS×HOP_S, stride HOP_S): the
+    overlapping-window counterpart of ``turn_rates``.  A turn in hop-bucket
+    b falls inside the windows starting at b, b-1·hop, …, b-(N_HOPS-1)·hop.
+
+    Ray shape: per-batch group to (bucket, count) FIRST (tiny), replicate
+    the grouped rows once per shift, then ``groupby(window)`` Sum — the
+    shuffle carries ≤ N_HOPS × buckets-per-batch rows.  The window key
+    stays int64 µs through the shuffle (timestamp keys get unit-normalized
+    by Ray's hash aggregate) and turns into timestamp[us] at the end."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        b = pc.multiply(pc.divide(us, _HOP_US), _HOP_US)
+        g = pa.table({"b": b}).group_by(["b"]).aggregate([([], "count_all")])
+        bs = g.column("b").combine_chunks()
+        ns = g.column("count_all").cast(pa.int64()).combine_chunks()
+        ws, cs = [], []
+        for s in range(N_HOPS):
+            ws.append(pc.fill_null(pc.subtract(bs, s * _HOP_US), _NULL_US))
+            cs.append(ns)
+        return pa.table(
+            {"w_us": pa.chunked_array(ws), "n_turns": pa.chunked_array(cs)}
+        )
+
+    partials = ds.select_columns(["ts"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = partials.groupby("w_us").aggregate(Sum("n_turns", alias_name="n_turns"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t.column("w_us")
+        w = pc.if_else(pc.equal(w, _NULL_US), pa.scalar(None, pa.int64()), w)
+        return pa.table(
+            {"w_start": w.cast(pa.timestamp("us")), "n_turns": t.column("n_turns")}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def turn_hopping_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    shifts = ", ".join(str(s) for s in range(N_HOPS))
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+h AS (
+  SELECT ((epoch_us(ts) // {_HOP_US}) * {_HOP_US}) - s.shift::BIGINT * {_HOP_US} AS w_us
+  FROM transcripts_t CROSS JOIN (SELECT unnest([{shifts}]) AS shift) s
+)
+SELECT make_timestamp(w_us) AS w_start, count(*)::BIGINT AS n_turns
+FROM h GROUP BY w_us
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Burst detection: flag (role, hour) buckets whose rate exceeds
+# BURST_FACTOR × the role's mean hourly rate — the anomaly tag a log
+# pipeline attaches to its rate aggregates.  Pure integer comparison
+# (n·H > F·S) so both sides are exact at any scale (the SQL twin computes
+# the products in HUGEINT; the engine in unbounded Python ints over the
+# tiny aggregated table).
+# --------------------------------------------------------------------------
+
+BURST_FACTOR = 2
+_HOUR_US = 3_600_000_000
+
+
+def rate_anomaly(ds):
+    """Per (role, hour): turn count + is_burst flag (count > BURST_FACTOR ×
+    the role's mean hourly count).
+
+    Ray shape: the combiner-pushed (role, hour) counts (``per_key_counts``
+    — the corpus collapses per batch before the shuffle), materialized once
+    (it is the aggregated result: ≤ roles × hours rows at any input scale),
+    then a per-role Sum/Count over it (a few rows) collected to the driver
+    and applied as a broadcast closure — the conv_percentiles tiny-result
+    pattern.  Nothing row-scale touches the driver."""
+
+    def with_hour(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        hr = pc.fill_null(pc.multiply(pc.divide(us, _HOUR_US), _HOUR_US), _NULL_US)
+        return pa.table(
+            {
+                "role": pc.fill_null(t.column("role"), _NULL_KEY),
+                "hour_us": hr,
+            }
+        )
+
+    bucketed = ds.select_columns(["role", "ts"]).map_batches(
+        with_hour, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rates = per_key_counts(bucketed, ["role", "hour_us"]).materialize()
+    stats = (
+        rates.groupby("role")
+        .aggregate(Sum("n_turns", alias_name="s"), Count(alias_name="h"))
+        .to_pandas()
+    )
+    role_stats = {
+        r: (int(s), int(h)) for r, s, h in zip(stats["role"], stats["s"], stats["h"])
+    }
+
+    def flag(t: pa.Table) -> pa.Table:
+        roles = t.column("role").to_pylist()
+        ns = t.column("n_turns").to_pylist()
+        burst = []
+        for r, n in zip(roles, ns):
+            s, h = role_stats[r]
+            burst.append(n * h > BURST_FACTOR * s)  # exact: Python ints
+        hour = t.column("hour_us")
+        hour = pc.if_else(pc.equal(hour, _NULL_US), pa.scalar(None, pa.int64()), hour)
+        role = t.column("role")
+        role = pc.if_else(pc.equal(role, _NULL_KEY), pa.scalar(None, pa.string()), role)
+        return pa.table(
+            {
+                "role": role,
+                "hour_ts": hour.cast(pa.timestamp("us")),
+                "n_turns": t.column("n_turns"),
+                "is_burst": pa.array(burst, pa.bool_()),
+            }
+        )
+
+    return rates.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rate_anomaly_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+r AS (
+  SELECT role, date_trunc('hour', ts) AS hour_ts, count(*)::BIGINT AS n_turns
+  FROM transcripts_t GROUP BY role, date_trunc('hour', ts)
+),
+s AS (
+  SELECT role, sum(n_turns)::HUGEINT AS s, count(*)::HUGEINT AS h
+  FROM r GROUP BY role
+)
+SELECT r.role, r.hour_ts, r.n_turns,
+  (r.n_turns::HUGEINT * s.h > {BURST_FACTOR}::HUGEINT * s.s) AS is_burst
+FROM r JOIN s ON r.role IS NOT DISTINCT FROM s.role
+""".strip()
