@@ -557,3 +557,90 @@ SELECT doc_id, quality_score,
   row_number() OVER (ORDER BY quality_score DESC, doc_id)::BIGINT AS doc_rank
 FROM ({doc_stats_oracle_sql()}) st
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking
+
+CDC_MOD = 8  # boundary after a token whose w32 ≡ 0 (mod 8) → mean chunk ~8 tokens
+
+
+def chunk_batch(batch: pa.Table) -> pa.Table:
+    """Content-defined chunking (rolling-hash split, rsync/CDC style): each
+    doc's token stream is cut AFTER every token whose w32 hash ≡ 0
+    (mod CDC_MOD), so chunk boundaries depend only on content — an
+    insertion early in a doc shifts at most one chunk, which is what makes
+    chunk-level dedup robust to edits (unlike fixed-width splits).
+
+    Vectorized: exploded tokens, ``pd.factorize`` so each DISTINCT token is
+    hashed once, boundary flags → per-doc shifted cumsum (C kernels); the
+    per-chunk join + md5 fingerprint is Python per CHUNK (not per token) —
+    the same bounded cost as the doc-fingerprint op, required for oracle
+    parity.  Stateless map_batches: no shuffle at any scale."""
+    s = pd.Series(batch.column("text").to_pandas())
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_hash": pa.array([], pa.int64()),
+        }
+    )
+    ex = s.str.strip().str.split().explode().dropna()
+    if not len(ex):
+        return empty
+    toks = ex.to_numpy(dtype=object)
+    codes, uniques = pd.factorize(toks)
+    uh = np.fromiter((cp.w32(u) for u in uniques), dtype=np.int64, count=len(uniques))
+    bnd = pd.Series(uh[codes] % CDC_MOD == 0, index=ex.index)
+    prev = bnd.groupby(level=0).shift(1, fill_value=False)
+    chunk = prev.groupby(level=0).cumsum().to_numpy(dtype=np.int64)
+    df = pd.DataFrame({"row": ex.index.to_numpy(dtype=np.int64), "chunk": chunk, "tok": toks})
+    g = df.groupby(["row", "chunk"], sort=True)
+    text = g["tok"].agg(" ".join)
+    cnt = g.size().to_numpy(dtype=np.int64)
+    rows = text.index.get_level_values(0).to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[rows], pa.int64()),
+            "chunk_idx": pa.array(text.index.get_level_values(1).to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(cnt),
+            "chunk_hash": pa.array(
+                np.fromiter((cp.w63(t) for t in text), dtype=np.int64, count=len(text))
+            ),
+        }
+    )
+
+
+def q_doc_chunks(sf_dir: str):
+    return cp.read_documents(sf_dir).map_batches(
+        chunk_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_chunks_oracle_sql() -> str:
+    w32 = cp.SQL_W32.format(s="toks[i]")
+    w63 = cp.SQL_W63.format(s="string_agg(token, ' ' ORDER BY i)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {cp.SQL_TOKS.format(t='text')} AS toks FROM documents
+),
+tk AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM tok
+),
+tb AS (
+  SELECT doc_id, i, toks[i] AS token,
+    CASE WHEN {w32} % {CDC_MOD} = 0 THEN 1 ELSE 0 END AS bnd
+  FROM tk
+),
+ch AS (
+  SELECT doc_id, i, token,
+    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS chunk_idx
+  FROM tb
+)
+SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
+  {w63} AS chunk_hash
+FROM ch GROUP BY doc_id, chunk_idx
+""".strip()

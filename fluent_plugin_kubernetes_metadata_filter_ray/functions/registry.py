@@ -18,6 +18,8 @@ def queries() -> dict:
         "q_token_heavy": textstats.q_token_heavy,
         "q_corpus_summary": textstats.q_corpus_summary,
         "q_doc_sample": sampling.q_doc_sample,
+        "q_top_docs_per_source": sampling.q_top_docs_per_source,
+        "q_source_mix": sampling.q_source_mix,
         "q_doc_sample_stratified": sampling.q_doc_sample_stratified,
         "q_doc_quality_filter": sampling.q_doc_quality_filter,
         "q_dedup_exact": dedup.q_dedup_exact,
@@ -40,6 +42,8 @@ def queries() -> dict:
         "q_doc_pack": curation.q_doc_pack,
         "q_doc_tfidf": curation.q_doc_tfidf,
         "q_doc_rank": curation.q_doc_rank,
+        "q_doc_chunks": curation.q_doc_chunks,
+        "q_embed_quantize": simsearch.q_embed_quantize,
     }
 
 
@@ -53,6 +57,8 @@ def oracle_sql() -> dict:
         "q_token_heavy": textstats.token_heavy_oracle_sql(),
         "q_corpus_summary": textstats.corpus_summary_oracle_sql(),
         "q_doc_sample": sampling.doc_sample_oracle_sql(),
+        "q_top_docs_per_source": sampling.top_docs_per_source_oracle_sql(),
+        "q_source_mix": sampling.source_mix_oracle_sql(),
         "q_doc_sample_stratified": sampling.doc_sample_stratified_oracle_sql(),
         "q_doc_quality_filter": sampling.doc_quality_filter_oracle_sql(),
         "q_dedup_exact": dedup.dedup_exact_oracle_sql(),
@@ -77,4 +83,6 @@ def oracle_sql() -> dict:
         "q_doc_pack": curation.doc_pack_oracle_sql(),
         "q_doc_tfidf": curation.doc_tfidf_oracle_sql(),
         "q_doc_rank": curation.doc_rank_oracle_sql(),
+        "q_doc_chunks": curation.doc_chunks_oracle_sql(),
+        "q_embed_quantize": simsearch.embed_quantize_oracle_sql(),
     }

@@ -113,3 +113,165 @@ SELECT doc_id, n_tokens, stopword_ratio, quality_score
 FROM ({doc_stats_oracle_sql()})
 WHERE n_tokens >= {MIN_TOKENS} AND stopword_ratio <= {MAX_STOPWORD_RATIO}
 """.strip()
+
+
+TOPK_PER_SOURCE = 3
+
+
+def _topk_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch top-k per source — the combiner: any global top-k doc is
+    in its own batch's top-k for that source, so the shuffle carries
+    ≤ sources × k thin rows per batch, never the corpus."""
+    import pandas as pd
+
+    from ..stages.aggregate import _NULL_KEY
+
+    stats = doc_stats_batch(batch)
+    df = pd.DataFrame(
+        {
+            "source": pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY),
+            "doc_id": stats.column("doc_id").to_numpy(zero_copy_only=False),
+            "quality_score": stats.column("quality_score").to_numpy(zero_copy_only=False),
+        }
+    )
+    df = df.sort_values(
+        ["source", "quality_score", "doc_id"],
+        ascending=[True, False, True],
+        kind="mergesort",
+    )
+    head = df.groupby("source", sort=False).head(TOPK_PER_SOURCE)
+    return pa.table(
+        {
+            "source": pa.array(head["source"].to_numpy(dtype=object), pa.string()),
+            "doc_id": pa.array(head["doc_id"].to_numpy(dtype=np.int64)),
+            "quality_score": pa.array(head["quality_score"].to_numpy(dtype=np.float64)),
+        }
+    )
+
+
+def _topk_final(group: pa.Table) -> pa.Table:
+    from ..stages.aggregate import _unmask_null_key
+
+    score = group.column("quality_score").to_numpy(zero_copy_only=False)
+    did = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, -score))[:TOPK_PER_SOURCE]
+    out = group.take(pa.array(order))
+    return pa.table(
+        {
+            "source": _unmask_null_key(out.column("source")),
+            "rnk": pa.array(np.arange(1, len(out) + 1, dtype=np.int64)),
+            "doc_id": out.column("doc_id"),
+            "quality_score": out.column("quality_score"),
+        }
+    )
+
+
+def q_top_docs_per_source(sf_dir: str):
+    """Distributed top-k per group: the k best docs per source by
+    (quality_score DESC, doc_id ASC), with contiguous per-source ranks.
+    Combiner-pushed partial top-k per batch → tiny ``groupby(source)``
+    final top-k (each group holds ≤ k × batches short rows).  A null
+    source is one SQL-style group (sentinel-masked through the shuffle)."""
+    ds = cp.read_documents(sf_dir, columns=("doc_id", "text", "source"))
+    partials = ds.map_batches(
+        _topk_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("source").map_groups(_topk_final, batch_format="pyarrow")
+
+
+def top_docs_per_source_oracle_sql() -> str:
+    from .textstats import doc_stats_oracle_sql
+
+    return f"""
+SELECT source, rnk, doc_id, quality_score FROM (
+  SELECT d.source, st.doc_id, st.quality_score,
+    row_number() OVER (PARTITION BY d.source
+                       ORDER BY st.quality_score DESC, st.doc_id) AS rnk
+  FROM ({doc_stats_oracle_sql()}) st JOIN documents d USING (doc_id)
+) WHERE rnk <= {TOPK_PER_SOURCE}
+""".strip()
+
+
+MIX_WEIGHT_Q = 1_000_000.0  # weight quantization: floor(sqrt(n)·1e6)
+
+
+def q_source_mix(sf_dir: str):
+    """Data-mixing weights per source — the temperature-sampling (α = 0.5)
+    table a multi-source pretraining run draws from: each source's sampling
+    weight ∝ sqrt(its doc count), which upweights small sources relative to
+    proportional sampling.
+
+    Ray shape: per-batch combiner (≤ sources rows per batch: doc counts +
+    token sums) → tiny ``groupby(source)`` Sum → one stateless pass stamps
+    weights and shares.  Exactness: sqrt is correctly-rounded IEEE on both
+    sides (libm/DuckDB), its argument is an exact int64-derived double, and
+    the quantized weight floor(sqrt(n)·1e6) plus the single final division
+    weight/total are therefore bit-identical; the total is an exact int64
+    sum over the tiny aggregated table (driver-side — rows ≤ #sources)."""
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import _NULL_KEY
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pandas())
+        n_tok = s.str.strip().str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                "source": pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY),
+                "n_tokens": n_tok,
+            }
+        )
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("n_tokens", "size"), n_tokens=("n_tokens", "sum")
+        ).reset_index()
+        return pa.table(
+            {
+                "source": pa.array(g["source"].to_numpy(dtype=object), pa.string()),
+                "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64)),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        cp.read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()  # ≤ #sources rows: the aggregated result, not the corpus
+    )
+    w = np.array(
+        [math.floor(math.sqrt(float(n)) * MIX_WEIGHT_Q) for n in agg["n_docs"]],
+        dtype=np.int64,
+    )
+    tot = int(w.sum())
+    src = agg["source"].where(agg["source"] != _NULL_KEY, None)
+    return pd.DataFrame(
+        {
+            "source": src,
+            "n_docs": agg["n_docs"].astype(np.int64),
+            "n_tokens": agg["n_tokens"].astype(np.int64),
+            "weight_q": w,
+            "mix_share": w.astype(np.float64) / float(tot) if tot else np.zeros(len(w)),
+        }
+    )
+
+
+def source_mix_oracle_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+    sum(len({cp.SQL_TOKS.format(t='text')}))::BIGINT AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT *, floor(sqrt(n_docs::DOUBLE) * {MIX_WEIGHT_Q})::BIGINT AS weight_q FROM s
+),
+t AS (SELECT sum(weight_q)::BIGINT AS tot FROM w)
+SELECT source, n_docs, n_tokens, weight_q,
+  weight_q::DOUBLE / t.tot::DOUBLE AS mix_share
+FROM w CROSS JOIN t
+""".strip()

@@ -871,3 +871,127 @@ SELECT label, dim,
   (sum(qx)::DOUBLE / count(*)::DOUBLE) / {CENTROID_Q:.0f}.0 AS centroid
 FROM el GROUP BY label, dim
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization
+
+
+Q8_LEVELS = 255
+
+
+def _quant_minmax_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch per-dim min/max of the quantized elements (long format —
+    ≤ dim rows per batch pre-shuffle; the vectors never shuffle)."""
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    n = len(emb)
+    if not n:
+        return pa.table(
+            {
+                "dim": pa.array([], pa.int64()),
+                "mn": pa.array([], pa.int64()),
+                "mx": pa.array([], pa.int64()),
+            }
+        )
+    m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    q = np.floor(m.reshape(n, -1) * CENTROID_Q).astype(np.int64)
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, q.shape[1] + 1, dtype=np.int64)),
+            "mn": pa.array(q.min(axis=0)),
+            "mx": pa.array(q.max(axis=0)),
+        }
+    )
+
+
+def q_embed_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding corpus (the compression
+    pass an ANN serving pipeline runs before indexing): per-dim min/max
+    range (pass 1, combiner-pushed long partials → tiny ``groupby(dim)``
+    Min/Max, collected for broadcast — dim rows, small by construction),
+    then a stateless pass maps every element to
+    ``((qx - mn) * Q8_LEVELS) // max(mx - mn, 1)`` — all-integer, exact on
+    both sides at any scale.
+
+    Output is one row per vector with positional checksums
+    (sum / min / max / Σ q8·dim) standing in for the packed uint8 payload:
+    at 10^12 vectors the real sink writes the packed bytes (the binary
+    packing path is exercised by the multimodal ops); DuckDB cannot build
+    byte-identical blobs, so the oracle-checked columns are the exact
+    integer summaries that uniquely witness the quantized values."""
+    import ray
+
+    from ray.data.aggregate import Max, Min
+
+    mm = (
+        cp.read_embeddings(sf_dir, columns=("vec_id", "embedding"))
+        .map_batches(_quant_minmax_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+        .to_pandas()
+        .sort_values("dim")
+    )
+    mn = mm["mn"].to_numpy(dtype=np.int64)
+    rng = np.maximum(mm["mx"].to_numpy(dtype=np.int64) - mn, 1)
+    side_ref = ray.put((mn, rng))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id")
+        n = len(batch)
+        if not n:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "n_dims": pa.array([], pa.int64()),
+                    "q8_min": pa.array([], pa.int64()),
+                    "q8_max": pa.array([], pa.int64()),
+                    "q8_sum": pa.array([], pa.int64()),
+                    "q8_posdot": pa.array([], pa.int64()),
+                }
+            )
+        mn_b, rng_b = ray.get(side_ref)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+        q = np.floor(m.reshape(n, -1) * CENTROID_Q).astype(np.int64)
+        q8 = ((q - mn_b[None, :]) * Q8_LEVELS) // rng_b[None, :]
+        dims = np.arange(1, q.shape[1] + 1, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": ids,
+                "n_dims": pa.array(np.full(n, q.shape[1], dtype=np.int64)),
+                "q8_min": pa.array(q8.min(axis=1)),
+                "q8_max": pa.array(q8.max(axis=1)),
+                "q8_sum": pa.array(q8.sum(axis=1)),
+                "q8_posdot": pa.array((q8 * dims[None, :]).sum(axis=1)),
+            }
+        )
+
+    return cp.read_embeddings(sf_dir, columns=("vec_id", "embedding")).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def embed_quantize_oracle_sql() -> str:
+    return f"""
+WITH dims AS (SELECT DISTINCT unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings),
+el AS (
+  SELECT e.vec_id, d.dim::BIGINT AS dim,
+    floor(e.embedding[d.dim]::DOUBLE * {CENTROID_Q:.0f}.0)::BIGINT AS qx
+  FROM embeddings e CROSS JOIN dims d
+),
+mm AS (SELECT dim, min(qx) AS mn, max(qx) AS mx FROM el GROUP BY dim),
+q AS (
+  SELECT el.vec_id, el.dim,
+    ((el.qx - mm.mn) * {Q8_LEVELS}) // greatest(mm.mx - mm.mn, 1) AS q8
+  FROM el JOIN mm USING (dim)
+)
+SELECT vec_id, count(*)::BIGINT AS n_dims, min(q8)::BIGINT AS q8_min,
+  max(q8)::BIGINT AS q8_max, sum(q8)::BIGINT AS q8_sum,
+  sum(q8 * dim)::BIGINT AS q8_posdot
+FROM q GROUP BY vec_id
+""".strip()
