@@ -128,6 +128,16 @@ def run_bench() -> dict:
         conv_sessions(flagship.read_transcripts(SF_DIR, rep=REP)).count()
         queries["conv_sessions"] = time.perf_counter() - t0
 
+        # template mining over the replicated transcripts (full-corpus RE2
+        # mask + the exact-distinct-conv double shuffle)
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+            log_templates,
+        )
+
+        t0 = time.perf_counter()
+        log_templates(flagship.read_transcripts(SF_DIR, rep=REP)).count()
+        queries["log_templates"] = time.perf_counter() - t0
+
         # training-data ops over the sf documents/embeddings tables
         from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
 
@@ -150,7 +160,7 @@ def run_bench() -> dict:
         big_vecs = int(os.environ.get("KMETA_BENCH_BIGVECS", "64"))
         big = scalegen.big_sf_dir(SF_DIR, big_docs, big_vecs)
         for name in ("q_dedup_exact", "q_dedup_minhash", "q_dedup_incremental_fuzzy",
-                     "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh"):
+                     "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh", "q_doc_chunks"):
             t0 = time.perf_counter()
             fq[name](big).count()
             queries[name[2:] + "_big"] = time.perf_counter() - t0

@@ -243,6 +243,17 @@ def q_source_mix(sf_dir: str):
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_tokens", alias_name="n_tokens"))
         .to_pandas()  # ≤ #sources rows: the aggregated result, not the corpus
     )
+    if "source" not in agg.columns or not len(agg):
+        # empty corpus: to_pandas of an all-empty Dataset is column-less
+        return pd.DataFrame(
+            {
+                "source": pd.Series([], dtype=object),
+                "n_docs": pd.Series([], dtype=np.int64),
+                "n_tokens": pd.Series([], dtype=np.int64),
+                "weight_q": pd.Series([], dtype=np.int64),
+                "mix_share": pd.Series([], dtype=np.float64),
+            }
+        )
     w = np.array(
         [math.floor(math.sqrt(float(n)) * MIX_WEIGHT_Q) for n in agg["n_docs"]],
         dtype=np.int64,

@@ -931,10 +931,14 @@ def q_embed_quantize(sf_dir: str):
         .groupby("dim")
         .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
         .to_pandas()
-        .sort_values("dim")
     )
-    mn = mm["mn"].to_numpy(dtype=np.int64)
-    rng = np.maximum(mm["mx"].to_numpy(dtype=np.int64) - mn, 1)
+    if "dim" in mm.columns and len(mm):
+        mm = mm.sort_values("dim")
+        mn = mm["mn"].to_numpy(dtype=np.int64)
+        rng = np.maximum(mm["mx"].to_numpy(dtype=np.int64) - mn, 1)
+    else:  # empty corpus: to_pandas of an all-empty Dataset is column-less
+        mn = np.zeros(0, dtype=np.int64)
+        rng = np.ones(0, dtype=np.int64)
     side_ref = ray.put((mn, rng))
 
     def fn(batch: pa.Table) -> pa.Table:

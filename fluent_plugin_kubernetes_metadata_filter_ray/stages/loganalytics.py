@@ -362,9 +362,12 @@ def rate_anomaly(ds):
         .aggregate(Sum("n_turns", alias_name="s"), Count(alias_name="h"))
         .to_pandas()
     )
-    role_stats = {
-        r: (int(s), int(h)) for r, s, h in zip(stats["role"], stats["s"], stats["h"])
-    }
+    if "role" in stats.columns:
+        role_stats = {
+            r: (int(s), int(h)) for r, s, h in zip(stats["role"], stats["s"], stats["h"])
+        }
+    else:  # empty corpus: to_pandas of an all-empty Dataset is column-less
+        role_stats = {}
 
     def flag(t: pa.Table) -> pa.Table:
         roles = t.column("role").to_pylist()

@@ -137,3 +137,76 @@ def test_source_mix_upweights_small_sources(ray_session, tmp_path):
     assert out.loc["a", "mix_share"] < 16 / 21
     # the null-source stratum is a row of its own
     assert out.index.isna().sum() == 1
+
+
+def test_new_ops_survive_empty_corpora(ray_session, tmp_path):
+    """Empty documents/embeddings/transcripts must flow through every new
+    operator without crashing (to_pandas of an all-empty Dataset is
+    column-less — the driver-side tiny-collect paths need explicit guards)."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.curation import (
+        q_doc_chunks,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.sampling import (
+        q_source_mix,
+        q_top_docs_per_source,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.simsearch import (
+        q_embed_quantize,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import (
+        loganalytics as la,
+    )
+
+    d = str(tmp_path / "empty")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    tdir = str(tmp_path / "empty_t")
+    shutil.rmtree(tdir, ignore_errors=True)
+    os.makedirs(tdir)
+    pq.write_table(
+        pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+                "tool": pa.array([], pa.string()),
+                "ts": pa.array([], pa.timestamp("us")),
+            }
+        ),
+        f"{tdir}/part-0.parquet",
+    )
+
+    assert q_doc_chunks(d).count() == 0
+    assert q_top_docs_per_source(d).count() == 0
+    assert q_embed_quantize(d).count() == 0
+    mix = q_source_mix(d)
+    assert len(mix) == 0 and list(mix.columns) == [
+        "source", "n_docs", "n_tokens", "weight_q", "mix_share",
+    ]
+    rt = lambda: ray.data.read_parquet(tdir)  # noqa: E731
+    assert la.log_templates(rt()).count() == 0
+    assert la.role_transitions(rt()).count() == 0
+    assert la.turn_hopping(rt()).count() == 0
+    assert la.rate_anomaly(rt()).count() == 0
