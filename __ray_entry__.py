@@ -22,6 +22,8 @@ from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
 from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
 from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
 from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+    conv_concat,
+    conv_concat_oracle_sql,
     conv_percentiles,
     conv_percentiles_oracle_sql,
     conv_sessions,
@@ -104,6 +106,10 @@ def _q_conv_sessions(sf_dir: str):
     return conv_sessions(flagship.read_transcripts(sf_dir))
 
 
+def _q_conv_concat(sf_dir: str):
+    return conv_concat(flagship.read_transcripts(sf_dir))
+
+
 def _q_conv_percentiles(sf_dir: str):
     return conv_percentiles(flagship.read_transcripts(sf_dir))
 
@@ -153,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conv_stats": _q_conv_stats,
         "q_top_convs": _q_top_convs,
         "q_conv_sessions": _q_conv_sessions,
+        "q_conv_concat": _q_conv_concat,
         "q_conv_percentiles": _q_conv_percentiles,
         "q_turn_rates": _q_turn_rates,
         "q_turn_rolling": _q_turn_rolling,
@@ -179,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "q_conv_stats": conv_stats_oracle_sql(),
         "q_top_convs": top_convs_oracle_sql(),
         "q_conv_sessions": conv_sessions_oracle_sql(),
+        "q_conv_concat": conv_concat_oracle_sql(),
         "q_conv_percentiles": conv_percentiles_oracle_sql(),
         "q_turn_rates": turn_rates_oracle_sql(),
         "q_turn_rolling": turn_rolling_oracle_sql(),

@@ -431,3 +431,64 @@ SELECT role,
   CAST(sum(CASE WHEN cls = 'full' THEN 1 ELSE 0 END) AS BIGINT) AS n_full
 FROM cls3 GROUP BY role
 """.strip()
+
+
+def conv_concat(ds):
+    """Conversation reassembly — the transcripts → training-documents op: a
+    conversation's turns (ordered by turn_idx, ties by ts) concatenated
+    into one document, summarized as (n_turns, doc_len, doc_hash) so the
+    result stays thin (the real sink writes the concatenated text; the
+    w63 hash uniquely witnesses it for the oracle, like the fingerprint
+    op).  Null texts are skipped in the join but counted in n_turns —
+    SQL string_agg/count(*) semantics.
+
+    Ray shape: ``groupby(conv_id).map_groups`` with an in-group lexsort;
+    the shuffle carries 4 thin columns (text rides once).  Same
+    partitioning assumption as the other per-conv windows."""
+    import numpy as np
+
+    from ..functions import corpus as cp
+
+    need = ["conv_id", "turn_idx", "text", "ts"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, ti))
+        texts = [t for t in (g.column("text").take(pa.array(order)).to_pylist()) if t is not None]
+        joined = "\n".join(texts) if texts else None
+        cid = g.column("conv_id")[0].as_py()
+        return pa.table(
+            {
+                "conv_id": pa.array(
+                    [None if cid == _NULL_KEY else cid], pa.string()
+                ),
+                "n_turns": pa.array([len(g)], pa.int64()),
+                "doc_len": pa.array(
+                    [len(joined) if joined is not None else None], pa.int64()
+                ),
+                "doc_hash": pa.array(
+                    [cp.w63(joined) if joined is not None else None], pa.int64()
+                ),
+            }
+        )
+
+    ds = _mask_null_key(ds, "conv_id")
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+
+
+def conv_concat_oracle_sql() -> str:
+    from .. import datagen as dg
+    from ..functions import corpus as cp
+
+    agg = "string_agg(text, chr(10) ORDER BY turn_idx, ts)"
+    w63 = cp.SQL_W63.format(s=agg)
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE}
+SELECT conv_id, count(*)::BIGINT AS n_turns,
+  length({agg})::BIGINT AS doc_len,
+  {w63} AS doc_hash
+FROM transcripts_t GROUP BY conv_id
+""".strip()

@@ -51,77 +51,77 @@ def log_templates(ds):
     exact distinct-conversation count, and the lexically-first example
     conversation.
 
-    Ray shape — two combiner-pushed paths united into ONE final groupby:
+    Ray shape — ONE pass over the text (the regex mask is the expensive
+    kernel, so it must run once), then the exact-count-distinct shape:
 
-    - turn counts: per-batch ``group_by(role, template)`` collapses each
-      block to its distinct templates before the shuffle;
-    - exact distinct convs: per-batch DISTINCT (role, template, conv_id)
-      triples → ``groupby`` over the triples (one row per distinct triple
-      globally) → per-batch re-group to (role, template) partial counts +
-      min example.  The triple shuffle carries per-batch-distinct rows,
-      not turns — the standard exact-count-distinct shape.
-
-    Both paths emit the same (role, template, n_turns, n_convs,
-    example_conv) schema with zeros/nulls for the other path's measures,
-    so a single Sum/Sum/Min aggregate merges them (Min ignores nulls,
-    matching SQL ``min``; null conv_ids are excluded from the distinct
-    path, matching SQL ``count(DISTINCT ...)``)."""
+    - per-batch ``group_by(role, template, conv_id)`` with counts — the
+      shuffle carries per-batch-distinct triples, not turns;
+    - ``groupby`` over the triples Sums the counts (one row per distinct
+      triple globally);
+    - a per-batch re-group of the triple aggregate emits (role, template)
+      partials — n_turns = Sum of triple counts, n_convs = count of
+      non-null convs, example = min conv — merged by a final tiny
+      Sum/Sum/Min.  Each global triple appears exactly once after the
+      triple aggregate, so the per-batch re-group partials combine
+      exactly.  Null conv_ids ride a sentinel through both shuffles and
+      are excluded from the distinct/min measures (SQL
+      ``count(DISTINCT ...)`` / ``min`` semantics) while still counting
+      toward n_turns."""
 
     ds = ds.select_columns(["conv_id", "role", "text"])
-
-    def partial_turns(t: pa.Table) -> pa.Table:
-        tt = pa.table(
-            {
-                "role": pc.fill_null(t.column("role"), _NULL_KEY),
-                "template": pc.fill_null(template_column(t.column("text")), _NULL_KEY),
-            }
-        )
-        g = tt.group_by(["role", "template"]).aggregate([([], "count_all")])
-        n = len(g)
-        return pa.table(
-            {
-                "role": g.column("role"),
-                "template": g.column("template"),
-                "n_turns": g.column("count_all").cast(pa.int64()),
-                "n_convs": pa.array(np.zeros(n, dtype=np.int64)),
-                "example_conv": pa.nulls(n, pa.string()),
-            }
-        )
 
     def partial_triples(t: pa.Table) -> pa.Table:
         tt = pa.table(
             {
                 "role": pc.fill_null(t.column("role"), _NULL_KEY),
                 "template": pc.fill_null(template_column(t.column("text")), _NULL_KEY),
-                "conv_id": t.column("conv_id"),
+                "conv_id": pc.fill_null(t.column("conv_id"), _NULL_KEY),
             }
         )
-        tt = tt.filter(pc.is_valid(tt.column("conv_id")))
-        return tt.group_by(["role", "template", "conv_id"]).aggregate([])
-
-    def partial_convs(t: pa.Table) -> pa.Table:
-        g = t.group_by(["role", "template"]).aggregate(
-            [("conv_id", "count"), ("conv_id", "min")]
-        )
-        n = len(g)
+        g = tt.group_by(["role", "template", "conv_id"]).aggregate([([], "count_all")])
         return pa.table(
             {
                 "role": g.column("role"),
                 "template": g.column("template"),
-                "n_turns": pa.array(np.zeros(n, dtype=np.int64)),
-                "n_convs": g.column("conv_id_count").cast(pa.int64()),
-                "example_conv": g.column("conv_id_min"),
+                "conv_id": g.column("conv_id"),
+                "n_turns": g.column("count_all").cast(pa.int64()),
             }
         )
 
-    turns = ds.map_batches(partial_turns, batch_format="pyarrow", zero_copy_batch=True)
-    convs = (
+    def partial_rt(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        conv_or_null = pc.if_else(
+            pc.equal(conv, _NULL_KEY), pa.scalar(None, pa.string()), conv
+        )
+        tt = pa.table(
+            {
+                "role": t.column("role"),
+                "template": t.column("template"),
+                "n_turns": t.column("n_turns"),
+                "conv": conv_or_null,
+            }
+        )
+        g = tt.group_by(["role", "template"]).aggregate(
+            [("n_turns", "sum"), ("conv", "count"), ("conv", "min")]
+        )
+        return pa.table(
+            {
+                "role": g.column("role"),
+                "template": g.column("template"),
+                "n_turns": g.column("n_turns_sum").cast(pa.int64()),
+                "n_convs": g.column("conv_count").cast(pa.int64()),
+                "example_conv": g.column("conv_min"),
+            }
+        )
+
+    triples = (
         ds.map_batches(partial_triples, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["role", "template", "conv_id"])
-        .aggregate(Count(alias_name="x"))
-        .map_batches(partial_convs, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n_turns", alias_name="n_turns"))
     )
-    merged = turns.union(convs).groupby(["role", "template"]).aggregate(
+    merged = triples.map_batches(
+        partial_rt, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["role", "template"]).aggregate(
         Sum("n_turns", alias_name="n_turns"),
         Sum("n_convs", alias_name="n_convs"),
         Min("example_conv", alias_name="example_conv"),
@@ -264,6 +264,22 @@ N_HOPS = 3  # each window spans 3 hops = 90 min
 _HOP_US = HOP_S * 1_000_000
 
 
+def _hopping_partial(t: pa.Table) -> pa.Table:
+    """Per-batch hopping combiner: bucket-group, then replicate the grouped
+    rows once per shift.  Partition-independent (property-tested): summing
+    partials over any batch split of the input gives the global counts."""
+    us = t.column("ts").cast(pa.int64())
+    b = pc.multiply(pc.divide(us, _HOP_US), _HOP_US)
+    g = pa.table({"b": b}).group_by(["b"]).aggregate([([], "count_all")])
+    bs = g.column("b").combine_chunks()
+    ns = g.column("count_all").cast(pa.int64()).combine_chunks()
+    ws, cs = [], []
+    for s in range(N_HOPS):
+        ws.append(pc.fill_null(pc.subtract(bs, s * _HOP_US), _NULL_US))
+        cs.append(ns)
+    return pa.table({"w_us": pa.chunked_array(ws), "n_turns": pa.chunked_array(cs)})
+
+
 def turn_hopping(ds):
     """Turns per hopping window (length N_HOPS×HOP_S, stride HOP_S): the
     overlapping-window counterpart of ``turn_rates``.  A turn in hop-bucket
@@ -275,22 +291,8 @@ def turn_hopping(ds):
     stays int64 µs through the shuffle (timestamp keys get unit-normalized
     by Ray's hash aggregate) and turns into timestamp[us] at the end."""
 
-    def partial(t: pa.Table) -> pa.Table:
-        us = t.column("ts").cast(pa.int64())
-        b = pc.multiply(pc.divide(us, _HOP_US), _HOP_US)
-        g = pa.table({"b": b}).group_by(["b"]).aggregate([([], "count_all")])
-        bs = g.column("b").combine_chunks()
-        ns = g.column("count_all").cast(pa.int64()).combine_chunks()
-        ws, cs = [], []
-        for s in range(N_HOPS):
-            ws.append(pc.fill_null(pc.subtract(bs, s * _HOP_US), _NULL_US))
-            cs.append(ns)
-        return pa.table(
-            {"w_us": pa.chunked_array(ws), "n_turns": pa.chunked_array(cs)}
-        )
-
     partials = ds.select_columns(["ts"]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        _hopping_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     agg = partials.groupby("w_us").aggregate(Sum("n_turns", alias_name="n_turns"))
 

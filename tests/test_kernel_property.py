@@ -104,3 +104,74 @@ def test_heavy_hitter_candidates_cover_global(docs, n_batches):
                 cands.add(tok)
     assert seen_total == n_total
     assert heavy <= cands
+
+
+from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+    _HOP_US,
+    N_HOPS,
+    template_column,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(min_size=0, max_size=60)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_template_mask_idempotent_and_digit_free(texts):
+    col = pa.chunked_array([pa.array(texts, pa.string())])
+    once = template_column(col)
+    twice = template_column(once)
+    assert once.equals(twice)  # masking is a fixed point
+    for v in once.to_pylist():
+        if v is not None:
+            # every ASCII digit run is masked ([0-9] is ASCII-only in RE2
+            # on BOTH sides — unicode digits like '²' pass through by
+            # design); <num>/<hex> carry no digits
+            assert not any(c in "0123456789" for c in v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    ts=st.lists(st.integers(0, 10**7), min_size=0, max_size=30),
+    n_splits=st.integers(1, 4),
+    data=st.data(),
+)
+def test_hopping_partial_partition_independent(ts, n_splits, data):
+    """The hopping combiner gives the same global window counts under ANY
+    batch partition of the input — summing partials is exact — and each
+    turn lands in exactly N_HOPS windows."""
+    from collections import Counter
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        _hopping_partial,
+    )
+
+    # expected: brute force over each turn's N_HOPS windows
+    expect = Counter()
+    for t in ts:
+        b = (t // _HOP_US) * _HOP_US
+        for s in range(N_HOPS):
+            expect[b - s * _HOP_US] += 1
+
+    # split into arbitrary contiguous batches, apply the REAL combiner per
+    # batch, and sum the partials
+    cuts = sorted(
+        data.draw(st.lists(st.integers(0, len(ts)), min_size=n_splits - 1,
+                           max_size=n_splits - 1))
+    )
+    got = Counter()
+    bounds = [0] + cuts + [len(ts)]
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        batch = pa.table(
+            {"ts": pa.array(ts[lo:hi], pa.int64()).cast(pa.timestamp("us"))}
+        )
+        part = _hopping_partial(batch)
+        for w, n in zip(part.column("w_us").to_pylist(),
+                        part.column("n_turns").to_pylist()):
+            got[w] += n
+    assert got == expect
+    assert sum(got.values()) == N_HOPS * len(ts)

@@ -156,3 +156,31 @@ def test_rate_anomaly_semantics(ray_session, tmp_path):
     # single-hour role is never a burst (n·H = S); null keys survive
     assert len(nullg) == 1 and not nullg["is_burst"].iloc[0]
     assert nullg["hour_ts"].isna().all()
+
+
+def test_conv_concat_order_and_null_text(ray_session, tmp_path):
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.corpus import w63
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        conv_concat,
+    )
+
+    ts = pa.array([_ts("2024-01-01")] * 4, pa.timestamp("us"))
+    t = pa.table(
+        {
+            # conv a arrives out of order; one null text is skipped in the
+            # join but counted in n_turns
+            "conv_id": pa.array(["a", "a", "a", "b"], pa.string()),
+            "turn_idx": pa.array([1, 0, 2, 0], pa.int32()),
+            "text": pa.array(["world", "hello", None, None], pa.string()),
+            "ts": ts,
+        }
+    )
+    d = _write(tmp_path, "concat", t)
+    out = conv_concat(ray.data.read_parquet(d)).to_pandas().set_index("conv_id")
+    assert out.loc["a", "n_turns"] == 3
+    assert out.loc["a", "doc_len"] == len("hello\nworld")
+    assert out.loc["a", "doc_hash"] == w63("hello\nworld")
+    # all-null conv: NULL document, like SQL string_agg
+    assert out.loc["b", "n_turns"] == 1 and pd.isna(out.loc["b", "doc_len"])
