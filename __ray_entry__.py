@@ -147,6 +147,11 @@ def _q_rate_anomaly(sf_dir: str):
     return loganalytics.rate_anomaly(flagship.read_transcripts(sf_dir))
 
 
+def _q_conv_cardinality(sf_dir: str):
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
+    return loganalytics.conv_cardinality(flagship.read_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -168,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_role_transitions": _q_role_transitions,
         "q_turn_hopping": _q_turn_hopping,
         "q_rate_anomaly": _q_rate_anomaly,
+        "q_conv_cardinality": _q_conv_cardinality,
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     q.update(registry.queries())
@@ -195,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "q_role_transitions": _la.role_transitions_oracle_sql(),
         "q_turn_hopping": _la.turn_hopping_oracle_sql(),
         "q_rate_anomaly": _la.rate_anomaly_oracle_sql(),
+        "q_conv_cardinality": _la.conv_cardinality_oracle_sql(),
     }
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
     o.update(registry.oracle_sql())

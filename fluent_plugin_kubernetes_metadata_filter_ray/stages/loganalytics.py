@@ -411,3 +411,154 @@ SELECT r.role, r.hour_ts, r.n_turns,
   (r.n_turns::HUGEINT * s.h > {BURST_FACTOR}::HUGEINT * s.s) AS is_burst
 FROM r JOIN s ON r.role IS NOT DISTINCT FROM s.role
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-conversation cardinality: the sketch aggregate a
+# 10^12-turn pipeline uses where exact COUNT(DISTINCT) would shuffle every
+# key.  Registers merge with max() — per-batch partials are ≤ HLL_M rows
+# regardless of input size, and the estimate is computed from the collected
+# ≤ HLL_M-row register table.  Fully deterministic (md5 hashing, integer
+# register math, fixed float-operation order), so unlike most sketches it
+# has an EXACT DuckDB twin — bit-length comes from a comparison ladder, not
+# float log2 (log2(2^52 - 1) rounds UP to exactly 52.0, which would corrupt
+# the floor).
+# --------------------------------------------------------------------------
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_HLL_REM_BITS = 64 - HLL_P
+_HLL_REM_MASK = (1 << _HLL_REM_BITS) - 1
+_HLL_MAX_RHO = _HLL_REM_BITS + 1
+_HLL_SCALE = float(1 << _HLL_MAX_RHO)  # 2^53, exact as a double
+
+
+def _hll_partial(t: pa.Table) -> pa.Table:
+    """Per-batch registers: (bucket, max rho) over the batch's distinct
+    non-null conv_ids — md5 once per distinct key, like the fingerprint
+    ops."""
+    from ..functions import corpus as cp
+
+    conv = t.column("conv_id").drop_null().unique().to_pylist()
+    regs: dict[int, int] = {}
+    for c in conv:
+        h = cp.w64(c)
+        b = h >> _HLL_REM_BITS
+        rem = h & _HLL_REM_MASK
+        rho = _HLL_MAX_RHO if rem == 0 else _HLL_REM_BITS - rem.bit_length() + 1
+        if regs.get(b, 0) < rho:
+            regs[b] = rho
+    return pa.table(
+        {
+            "bucket": pa.array(list(regs.keys()), pa.int64()),
+            "rho": pa.array(list(regs.values()), pa.int64()),
+        }
+    )
+
+
+def _distinct_partial(t: pa.Table) -> pa.Table:
+    return pa.table({"conv_id": t.column("conv_id").drop_null().unique()})
+
+
+def conv_cardinality(ds):
+    """One-row (hll_estimate, v_zero, n_convs_exact): the HLL estimate of
+    distinct conversations next to the exact count (the exact pass uses
+    the dedup shape — per-batch distinct then groupby — so the result
+    also audits the sketch's error).  At true 10^12 scale a user would
+    run the register pass alone; the twin pass here is what makes the
+    estimate's accuracy a tested, driver-checked fact."""
+    import math
+
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    thin = ds.select_columns(["conv_id"])
+    regdf = (
+        thin.map_batches(_hll_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()  # ≤ HLL_M rows by construction
+    )
+    n_exact = (
+        thin.map_batches(_distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .count()
+        .count()
+    )
+    rhos = regdf["rho"].to_numpy(dtype=np.int64) if "rho" in regdf.columns else []
+    used = len(rhos)
+    v_zero = HLL_M - used
+    z_scaled = sum(1 << (_HLL_MAX_RHO - int(r)) for r in rhos) + (
+        v_zero << _HLL_MAX_RHO
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(HLL_M))
+    raw = alpha * float(HLL_M) * float(HLL_M) * _HLL_SCALE / float(z_scaled)
+    if raw <= 2.5 * HLL_M and v_zero > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / v_zero)
+    else:
+        est = raw
+    return pd.DataFrame(
+        [
+            {
+                "hll_estimate": np.float64(est),
+                "v_zero": np.int64(v_zero),
+                "n_convs_exact": np.int64(n_exact),
+            }
+        ]
+    )
+
+
+def _sql_bitlen(expr: str) -> str:
+    """Exact bit-length of a value in [0, 2^_HLL_REM_BITS) as a CASE
+    comparison ladder (no float log2 — see module note)."""
+    whens = " ".join(
+        f"WHEN {expr} >= {1 << (k - 1)} THEN {k}"
+        for k in range(_HLL_REM_BITS, 0, -1)
+    )
+    return f"(CASE {whens} ELSE 0 END)"
+
+
+def conv_cardinality_oracle_sql() -> str:
+    from .. import datagen as dg
+    from ..functions import corpus as cp
+
+    w64 = cp.SQL_W64.format(s="conv_id")
+    rem = f"(h & {_HLL_REM_MASK})"
+    bitlen = _sql_bitlen(rem)
+    m = HLL_M
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+hx AS (
+  SELECT DISTINCT {w64} AS h FROM transcripts_t WHERE conv_id IS NOT NULL
+),
+br AS (
+  SELECT (h >> {_HLL_REM_BITS})::BIGINT AS bucket,
+    (CASE WHEN {rem} = 0 THEN {_HLL_MAX_RHO}
+          ELSE {_HLL_REM_BITS} - {bitlen} + 1 END)::BIGINT AS rho
+  FROM hx
+),
+reg AS (SELECT bucket, max(rho) AS rho FROM br GROUP BY bucket),
+z AS (
+  SELECT count(*)::BIGINT AS used,
+    coalesce(sum((1::BIGINT << ({_HLL_MAX_RHO} - rho))::HUGEINT), 0::HUGEINT) AS zp
+  FROM reg
+),
+c AS (
+  SELECT ({m} - used) AS v,
+    (zp + ({m} - used)::HUGEINT * {1 << _HLL_MAX_RHO}::HUGEINT) AS zs
+  FROM z
+),
+e AS (
+  SELECT v,
+    (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * {float(1 << _HLL_MAX_RHO):.1f}
+      / zs::DOUBLE AS raw
+  FROM c
+)
+SELECT
+  CASE WHEN raw <= 2.5 * {m} AND v > 0 THEN {m}.0 * ln({m}.0 / v) ELSE raw END
+    AS hll_estimate,
+  v::BIGINT AS v_zero,
+  (SELECT count(DISTINCT conv_id)::BIGINT FROM transcripts_t) AS n_convs_exact
+FROM e
+""".strip()
