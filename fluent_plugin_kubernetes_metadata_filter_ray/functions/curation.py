@@ -644,3 +644,149 @@ SELECT doc_id, chunk_idx, count(*)::BIGINT AS n_tokens,
   {w63} AS chunk_hash
 FROM ch GROUP BY doc_id, chunk_idx
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# cross-source corpus overlap
+
+
+def q_source_overlap(sf_dir: str):
+    """Corpus-overlap matrix: token-set Jaccard between every pair of
+    (named) sources — the dataset-contamination / mixture diagnostic a
+    curation pipeline publishes alongside its datasheet.  Pairs with zero
+    shared tokens are omitted (SQL inner-join semantics).
+
+    Ray shape: per-batch DISTINCT (token, source) pairs → ``groupby``
+    (one row per distinct pair globally), materialized ONCE (it is the
+    aggregated vocab×source table — far smaller than the corpus; three
+    consumers read it) → per-source sizes from a tiny combiner aggregate,
+    and a hash self-JOIN on token for the pair counts — the shuffle
+    carries vocab-sized rows, never documents.  Jaccard =
+    n_common / (|A| + |B| − n_common): one division of exact ints, so
+    both sides are bit-identical."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _join_partitions
+
+    def tok_src_partial(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pandas())
+        src = pd.Series(batch.column("source").to_pandas())
+        ex = s.str.strip().str.split().explode().dropna()
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "source": pa.array([], pa.string())}
+        )
+        if not len(ex):
+            return empty
+        df = pd.DataFrame(
+            {"token": ex.to_numpy(), "source": src.reindex(ex.index).to_numpy()}
+        ).dropna(subset=["source"]).drop_duplicates()
+        return pa.table(
+            {
+                "token": pa.array(df["token"].to_numpy(dtype=object), pa.string()),
+                "source": pa.array(df["source"].to_numpy(dtype=object), pa.string()),
+            }
+        )
+
+    ts = (
+        cp.read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(tok_src_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["token", "source"])
+        .aggregate(Count(alias_name="x"))
+        .drop_columns(["x"])
+        .materialize()
+    )
+
+    def size_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {"source": g.column("source"), "n": g.column("count_all").cast(pa.int64())}
+        )
+
+    sizes_df = (
+        ts.map_batches(size_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sizes = (
+        {s: int(n) for s, n in zip(sizes_df["source"], sizes_df["n"])}
+        if "source" in sizes_df.columns
+        else {}
+    )
+
+    # sentinel rows keep the join schema-typed when the corpus is empty;
+    # their keys can never equal a real token's, so they join nothing
+    left = ts.union(rd.from_arrow(pa.table(
+        {"token": pa.array(["\x00sent_a"], pa.string()),
+         "source": pa.array(["\x00"], pa.string())}
+    )))
+    right = ts.map_batches(
+        lambda t: pa.table({"token": t.column("token"), "source_b": t.column("source")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).union(rd.from_arrow(pa.table(
+        {"token": pa.array(["\x00sent_b"], pa.string()),
+         "source_b": pa.array(["\x00"], pa.string())}
+    )))
+    joined = left.join(
+        right, join_type="inner", num_partitions=_join_partitions(), on=("token",)
+    )
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        t = t.filter(pc_.less(t.column("source"), t.column("source_b")))
+        g = t.group_by(["source", "source_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "source_a": g.column("source"),
+                "source_b": g.column("source_b"),
+                "n_common": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        joined.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_common", alias_name="n_common"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        a = t.column("source_a").to_pylist()
+        b = t.column("source_b").to_pylist()
+        n = t.column("n_common").to_pylist()
+        jac = [
+            float(c) / float(sizes[x] + sizes[y] - c) for x, y, c in zip(a, b, n)
+        ]
+        return pa.table(
+            {
+                "source_a": t.column("source_a"),
+                "source_b": t.column("source_b"),
+                "n_common": t.column("n_common"),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_overlap_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {cp.SQL_TOKS.format(t='text')} AS toks
+  FROM documents WHERE source IS NOT NULL
+),
+ts0 AS (SELECT DISTINCT unnest(toks) AS token, source FROM tok),
+sz AS (SELECT source, count(*)::BIGINT AS n FROM ts0 GROUP BY source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_common
+  FROM ts0 a JOIN ts0 b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT pr.source_a, pr.source_b, pr.n_common,
+  pr.n_common::DOUBLE / (sa.n + sb.n - pr.n_common)::DOUBLE AS jaccard
+FROM pr
+JOIN sz sa ON sa.source = pr.source_a
+JOIN sz sb ON sb.source = pr.source_b
+""".strip()

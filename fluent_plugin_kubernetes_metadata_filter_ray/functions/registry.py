@@ -43,6 +43,7 @@ def queries() -> dict:
         "q_doc_tfidf": curation.q_doc_tfidf,
         "q_doc_rank": curation.q_doc_rank,
         "q_doc_chunks": curation.q_doc_chunks,
+        "q_source_overlap": curation.q_source_overlap,
         "q_embed_quantize": simsearch.q_embed_quantize,
     }
 
@@ -84,5 +85,6 @@ def oracle_sql() -> dict:
         "q_doc_tfidf": curation.doc_tfidf_oracle_sql(),
         "q_doc_rank": curation.doc_rank_oracle_sql(),
         "q_doc_chunks": curation.doc_chunks_oracle_sql(),
+        "q_source_overlap": curation.source_overlap_oracle_sql(),
         "q_embed_quantize": simsearch.embed_quantize_oracle_sql(),
     }

@@ -147,6 +147,7 @@ def test_new_ops_survive_empty_corpora(ray_session, tmp_path):
 
     from fluent_plugin_kubernetes_metadata_filter_ray.functions.curation import (
         q_doc_chunks,
+        q_source_overlap,
     )
     from fluent_plugin_kubernetes_metadata_filter_ray.functions.sampling import (
         q_source_mix,
@@ -199,6 +200,7 @@ def test_new_ops_survive_empty_corpora(ray_session, tmp_path):
     )
 
     assert q_doc_chunks(d).count() == 0
+    assert q_source_overlap(d).count() == 0
     assert q_top_docs_per_source(d).count() == 0
     assert q_embed_quantize(d).count() == 0
     mix = q_source_mix(d)
@@ -210,3 +212,24 @@ def test_new_ops_survive_empty_corpora(ray_session, tmp_path):
     assert la.role_transitions(rt()).count() == 0
     assert la.turn_hopping(rt()).count() == 0
     assert la.rate_anomaly(rt()).count() == 0
+
+
+def test_source_overlap_jaccard(ray_session, tmp_path):
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.curation import (
+        q_source_overlap,
+    )
+
+    # a: {x,y,z}; b: {y,z,w}; c: {q}; null source excluded
+    rows = [
+        (1, "x y z", "a"),
+        (2, "y z w", "b"),
+        (3, "q", "c"),
+        (4, "x y", None),
+    ]
+    d = _docs_dir(tmp_path, rows)
+    out = q_source_overlap(d).to_pandas()
+    out = out.set_index(["source_a", "source_b"]).sort_index()
+    # only the overlapping pair appears
+    assert list(out.index) == [("a", "b")]
+    assert out.loc[("a", "b"), "n_common"] == 2  # {y, z}
+    assert out.loc[("a", "b"), "jaccard"] == 2 / 4  # |union| = {x,y,z,w}
