@@ -11,6 +11,10 @@ re-derives the same table (and the analytically-expected enrichment) from
 the pre-registered ``events`` view, so the value-hash comparison checks the
 real engine work: regex parse, cached store lookups, orphan / deleted-pod /
 recreated-namespace classification, routing aggregates.
+
+The actual wiring lives in the package
+(``fluent_plugin_kubernetes_metadata_filter_ray/queries.py``), shared with
+the CLI ``analyze`` command; this module is the thin driver-facing shim.
 """
 
 from __future__ import annotations
@@ -18,32 +22,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
-from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
-from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
+from fluent_plugin_kubernetes_metadata_filter_ray import queries as _q
 from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
-from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
-    conv_concat,
-    conv_concat_oracle_sql,
-    conv_percentiles,
-    conv_percentiles_oracle_sql,
-    conv_sessions,
-    conv_sessions_oracle_sql,
-    conv_stats,
-    conv_stats_oracle_sql,
-    route_counts,
-    route_counts_oracle_sql,
-    top_convs,
-    top_convs_oracle_sql,
-    turn_rates,
-    turn_rates_oracle_sql,
-    turn_rolling,
-    turn_rolling_oracle_sql,
-)
-from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
-from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import (
-    redact_oracle_sql as _redact_oracle_sql,
-)
-from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics as _la
 
 
 def entry() -> Any:
@@ -52,157 +32,9 @@ def entry() -> Any:
     return flagship.run_flagship("/root/testdata/sf0.001")
 
 
-def _q_transcripts(sf_dir: str):
-    import ray.data
-    return ray.data.read_parquet(dg.transcripts_path(sf_dir))
-
-
-def _q_parse(sf_dir: str):
-    ds = flagship.read_transcripts(sf_dir)
-    return parse_stage(ds, DEFAULT_CONFIG).select_columns(dg.PARSE_COLUMNS)
-
-
-def _q_enrich(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
-    return decode_stage(flagship.build_enriched(sf_dir)).select_columns(dg.ENRICH_COLUMNS)
-
-
-def _q_enrich_skip(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
-    cfg = DEFAULT_CONFIG.skip_variant()
-    return decode_stage(flagship.build_enriched(sf_dir, cfg)).select_columns(dg.ENRICH_COLUMNS)
-
-
-def _q_enrich_dedot(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
-    cfg = DEFAULT_CONFIG.dedot_variant()
-    return decode_stage(flagship.build_enriched(sf_dir, cfg)).select_columns(dg.ENRICH_COLUMNS)
-
-
-def _q_enrich_ownerrefs(sf_dir: str):
-    """include_ownerrefs_metadata variant: pods with pod_i % 7 == 2 carry a
-    ReplicaSet ownerReference surfaced as k8s_ownerrefs (reference e2e:
-    test_filter_kubernetes_metadata.rb:891-933)."""
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import decode_stage
-    cfg = DEFAULT_CONFIG.ownerrefs_variant()
-    return decode_stage(flagship.build_enriched(sf_dir, cfg)).select_columns(
-        dg.ENRICH_COLUMNS + ["k8s_ownerrefs"]
-    )
-
-
-def _q_route_counts(sf_dir: str):
-    return route_counts(flagship.build_enriched(sf_dir))
-
-
-def _q_conv_stats(sf_dir: str):
-    return conv_stats(flagship.read_transcripts(sf_dir))
-
-
-def _q_top_convs(sf_dir: str):
-    return top_convs(flagship.read_transcripts(sf_dir))
-
-
-def _q_conv_sessions(sf_dir: str):
-    return conv_sessions(flagship.read_transcripts(sf_dir))
-
-
-def _q_conv_concat(sf_dir: str):
-    return conv_concat(flagship.read_transcripts(sf_dir))
-
-
-def _q_conv_percentiles(sf_dir: str):
-    return conv_percentiles(flagship.read_transcripts(sf_dir))
-
-
-def _q_turn_rates(sf_dir: str):
-    return turn_rates(flagship.read_transcripts(sf_dir))
-
-
-def _q_turn_rolling(sf_dir: str):
-    return turn_rolling(flagship.read_transcripts(sf_dir))
-
-
-def _q_log_redact(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import redact_stage
-    return redact_stage(flagship.read_transcripts(sf_dir))
-
-
-def _q_log_templates(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
-    return loganalytics.log_templates(flagship.read_transcripts(sf_dir))
-
-
-def _q_role_transitions(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
-    return loganalytics.role_transitions(flagship.read_transcripts(sf_dir))
-
-
-def _q_turn_hopping(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
-    return loganalytics.turn_hopping(flagship.read_transcripts(sf_dir))
-
-
-def _q_rate_anomaly(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
-    return loganalytics.rate_anomaly(flagship.read_transcripts(sf_dir))
-
-
-def _q_conv_cardinality(sf_dir: str):
-    from fluent_plugin_kubernetes_metadata_filter_ray.stages import loganalytics
-    return loganalytics.conv_cardinality(flagship.read_transcripts(sf_dir))
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
-    q = {
-        "q_transcripts": _q_transcripts,
-        "q_parse": _q_parse,
-        "q_enrich": _q_enrich,
-        "q_enrich_skip": _q_enrich_skip,
-        "q_enrich_dedot": _q_enrich_dedot,
-        "q_enrich_ownerrefs": _q_enrich_ownerrefs,
-        "q_route_counts": _q_route_counts,
-        "q_conv_stats": _q_conv_stats,
-        "q_top_convs": _q_top_convs,
-        "q_conv_sessions": _q_conv_sessions,
-        "q_conv_concat": _q_conv_concat,
-        "q_conv_percentiles": _q_conv_percentiles,
-        "q_turn_rates": _q_turn_rates,
-        "q_turn_rolling": _q_turn_rolling,
-        "q_log_redact": _q_log_redact,
-        "q_log_templates": _q_log_templates,
-        "q_role_transitions": _q_role_transitions,
-        "q_turn_hopping": _q_turn_hopping,
-        "q_rate_anomaly": _q_rate_anomaly,
-        "q_conv_cardinality": _q_conv_cardinality,
-    }
-    from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
-    q.update(registry.queries())
-    return q
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    o = {
-        "q_transcripts": dg.transcripts_sql(),
-        "q_parse": dg.parse_oracle_sql(),
-        "q_enrich": dg.enrich_oracle_sql(),
-        "q_enrich_skip": dg.enrich_oracle_sql(skip=True),
-        "q_enrich_dedot": dg.enrich_oracle_sql(dedot=True),
-        "q_enrich_ownerrefs": dg.enrich_oracle_sql(ownerrefs=True),
-        "q_route_counts": route_counts_oracle_sql(),
-        "q_conv_stats": conv_stats_oracle_sql(),
-        "q_top_convs": top_convs_oracle_sql(),
-        "q_conv_sessions": conv_sessions_oracle_sql(),
-        "q_conv_concat": conv_concat_oracle_sql(),
-        "q_conv_percentiles": conv_percentiles_oracle_sql(),
-        "q_turn_rates": turn_rates_oracle_sql(),
-        "q_turn_rolling": turn_rolling_oracle_sql(),
-        "q_log_redact": _redact_oracle_sql(),
-        "q_log_templates": _la.log_templates_oracle_sql(),
-        "q_role_transitions": _la.role_transitions_oracle_sql(),
-        "q_turn_hopping": _la.turn_hopping_oracle_sql(),
-        "q_rate_anomaly": _la.rate_anomaly_oracle_sql(),
-        "q_conv_cardinality": _la.conv_cardinality_oracle_sql(),
-    }
-    from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
-    o.update(registry.oracle_sql())
-    return o
+    return _q.oracle_sql()

@@ -6,6 +6,8 @@
 Commands:
     run      flagship parse → enrich → route → per-sink counts
     resume   checkpointed shard-by-shard run (skips committed shards)
+    analyze  run any registered query (see ``analyze --list``) over an
+             sf-dir and print the head of its result
 
 Owns a Ray session only when standalone (guarded init; the driver contract
 in __ray_entry__ never goes through here)."""
@@ -43,6 +45,12 @@ def main(argv=None) -> int:
     resp.add_argument("--rep", type=int, default=1)
     resp.add_argument("--files-per-shard", type=int, default=4)
 
+    anap = sub.add_parser("analyze", help="run a registered query")
+    anap.add_argument("query", nargs="?", help="query name (e.g. q_log_templates)")
+    anap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    anap.add_argument("--limit", type=int, default=20)
+    anap.add_argument("--list", action="store_true", help="list query names")
+
     args = p.parse_args(argv)
     ray, owns = _ensure_ray()
     try:
@@ -58,6 +66,22 @@ def main(argv=None) -> int:
                 args.sf_dir, args.out, rep=args.rep, files_per_shard=args.files_per_shard
             )
             print(json.dumps(summary, indent=1))
+        elif args.cmd == "analyze":
+            from . import queries as q
+
+            reg = q.queries()
+            if args.list or not args.query:
+                print("\n".join(sorted(reg)))
+                return 0
+            if args.query not in reg:
+                print(f"unknown query {args.query!r}; use --list", file=sys.stderr)
+                return 2
+            res = reg[args.query](args.sf_dir)
+            if hasattr(res, "limit"):  # Dataset: stream only the head
+                res = res.limit(args.limit).to_pandas()
+            else:
+                res = res.head(args.limit)
+            print(res.to_string(index=False))
     finally:
         if owns:
             ray.shutdown()

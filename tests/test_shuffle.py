@@ -63,3 +63,21 @@ def test_hash_shuffle_empty_block_patch(ray_session):
     out = left.join(right, join_type="inner", num_partitions=4,
                     on=("id",)).to_pandas()
     assert out.to_dict("records") == [{"id": 7, "v": 70}]
+
+
+def test_cli_analyze_smoke(ray_session, capsys):
+    from fluent_plugin_kubernetes_metadata_filter_ray import cli
+
+    rc = cli.main(["analyze", "--list"])
+    assert rc == 0
+    names = capsys.readouterr().out.split()
+    assert "q_log_templates" in names and "q_source_overlap" in names
+
+    rc = cli.main(
+        ["analyze", "q_route_counts", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "role" in out and "n_turns" in out
+
+    assert cli.main(["analyze", "q_no_such"]) == 2
