@@ -334,7 +334,7 @@ def doc_pack_oracle_sql() -> str:
     return f"""
 WITH tok AS (
   SELECT doc_id, source,
-    len({cp.SQL_TOKS.format(t='text')})::BIGINT AS n_tokens
+    coalesce(len({cp.SQL_TOKS.format(t='text')}), 0)::BIGINT AS n_tokens
   FROM documents
 ),
 off AS (
@@ -650,6 +650,9 @@ FROM ch GROUP BY doc_id, chunk_idx
 # cross-source corpus overlap
 
 
+_OVERLAP_SENTINEL = "\x00__overlap_sentinel__"
+
+
 def q_source_overlap(sf_dir: str):
     """Corpus-overlap matrix: token-set Jaccard between every pair of
     (named) sources — the dataset-contamination / mixture diagnostic a
@@ -716,18 +719,21 @@ def q_source_overlap(sf_dir: str):
         else {}
     )
 
-    # sentinel rows keep the join schema-typed when the corpus is empty;
-    # their keys can never equal a real token's, so they join nothing
+    # sentinel rows keep the join schema-typed when the corpus is empty.
+    # A real document COULD contain the sentinel token string (tokens are
+    # user text — no string is out-of-domain), so sentinel-source rows are
+    # explicitly filtered out again in pair_partial rather than assumed
+    # unjoinable.
     left = ts.union(rd.from_arrow(pa.table(
         {"token": pa.array(["\x00sent_a"], pa.string()),
-         "source": pa.array(["\x00"], pa.string())}
+         "source": pa.array([_OVERLAP_SENTINEL], pa.string())}
     )))
     right = ts.map_batches(
         lambda t: pa.table({"token": t.column("token"), "source_b": t.column("source")}),
         batch_format="pyarrow", zero_copy_batch=True,
     ).union(rd.from_arrow(pa.table(
         {"token": pa.array(["\x00sent_b"], pa.string()),
-         "source_b": pa.array(["\x00"], pa.string())}
+         "source_b": pa.array([_OVERLAP_SENTINEL], pa.string())}
     )))
     joined = left.join(
         right, join_type="inner", num_partitions=_join_partitions(), on=("token",)
@@ -736,7 +742,15 @@ def q_source_overlap(sf_dir: str):
     def pair_partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc_
 
-        t = t.filter(pc_.less(t.column("source"), t.column("source_b")))
+        t = t.filter(
+            pc_.and_(
+                pc_.and_(
+                    pc_.not_equal(t.column("source"), _OVERLAP_SENTINEL),
+                    pc_.not_equal(t.column("source_b"), _OVERLAP_SENTINEL),
+                ),
+                pc_.less(t.column("source"), t.column("source_b")),
+            )
+        )
         g = t.group_by(["source", "source_b"]).aggregate([([], "count_all")])
         return pa.table(
             {

@@ -275,7 +275,7 @@ def source_mix_oracle_sql() -> str:
     return f"""
 WITH s AS (
   SELECT source, count(*)::BIGINT AS n_docs,
-    sum(len({cp.SQL_TOKS.format(t='text')}))::BIGINT AS n_tokens
+    coalesce(sum(len({cp.SQL_TOKS.format(t='text')})), 0)::BIGINT AS n_tokens
   FROM documents GROUP BY source
 ),
 w AS (

@@ -114,28 +114,23 @@ def _q_log_redact(sf_dir: str):
 
 
 def _q_log_templates(sf_dir: str):
-    from .stages import loganalytics
-    return loganalytics.log_templates(flagship.read_transcripts(sf_dir))
+    return _la.log_templates(flagship.read_transcripts(sf_dir))
 
 
 def _q_role_transitions(sf_dir: str):
-    from .stages import loganalytics
-    return loganalytics.role_transitions(flagship.read_transcripts(sf_dir))
+    return _la.role_transitions(flagship.read_transcripts(sf_dir))
 
 
 def _q_turn_hopping(sf_dir: str):
-    from .stages import loganalytics
-    return loganalytics.turn_hopping(flagship.read_transcripts(sf_dir))
+    return _la.turn_hopping(flagship.read_transcripts(sf_dir))
 
 
 def _q_rate_anomaly(sf_dir: str):
-    from .stages import loganalytics
-    return loganalytics.rate_anomaly(flagship.read_transcripts(sf_dir))
+    return _la.rate_anomaly(flagship.read_transcripts(sf_dir))
 
 
 def _q_conv_cardinality(sf_dir: str):
-    from .stages import loganalytics
-    return loganalytics.conv_cardinality(flagship.read_transcripts(sf_dir))
+    return _la.conv_cardinality(flagship.read_transcripts(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -233,3 +233,45 @@ def test_source_overlap_jaccard(ray_session, tmp_path):
     assert list(out.index) == [("a", "b")]
     assert out.loc[("a", "b"), "n_common"] == 2  # {y, z}
     assert out.loc[("a", "b"), "jaccard"] == 2 / 4  # |union| = {x,y,z,w}
+
+
+def test_source_overlap_survives_sentinel_token_and_mix_null_text(
+    ray_session, tmp_path
+):
+    """Regression (code review): (a) a document containing the literal
+    sentinel token string must not crash the overlap join or leak a
+    sentinel pair; (b) a source whose docs all have null text gets
+    n_tokens=0 in the mix table on BOTH sides (the oracle coalesces the
+    all-NULL sum)."""
+    import duckdb
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.curation import (
+        q_source_overlap,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.sampling import (
+        q_source_mix,
+        source_mix_oracle_sql,
+    )
+
+    rows = [
+        (1, "hello \x00sent_a world", "web"),  # sentinel token in real text
+        (2, "hello there", "book"),
+        (3, None, "nulls"),
+        (4, None, "nulls"),
+    ]
+    d = _docs_dir(tmp_path, rows)
+    out = q_source_overlap(d).to_pandas()
+    # 'hello' is shared; no sentinel source appears anywhere
+    assert not (out["source_a"].str.startswith("\x00")).any()
+    assert not (out["source_b"].str.startswith("\x00")).any()
+    assert set(zip(out["source_a"], out["source_b"])) == {("book", "web")}
+
+    mix = q_source_mix(d).set_index("source")
+    assert mix.loc["nulls", "n_tokens"] == 0
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(source_mix_oracle_sql()).df().set_index("source")
+    assert ora.loc["nulls", "n_tokens"] == 0
+    assert str(ora["n_tokens"].dtype).startswith("int")
