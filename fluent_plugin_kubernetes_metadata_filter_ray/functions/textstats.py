@@ -34,7 +34,15 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
 
     s = pd.Series(text.to_pandas())
     toks = s.str.strip().str.split()
-    n_tokens = toks.str.len().to_numpy(dtype=np.int64)
+    # NULL-TEXT CONTRACT (mirrored in doc_stats_oracle_sql): a null text has
+    # n_tokens = 0 / en_stop_hits = 0, so every ratio/score derives from 0
+    # (quality_score = 0.3, lang_pred = 'und') on BOTH sides.  Without the
+    # fillna the NaN count casts to INT64_MIN and silently poisons every
+    # downstream ranking (q_doc_rank / q_top_docs_per_source ordered a
+    # null-text doc LAST while the oracle's least()-skips-NULL scored it
+    # 0.8 and ranked it FIRST).  Char/BPE counts stay NULL (SQL length(NULL)
+    # semantics) — they are measurements of the text, not token statistics.
+    n_tokens = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
     ex = toks.explode()
     stop_hits = (
         ex.isin(_STOP_SET).groupby(level=0).sum().reindex(s.index, fill_value=0)
@@ -78,8 +86,8 @@ WITH tok AS (
 ),
 st AS (
   SELECT *,
-    len(toks)::BIGINT AS n_tokens,
-    len(list_filter(toks, t -> t IN ({_SQL_STOP})))::BIGINT AS en_stop_hits
+    coalesce(len(toks), 0)::BIGINT AS n_tokens,
+    coalesce(len(list_filter(toks, t -> t IN ({_SQL_STOP}))), 0)::BIGINT AS en_stop_hits
   FROM tok
 ),
 rt AS (

@@ -70,19 +70,32 @@ def log_templates(ds):
 
     ds = ds.select_columns(["conv_id", "role", "text"])
 
+    # Templates are arbitrary user text, so a NULL template key rides an
+    # explicit validity FLAG through both shuffles (a real text whose masked
+    # template happened to equal an in-band string sentinel would otherwise
+    # be merged into the NULL group — the same user-string-collision class
+    # the q_source_overlap join guards against).  role/conv_id keep the
+    # shared sentinel: both are producer-controlled identifiers, not
+    # free-form text, and the sentinel contains \x00 which the tag grammar
+    # and datagen never emit — bound documented here.
     def partial_triples(t: pa.Table) -> pa.Table:
+        tpl = template_column(t.column("text"))
         tt = pa.table(
             {
                 "role": pc.fill_null(t.column("role"), _NULL_KEY),
-                "template": pc.fill_null(template_column(t.column("text")), _NULL_KEY),
+                "template": pc.fill_null(tpl, ""),
+                "tpl_null": pc.cast(pc.is_null(tpl), pa.int32()),
                 "conv_id": pc.fill_null(t.column("conv_id"), _NULL_KEY),
             }
         )
-        g = tt.group_by(["role", "template", "conv_id"]).aggregate([([], "count_all")])
+        g = tt.group_by(["role", "template", "tpl_null", "conv_id"]).aggregate(
+            [([], "count_all")]
+        )
         return pa.table(
             {
                 "role": g.column("role"),
                 "template": g.column("template"),
+                "tpl_null": g.column("tpl_null"),
                 "conv_id": g.column("conv_id"),
                 "n_turns": g.column("count_all").cast(pa.int64()),
             }
@@ -97,17 +110,19 @@ def log_templates(ds):
             {
                 "role": t.column("role"),
                 "template": t.column("template"),
+                "tpl_null": t.column("tpl_null"),
                 "n_turns": t.column("n_turns"),
                 "conv": conv_or_null,
             }
         )
-        g = tt.group_by(["role", "template"]).aggregate(
+        g = tt.group_by(["role", "template", "tpl_null"]).aggregate(
             [("n_turns", "sum"), ("conv", "count"), ("conv", "min")]
         )
         return pa.table(
             {
                 "role": g.column("role"),
                 "template": g.column("template"),
+                "tpl_null": g.column("tpl_null"),
                 "n_turns": g.column("n_turns_sum").cast(pa.int64()),
                 "n_convs": g.column("conv_count").cast(pa.int64()),
                 "example_conv": g.column("conv_min"),
@@ -116,12 +131,12 @@ def log_templates(ds):
 
     triples = (
         ds.map_batches(partial_triples, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["role", "template", "conv_id"])
+        .groupby(["role", "template", "tpl_null", "conv_id"])
         .aggregate(Sum("n_turns", alias_name="n_turns"))
     )
     merged = triples.map_batches(
         partial_rt, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby(["role", "template"]).aggregate(
+    ).groupby(["role", "template", "tpl_null"]).aggregate(
         Sum("n_turns", alias_name="n_turns"),
         Sum("n_convs", alias_name="n_convs"),
         Min("example_conv", alias_name="example_conv"),
@@ -133,10 +148,16 @@ def log_templates(ds):
                 pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col
             )
 
+        # template unmasks by PROVENANCE (the flag), never by value
+        tpl = pc.if_else(
+            pc.equal(t.column("tpl_null"), 1),
+            pa.scalar(None, pa.string()),
+            t.column("template"),
+        )
         return pa.table(
             {
                 "role": um(t.column("role")),
-                "template": um(t.column("template")),
+                "template": tpl,
                 "n_turns": t.column("n_turns"),
                 "n_convs": t.column("n_convs"),
                 "example_conv": t.column("example_conv"),

@@ -221,3 +221,62 @@ def test_hostile_docs_lm_score(ray_session, tmp_path):
     assert (out.loc[1:, "logprob_q"] == 0).all()
     assert out["lm_keep"].tolist()[1:] == [False, False, False]
     assert out["lm_keep"][0]  # p(a)=2/3, p(b)=1/3 → avg ln ≈ -0.5 > gate
+
+
+def test_null_text_docs_rank_like_oracle(ray_session, tmp_path):
+    """ADVICE r2 (medium): the null-text contract must be ONE definition
+    mirrored in both twins.  Engine n_tokens fillna(0) + oracle
+    coalesce(len(toks),0) → a null-text doc scores exactly 0.3 on BOTH
+    sides and ranks identically (previously: engine cast NaN→INT64_MIN and
+    ranked it last; the oracle's least()-skips-NULL scored 0.8 and ranked
+    it first).  Exercises q_doc_stats, q_doc_rank and
+    q_top_docs_per_source over a corpus the sf gate can't produce."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import (
+        curation,
+        sampling,
+        textstats,
+    )
+
+    d = str(tmp_path / "nulltext")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            # doc 2: null text — the advisor's exact divergence scenario
+            "text": pa.array(["the quick fox", None, "zz zz zz zz"], pa.string()),
+            "source": pa.array(["web", "web", "web"], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{d}/documents.parquet')"
+    )
+
+    for q, sql, key in (
+        (textstats.q_doc_stats, textstats.doc_stats_oracle_sql(), ["doc_id"]),
+        (curation.q_doc_rank, curation.doc_rank_oracle_sql(), ["doc_rank"]),
+        (
+            sampling.q_top_docs_per_source,
+            sampling.top_docs_per_source_oracle_sql(),
+            ["source", "rnk"],
+        ),
+    ):
+        a = q(d).to_pandas().sort_values(key, kind="mergesort").reset_index(drop=True)
+        b = con.execute(sql).fetchdf().sort_values(key, kind="mergesort").reset_index(drop=True)
+        assert list(a.columns) == list(b.columns)
+        assert len(a) == len(b) == 3
+        for c in a.columns:
+            am, bm = a[c].fillna("@").astype(str), b[c].fillna("@").astype(str)
+            assert (am == bm).all(), f"{c}: {a[c].tolist()} vs {b[c].tolist()}"
+    # the null-text doc itself: quality 0.3, 'und', zero token stats
+    st = textstats.q_doc_stats(d).to_pandas().set_index("doc_id")
+    assert st.loc[2, "n_tokens"] == 0
+    assert st.loc[2, "quality_score"] == 0.3
+    assert st.loc[2, "lang_pred"] == "und"
+    con.close()

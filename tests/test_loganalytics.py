@@ -184,3 +184,34 @@ def test_conv_concat_order_and_null_text(ray_session, tmp_path):
     assert out.loc["a", "doc_hash"] == w63("hello\nworld")
     # all-null conv: NULL document, like SQL string_agg
     assert out.loc["b", "n_turns"] == 1 and pd.isna(out.loc["b", "doc_len"])
+
+
+def test_log_templates_sentinel_collision(ray_session, tmp_path):
+    """ADVICE r2: a REAL text equal to the internal null-key sentinel must
+    form its own (non-null) template group — templates are user text, so
+    the NULL template unmasks by validity flag, never by value equality."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import _NULL_KEY
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        log_templates,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1", "c2", "c3"], pa.string()),
+            "role": pa.array(["user", "user", "user"], pa.string()),
+            # row 0: adversarial text that IS the sentinel (no digits/hex →
+            # template == text); row 1: a genuinely null text; row 2: normal
+            "text": pa.array([_NULL_KEY, None, "hello world"], pa.string()),
+        }
+    )
+    d = _write(tmp_path, "tplcol", t)
+    out = log_templates(ray.data.read_parquet(d)).to_pandas()
+    # three DISTINCT groups: the literal sentinel text, NULL, and 'hello world'
+    assert len(out) == 3
+    null_grp = out[out["template"].isna()]
+    lit_grp = out[out["template"] == _NULL_KEY]
+    assert len(null_grp) == 1 and null_grp["n_turns"].iloc[0] == 1
+    assert null_grp["example_conv"].iloc[0] == "c2"
+    assert len(lit_grp) == 1 and lit_grp["example_conv"].iloc[0] == "c1"
