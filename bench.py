@@ -138,6 +138,48 @@ def run_bench() -> dict:
         log_templates(flagship.read_transcripts(SF_DIR, rep=REP)).count()
         queries["log_templates"] = time.perf_counter() - t0
 
+        # conv-window family at ≥100k conversations (VERDICT r2 task 1):
+        # salt conv_id by turn_idx so the 1,500-user corpus becomes
+        # 1500×128 ≈ 192k conversations of ~13 turns — the group-count
+        # regime where map_groups paid ~75 µs of Python PER GROUP (~14 s
+        # of pure overhead here); the sorted-block kernels pay only the
+        # conv_id sort + vectorized scans.
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        def _salt_convs(t):
+            salt = _pc.cast(
+                _pc.bit_wise_and(_pc.cast(t.column("turn_idx"), _pa.int32()), 127),
+                _pa.string(),
+            )
+            conv = _pc.binary_join_element_wise(
+                _pc.fill_null(t.column("conv_id"), "null"), salt, "-"
+            )
+            return t.set_column(t.column_names.index("conv_id"), "conv_id", conv)
+
+        def _salted(rep=REP):
+            return flagship.read_transcripts(SF_DIR, rep=rep).map_batches(
+                _salt_convs, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+            conv_concat,
+            turn_rolling,
+        )
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+            role_transitions,
+        )
+
+        for name, op in (
+            ("conv_sessions_big", conv_sessions),
+            ("turn_rolling_big", turn_rolling),
+            ("conv_concat_big", conv_concat),
+            ("role_transitions_big", role_transitions),
+        ):
+            t0 = time.perf_counter()
+            op(_salted()).count()
+            queries[name] = time.perf_counter() - t0
+
         # training-data ops over the sf documents/embeddings tables
         from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
 

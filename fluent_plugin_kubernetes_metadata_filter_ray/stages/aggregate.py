@@ -150,6 +150,104 @@ def _unmask_null_key(col):
     return col  # untouched groups pay nothing
 
 
+def _unmask_col(col):
+    """Vectorized sentinel → null restore for MULTI-group columns (the
+    sorted-block kernels see many convs per block).  Inputs here are
+    freshly built take()/filter() outputs, never zero-copy block slices,
+    so the sliced-offsets bug above doesn't apply."""
+    import pyarrow.compute as pc
+
+    return pc.if_else(pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col)
+
+
+def _sorted_by_conv(ds, cols: list[str]):
+    """Thin-select + null-mask + distributed sort by conv_id — the shared
+    front half of every per-conversation windowed operator.
+
+    Why this replaces ``groupby(conv_id).map_groups``: Ray's map_groups is
+    the SAME ``sort(key)`` followed by a per-block map, but it then pays
+    ~50-125 µs of Python per GROUP (slice + BlockAccessor + UDF call per
+    conv).  At 10^12 turns / ~50 turns per conv that's ~2×10^10 groups —
+    hours of pure overhead cluster-wide.  The kernels below process a whole
+    sorted block in vectorized numpy with conv boundaries found by a single
+    scan (the shape proven by dedup._emit_pairs_sorted_block).
+
+    Physical contract (identical to what map_groups itself relies on):
+    after ``sort``, range partitioning against FIXED boundary values sends
+    every row of one conv_id to the same partition (equal keys compare
+    identically against every boundary), and ``map_batches`` with the
+    default ``batch_size=None`` maps whole blocks — so each kernel call
+    sees every one of its conversations complete.  Partitioning assumption
+    (shared with map_groups): one conversation's thin rows fit a worker
+    block; a conv too large for that needs a pre-bucketed time-range
+    split."""
+    if set(cols) < set(ds.schema().names):
+        ds = ds.select_columns(cols)
+    return _mask_null_key(ds, "conv_id").sort("conv_id")
+
+
+def _conv_codes(t: pa.Table):
+    """conv_id column of a conv-sorted block → (int32 codes, string array).
+    Equal conv_ids are adjacent (the block is sorted by conv_id), so code
+    changes mark exactly the conv boundaries; dictionary codes make the
+    in-kernel lexsort compare ints, not strings."""
+    conv = t.column("conv_id")
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+    enc = conv.dictionary_encode()
+    return enc.indices.to_numpy(zero_copy_only=False), conv
+
+
+_SESSIONS_EMPTY = pa.table(
+    {
+        "conv_id": pa.array([], pa.string()),
+        "session_idx": pa.array([], pa.int64()),
+        "n_turns": pa.array([], pa.int64()),
+        "t_start": pa.array([], pa.timestamp("us")),
+        "t_end": pa.array([], pa.timestamp("us")),
+    }
+)
+
+
+def _sessions_sorted_block(t: pa.Table) -> pa.Table:
+    """All conversations of a conv-sorted block sessionized in one
+    vectorized pass: block-wide lexsort (ts, turn_idx within conv) →
+    boundary masks → cumsum-with-reset session ids → per-session take.
+    Zero per-conv Python."""
+    import numpy as np
+
+    n = len(t)
+    if n == 0:
+        return _SESSIONS_EMPTY
+    codes, conv = _conv_codes(t)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    order = np.lexsort((ti, ts, codes))
+    c_s, ts_s = codes[order], ts[order]
+    nb = np.empty(n, dtype=bool)  # new-conv mask
+    nb[0] = True
+    nb[1:] = c_s[1:] != c_s[:-1]
+    brk = np.zeros(n, dtype=bool)  # same-conv session break
+    brk[1:] = ~nb[1:] & (np.diff(ts_s) > SESSION_GAP_S * 1_000_000)
+    starts = np.flatnonzero(nb | brk)
+    ends = np.r_[starts[1:], n] - 1
+    # session_idx = per-conv cumsum of breaks: global cumsum minus its
+    # value at the row's conv start
+    cum = np.cumsum(brk)
+    conv_ord = np.cumsum(nb) - 1  # conv ordinal per row
+    base = cum[np.flatnonzero(nb)]  # cum at each conv's first row (brk=False there)
+    sess_idx = (cum - base[conv_ord])[starts]
+    return pa.table(
+        {
+            "conv_id": _unmask_col(conv.take(pa.array(order[starts]))),
+            "session_idx": pa.array(sess_idx, pa.int64()),
+            "n_turns": pa.array(np.diff(np.r_[starts, n]), pa.int64()),
+            "t_start": pa.array(ts_s[starts], pa.int64()).cast(pa.timestamp("us")),
+            "t_end": pa.array(ts_s[ends], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+
+
 def conv_sessions(ds):
     """Windowed sessionization — the gap-based streaming-window operator a
     log pipeline needs (per north_star: custom windowed aggregate): within
@@ -157,16 +255,20 @@ def conv_sessions(ds):
     turn exceeds SESSION_GAP_S; emits one row per session with its turn
     count and time bounds.
 
-    Ray shape: ``groupby(conv_id).map_groups`` with a vectorized in-group
-    kernel (lexsort by (ts, turn_idx) → diff → cumsum → reduceat).
-    Partitioning assumption (documented): one conversation's turns fit in a
-    worker's memory — the same assumption the per-conv stats make; a
-    conversation too large for that would need a pre-bucketed time-range
-    split."""
+    Ray shape: sort by conv_id + vectorized sorted-block kernel (see
+    ``_sorted_by_conv`` for why this beats ``map_groups`` at scale); the
+    sort shuffle carries 3 thin columns."""
+    return _sorted_by_conv(ds, ["conv_id", "turn_idx", "ts"]).map_batches(
+        _sessions_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def conv_sessions_mapgroups(ds):
+    """Reference implementation on ``groupby(conv_id).map_groups`` — kept
+    (not driver-wired) as the semantic baseline the property tests compare
+    the sorted-block kernel against on randomized multi-block layouts."""
     import numpy as np
 
-    # prune before the groupby: the sort shuffle should carry 3 thin
-    # columns, not the text/tool payloads
     need = ["conv_id", "turn_idx", "ts"]
     if set(need) < set(ds.schema().names):
         ds = ds.select_columns(need)
@@ -289,6 +391,49 @@ def rolling_counts(ts, win_us: int):
     return hi - lo
 
 
+def _rolling_sorted_block(t: pa.Table) -> pa.Table:
+    """Trailing-window counts for every conv of a conv-sorted block: one
+    block-wide lexsort by (conv, ts), then per conv SEGMENT a twin
+    ``searchsorted`` over its sorted timestamps.  The per-segment cost is
+    two numpy calls (~2-4 µs), not map_groups' ~50-125 µs of slice/UDF
+    machinery — the only remaining per-conv work is the O(log n) binary
+    searches the semantics require."""
+    import numpy as np
+
+    n = len(t)
+    if n == 0:  # typed empty, dtypes inherited from the input block
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], t.schema.field("turn_idx").type),
+                "ts": pa.array([], t.schema.field("ts").type),
+                "n_last_hour": pa.array([], pa.int64()),
+            }
+        )
+    win_us = ROLLING_WINDOW_S * 1_000_000
+    codes, conv = _conv_codes(t)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, codes))
+    c_s, ts_s = codes[order], ts[order]
+    starts = np.r_[0, np.flatnonzero(c_s[1:] != c_s[:-1]) + 1]
+    ends = np.r_[starts[1:], n]
+    counts = np.empty(n, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        seg = ts_s[s:e]
+        counts[s:e] = np.searchsorted(seg, seg, side="right") - np.searchsorted(
+            seg, seg - win_us, side="left"
+        )
+    take = pa.array(order)
+    return pa.table(
+        {
+            "conv_id": _unmask_col(conv.take(take)),
+            "turn_idx": t.column("turn_idx").take(take),
+            "ts": t.column("ts").take(take),
+            "n_last_hour": pa.array(counts, pa.int64()),
+        }
+    )
+
+
 def turn_rolling(ds):
     """Sliding-window rate per turn: for every turn, the count of turns in
     the same conversation whose ts falls in the trailing ROLLING_WINDOW_S
@@ -296,11 +441,15 @@ def turn_rolling(ds):
     included), the per-record burst-rate signal a log pipeline tags events
     with (rate limiting, anomaly flags).
 
-    Ray shape: ``groupby(conv_id).map_groups`` with a vectorized
-    twin-``searchsorted`` kernel over the group's sorted int64-µs
-    timestamps — O(n log n) per conversation, no Python row loop.  Same
-    partitioning assumption as the other per-conv windows (one conv fits a
-    worker); the shuffle carries 3 thin columns."""
+    Ray shape: sort by conv_id + per-block twin-``searchsorted`` segment
+    kernel (see ``_sorted_by_conv``); the shuffle carries 3 thin columns."""
+    return _sorted_by_conv(ds, ["conv_id", "turn_idx", "ts"]).map_batches(
+        _rolling_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def turn_rolling_mapgroups(ds):
+    """Reference ``map_groups`` implementation (see conv_sessions_mapgroups)."""
     import numpy as np
 
     need = ["conv_id", "turn_idx", "ts"]
@@ -433,18 +582,78 @@ FROM cls3 GROUP BY role
 """.strip()
 
 
+def _concat_sorted_block(t: pa.Table) -> pa.Table:
+    """Conversation reassembly over a conv-sorted block: block-wide lexsort
+    by (conv, turn_idx, ts, text) — text as the FINAL tie-breaker so
+    duplicate (turn_idx, ts) turns concatenate in ONE deterministic order
+    on both engine and oracle (ADVICE r2: np.lexsort was stable on
+    shuffle-arrival order while the oracle's tie order was DuckDB-internal)
+    — then one Python join per conv (string building is the operator's
+    inherent work; the removed cost is map_groups' per-group machinery).
+
+    Null texts sort via '' (their position is invisible: string_agg skips
+    NULLs and the engine join drops them) and are excluded from the join
+    but counted in n_turns — SQL string_agg/count(*) semantics."""
+    import numpy as np
+
+    from ..functions import corpus as cp
+
+    n = len(t)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "doc_len": pa.array([], pa.int64()),
+                "doc_hash": pa.array([], pa.int64()),
+            }
+        )
+    codes, conv = _conv_codes(t)
+    ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    texts = np.asarray(t.column("text").to_pylist(), dtype=object)
+    txt_key = np.where(texts == None, "", texts)  # noqa: E711 — elementwise
+    order = np.lexsort((txt_key, ts, ti, codes))
+    c_s = codes[order]
+    texts_s = texts[order]
+    starts = np.r_[0, np.flatnonzero(c_s[1:] != c_s[:-1]) + 1]
+    ends = np.r_[starts[1:], n]
+    joined = []
+    for s, e in zip(starts, ends):
+        kept = [x for x in texts_s[s:e] if x is not None]
+        joined.append("\n".join(kept) if kept else None)  # all-NULL conv → NULL
+    return pa.table(
+        {
+            "conv_id": _unmask_col(conv.take(pa.array(order[starts]))),
+            "n_turns": pa.array(np.diff(np.r_[starts, n]), pa.int64()),
+            "doc_len": pa.array(
+                [len(j) if j is not None else None for j in joined], pa.int64()
+            ),
+            "doc_hash": pa.array(
+                [cp.w63(j) if j is not None else None for j in joined], pa.int64()
+            ),
+        }
+    )
+
+
 def conv_concat(ds):
     """Conversation reassembly — the transcripts → training-documents op: a
-    conversation's turns (ordered by turn_idx, ties by ts) concatenated
-    into one document, summarized as (n_turns, doc_len, doc_hash) so the
-    result stays thin (the real sink writes the concatenated text; the
-    w63 hash uniquely witnesses it for the oracle, like the fingerprint
-    op).  Null texts are skipped in the join but counted in n_turns —
-    SQL string_agg/count(*) semantics.
+    conversation's turns (ordered by turn_idx, ts, text) concatenated into
+    one document, summarized as (n_turns, doc_len, doc_hash) so the result
+    stays thin (the real sink writes the concatenated text; the w63 hash
+    uniquely witnesses it for the oracle, like the fingerprint op).
 
-    Ray shape: ``groupby(conv_id).map_groups`` with an in-group lexsort;
-    the shuffle carries 4 thin columns (text rides once).  Same
-    partitioning assumption as the other per-conv windows."""
+    Ray shape: sort by conv_id + sorted-block kernel (see
+    ``_sorted_by_conv``); the shuffle carries 4 thin columns (text rides
+    once)."""
+    return _sorted_by_conv(ds, ["conv_id", "turn_idx", "text", "ts"]).map_batches(
+        _concat_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def conv_concat_mapgroups(ds):
+    """Reference ``map_groups`` implementation (see conv_sessions_mapgroups),
+    including the deterministic text tie-breaker."""
     import numpy as np
 
     from ..functions import corpus as cp
@@ -456,9 +665,11 @@ def conv_concat(ds):
     def per_conv(g: pa.Table) -> pa.Table:
         ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ts, ti))
-        texts = [t for t in (g.column("text").take(pa.array(order)).to_pylist()) if t is not None]
-        joined = "\n".join(texts) if texts else None
+        texts = np.asarray(g.column("text").to_pylist(), dtype=object)
+        txt_key = np.where(texts == None, "", texts)  # noqa: E711
+        order = np.lexsort((txt_key, ts, ti))
+        kept = [x for x in texts[order] if x is not None]
+        joined = "\n".join(kept) if kept else None
         cid = g.column("conv_id")[0].as_py()
         return pa.table(
             {
@@ -483,7 +694,8 @@ def conv_concat_oracle_sql() -> str:
     from .. import datagen as dg
     from ..functions import corpus as cp
 
-    agg = "string_agg(text, chr(10) ORDER BY turn_idx, ts)"
+    # text is the final ORDER BY tie-breaker on BOTH sides (ADVICE r2)
+    agg = "string_agg(text, chr(10) ORDER BY turn_idx, ts, text)"
     w63 = cp.SQL_W63.format(s=agg)
     return f"""
 WITH {dg.TRANSCRIPTS_CTE}

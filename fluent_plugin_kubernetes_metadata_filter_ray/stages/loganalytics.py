@@ -189,30 +189,99 @@ FROM tm GROUP BY role, template
 # --------------------------------------------------------------------------
 
 
+_TRANSITIONS_EMPTY = pa.table(
+    {
+        "from_role": pa.array([], pa.string()),
+        "to_role": pa.array([], pa.string()),
+        "n_pairs": pa.array([], pa.int64()),
+    }
+)
+
+
+def _transitions_sorted_block(t: pa.Table) -> pa.Table:
+    """Bigram partial counts over a conv-sorted block: ONE lexsort by
+    (conv, turn_idx, ts), shifted pair with a same-conv mask, then a single
+    C++ pyarrow group_by per BLOCK — zero per-conv Python (the map_groups
+    shape paid ~50-125 µs/conv plus a pandas groupby per conv)."""
+    from ..stages.aggregate import _conv_codes
+
+    n = len(t)
+    if n < 2:
+        return _TRANSITIONS_EMPTY
+    codes, _ = _conv_codes(t)
+    ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, ti, codes))
+    c_s = codes[order]
+    same = c_s[1:] == c_s[:-1]
+    if not same.any():
+        return _TRANSITIONS_EMPTY
+    role = t.column("role")
+    if isinstance(role, pa.ChunkedArray):
+        role = role.combine_chunks()
+    roles_s = pc.fill_null(role.take(pa.array(order)), _NULL_KEY)
+    keep = pa.array(same)
+    pairs = pa.table(
+        {
+            "from_role": roles_s.slice(0, n - 1).filter(keep),
+            "to_role": roles_s.slice(1, n - 1).filter(keep),
+        }
+    )
+    g = pairs.group_by(["from_role", "to_role"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "from_role": g.column("from_role"),
+            "to_role": g.column("to_role"),
+            "n_pairs": g.column("count_all").cast(pa.int64()),
+        }
+    )
+
+
 def role_transitions(ds):
     """Count role → next-role transitions across consecutive turns of each
     conversation (ordered by turn_idx, ties by ts), aggregated corpus-wide.
 
-    Ray shape: ``groupby(conv_id).map_groups`` with a vectorized in-group
-    kernel (lexsort → shifted pair → pandas group count) emitting per-conv
-    partial pair counts (≤ roles² rows per conv), then a tiny
-    ``groupby(from_role, to_role)`` Sum.  Same partitioning assumption as
-    the other per-conv windows: one conversation fits a worker.  Null roles
-    form SQL-style groups (sentinel-masked through the shuffle)."""
+    Ray shape: sort by conv_id → vectorized per-block bigram partials
+    (≤ roles² rows per block) → tiny ``groupby(from_role, to_role)`` Sum.
+    Null roles form SQL-style groups (sentinel-masked through the
+    shuffle); see aggregate._sorted_by_conv for the block contract."""
+    from .aggregate import _sorted_by_conv
+
+    partials = _sorted_by_conv(
+        ds, ["conv_id", "turn_idx", "role", "ts"]
+    ).map_batches(_transitions_sorted_block, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["from_role", "to_role"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs")
+    )
+
+    def unmask(t: pa.Table) -> pa.Table:
+        def um(col):
+            return pc.if_else(
+                pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col
+            )
+
+        return pa.table(
+            {
+                "from_role": um(t.column("from_role")),
+                "to_role": um(t.column("to_role")),
+                "n_pairs": t.column("n_pairs"),
+            }
+        )
+
+    return agg.map_batches(unmask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def role_transitions_mapgroups(ds):
+    """Reference ``groupby(conv_id).map_groups`` implementation — kept (not
+    driver-wired) as the baseline the property tests compare the
+    sorted-block kernel against on randomized multi-block layouts."""
+    from .aggregate import _mask_null_key
 
     ds = _mask_null_key(ds.select_columns(["conv_id", "turn_idx", "role", "ts"]), "conv_id")
 
-    empty = pa.table(
-        {
-            "from_role": pa.array([], pa.string()),
-            "to_role": pa.array([], pa.string()),
-            "n_pairs": pa.array([], pa.int64()),
-        }
-    )
-
     def per_conv(g: pa.Table) -> pa.Table:
         if len(g) < 2:
-            return empty
+            return _TRANSITIONS_EMPTY
         ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         order = np.lexsort((ts, ti))

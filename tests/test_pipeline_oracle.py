@@ -42,6 +42,9 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_turn_rates", ["role", "hour_ts"]),
     ("q_log_redact", ["conv_id", "turn_idx"]),
     ("q_turn_rolling", ["conv_id", "turn_idx"]),
+    ("q_conv_concat", ["conv_id"]),
+    ("q_role_transitions", ["from_role", "to_role"]),
+    ("q_log_templates", ["role", "template"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
