@@ -18,6 +18,32 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _shuffle_bytes(stats: str) -> int:
+    """Bytes entering every all-to-all exchange of an executed Dataset,
+    parsed from ``ds.stats()``: the 'Output size bytes … total' of the
+    shuffle-INPUT suboperators (SortMap / AggregateMap / RepartitionSplit /
+    Join…_shuffle).  Recorded per _big entry so the shuffle-payload claims
+    in BASELINE.md are tracked numbers, not one-off measurements."""
+    import re
+
+    total, counting = 0, False
+    for line in stats.splitlines():
+        m = re.match(r"\s*Suboperator \d+ (\S+)", line)
+        if m:
+            counting = bool(
+                re.search(r"SortMap|AggregateMap|RepartitionSplit|_shuffle", m.group(1))
+            )
+            continue
+        if re.match(r"\s*Operator \d+ ", line):
+            counting = False
+            continue
+        if counting:
+            b = re.match(r"\s*\* Output size bytes per block: .*?(\d+) total", line)
+            if b:
+                total += int(b.group(1))
+    return total
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # default 25 → ~2.5M turns at sf0.1: large enough that fixed costs (init +
 # actor-pool spawn ≈ 6 s) stop dominating the measured throughput
@@ -69,6 +95,7 @@ def run_bench() -> dict:
             _fq[_name]("/root/testdata/sf0.001").count()
 
     queries: dict[str, float] = {}
+    shuffle_bytes: dict[str, int] = {}
     mode = os.environ.get("KMETA_BENCH_ONLY", "full")  # full | e2e | compute
     e2e_only = mode in ("e2e", "compute")
     n_rows = None
@@ -204,8 +231,23 @@ def run_bench() -> dict:
         for name in ("q_dedup_exact", "q_dedup_minhash", "q_dedup_incremental_fuzzy",
                      "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh", "q_doc_chunks"):
             t0 = time.perf_counter()
-            fq[name](big).count()
+            m = fq[name](big).materialize()  # retains stats for byte accounting
             queries[name[2:] + "_big"] = time.perf_counter() - t0
+            shuffle_bytes[name[2:] + "_big"] = _shuffle_bytes(m.stats())
+            del m
+
+        # scale-path decontamination: force the hash semi-join (the shape
+        # that replaces the corpus-growing broadcast past
+        # DECON_BROADCAST_MAX — VERDICT r2) so its cost is a tracked number
+        os.environ["KMETA_DECON_BROADCAST_MAX"] = "-1"
+        try:
+            t0 = time.perf_counter()
+            m = fq["q_decontaminate"](big).materialize()
+            queries["decontaminate_semijoin_big"] = time.perf_counter() - t0
+            shuffle_bytes["decontaminate_semijoin_big"] = _shuffle_bytes(m.stats())
+            del m
+        finally:
+            del os.environ["KMETA_DECON_BROADCAST_MAX"]
 
     # q3 (headline): parse+enrich+route write+per-sink counts
     out_dir = f"/tmp/kmeta_bench_out/cpus{NUM_CPUS}"
@@ -226,6 +268,7 @@ def run_bench() -> dict:
         "value": round(headline, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
+        "shuffle_bytes": shuffle_bytes,
         "sf": SF_DIR,
         "rep": REP,
         "rows": n_rows,

@@ -200,22 +200,43 @@ def _mod_filter(batch: pa.Table, keep_eval: bool) -> pa.Table:
     return batch.filter(pa.array(mask))
 
 
-def _eval_shingle_hashes(sf_dir: str) -> np.ndarray:
-    """Distinct sorted w63 hashes of the eval subset's word 3-grams.
-    Eval/benchmark sets are small by construction, so the distinct-hash
-    aggregate is tiny and safe to collect for broadcast."""
+# Broadcast budget for the eval-hash table (distinct int64 hashes ≈ 8 B
+# each → default 4M ≈ 32 MB, a safe ray.put + per-task local-store read).
+# Past that, q_decontaminate switches to the distributed hash semi-join —
+# with EVAL_MOD = 17 the "eval" split is ~6% of the corpus, so at real
+# scale the broadcast would grow linearly with the input (VERDICT r2).
+DECON_BROADCAST_MAX = 4_000_000
+
+
+def _eval_hash_ds(sf_dir: str):
+    """DISTINCT w63 hashes of the eval split's word 3-grams as a DATASET:
+    per-batch unique → ``groupby(h)`` — the distinct aggregate runs
+    distributed, so nothing corpus-scale touches the driver before the
+    broadcast-vs-semi-join decision is made on its COUNT."""
+    from ray.data.aggregate import Count
 
     def part(batch: pa.Table) -> pa.Table:
         f = _shingle_hash_frame(_mod_filter(batch, keep_eval=True))
-        return pa.table({"h": np.unique(f["h"].to_numpy())})
+        return pa.table(
+            {"h": pa.array(np.unique(f["h"].to_numpy()).astype(np.int64), pa.int64())}
+        )
 
-    ds = cp.read_documents(sf_dir).map_batches(
-        part, batch_format="pyarrow", zero_copy_batch=True
+    return (
+        cp.read_documents(sf_dir)
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Count(alias_name="x"))
+        .drop_columns(["x"])
     )
-    df = ds.to_pandas()  # all-empty blocks can come back column-less
+
+
+def _eval_shingle_hashes(sf_dir: str) -> np.ndarray:
+    """Distinct sorted eval hashes collected for broadcast — only called
+    once the count is known to fit DECON_BROADCAST_MAX."""
+    df = _eval_hash_ds(sf_dir).to_pandas()  # empty blocks → column-less
     if "h" not in df.columns or not len(df):
         return np.empty(0, dtype=np.int64)
-    return np.unique(df["h"].to_numpy(dtype=np.int64))
+    return np.sort(df["h"].to_numpy(dtype=np.int64))
 
 
 def contamination_stage(ds, eval_ref):
@@ -252,13 +273,139 @@ def contamination_stage(ds, eval_ref):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _decontaminate_semijoin(sf_dir: str, ev_ds):
+    """Scale path: contamination as a distributed hash SEMI-JOIN (the
+    q_dedup_incremental shape) — used when the eval split's distinct-hash
+    table exceeds the broadcast budget, so neither side is ever collected
+    to the driver or re-shipped per task.
+
+    - n_shingles needs NO hashing: it is ``max(0, n_tokens - (K-1))``, a
+      per-batch token count (the totals pass re-reads text but never
+      computes a hash — the md5 work happens exactly once, in the triples
+      pass)
+    - (doc_id, h, cnt) triples inner-join the distinct eval hashes on h;
+      a per-batch partial Sum then a tiny ``groupby(doc_id)`` gives
+      n_eval_hits with multiplicity (the oracle's ``sum(CASE WHEN h IN
+      ev)``)
+    - one sentinel row per join input guards the Ray 2.49 empty-first-
+      block shuffle race end-to-end (state/raypatch.py note); w63 hashes
+      are ≥ 0, so the int64 sentinel hash can't collide"""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from .dedup import SENTINEL_ID, _join_partitions
+
+    k1 = cp.SHINGLE_K - 1
+    sent_h = -(2**62)
+
+    def totals(batch: pa.Table) -> pa.Table:
+        batch = _mod_filter(batch, keep_eval=False)
+        s = pd.Series(batch.column("text").to_pandas())
+        ntok = s.str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_shingles": pa.array(np.maximum(0, ntok - k1)),
+            }
+        )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        batch = _mod_filter(batch, keep_eval=False)
+        f = _shingle_hash_frame(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if not len(f):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        g = f.groupby(["row", "h"], sort=False).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[g["row"].to_numpy()], pa.int64()),
+                "h": pa.array(g["h"].to_numpy(dtype=np.int64)),
+                "cnt": pa.array(g["cnt"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    nparts = _join_partitions()
+    docs = cp.read_documents(sf_dir)
+    tri = docs.map_batches(
+        triples, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "h": pa.array([sent_h], pa.int64()),
+         "cnt": pa.array([0], pa.int64())}
+    )))
+    ev = ev_ds.union(rd.from_arrow(pa.table({"h": pa.array([sent_h], pa.int64())})))
+    joined = tri.join(ev, join_type="inner", num_partitions=nparts, on=("h",))
+
+    def hit_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["doc_id", "cnt"]).group_by(["doc_id"]).aggregate([("cnt", "sum")])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "n_eval_hits": g.column("cnt_sum").cast(pa.int64()),
+            }
+        )
+
+    hits = (
+        joined.map_batches(hit_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("n_eval_hits", alias_name="n_eval_hits"))
+    )
+    tot = docs.map_batches(
+        totals, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "n_shingles": pa.array([0], pa.int64())}
+    )))
+    out = tot.join(hits, join_type="left_outer", num_partitions=nparts, on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("doc_id"), SENTINEL_ID))
+        nh = pc_.fill_null(t.column("n_eval_hits"), 0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_shingles": t.column("n_shingles"),
+                "n_eval_hits": nh,
+                "contaminated": pc_.greater(nh, 0),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_decontaminate(sf_dir: str):
     """Train-side rows (doc_id % EVAL_MOD != 0) flagged when any word
-    3-gram also occurs in the eval subset."""
+    3-gram also occurs in the eval subset.
+
+    Adaptive shape: the distinct eval-hash table is built DISTRIBUTED and
+    its count checked against the broadcast budget
+    (KMETA_DECON_BROADCAST_MAX, default DECON_BROADCAST_MAX) — small eval
+    sets broadcast + searchsorted-probe (zero shuffle of the corpus);
+    larger ones switch to the hash semi-join, so driver memory stays flat
+    no matter how the eval split scales (VERDICT r2)."""
+    import os
+
     import ray
 
-    eval_ref = ray.put(_eval_shingle_hashes(sf_dir))
-    return contamination_stage(cp.read_documents(sf_dir), eval_ref)
+    max_bc = int(os.environ.get("KMETA_DECON_BROADCAST_MAX", str(DECON_BROADCAST_MAX)))
+    ev = _eval_hash_ds(sf_dir).materialize()
+    if ev.count() <= max_bc:
+        df = ev.to_pandas()  # ≤ max_bc rows by the check above
+        hashes = (
+            np.sort(df["h"].to_numpy(dtype=np.int64))
+            if "h" in df.columns and len(df)
+            else np.empty(0, dtype=np.int64)
+        )
+        return contamination_stage(cp.read_documents(sf_dir), ray.put(hashes))
+    return _decontaminate_semijoin(sf_dir, ev)
 
 
 def decontaminate_oracle_sql() -> str:

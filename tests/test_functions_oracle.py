@@ -235,3 +235,37 @@ def test_embed_neardup_lsh_subset_and_recall(ray_session, sf_dir, duck):
     # scores agree with the exact op on the surfaced pairs
     merged = lsh.merge(exact, on=["vec_a", "vec_b"], suffixes=("_l", "_e"))
     assert (merged["cos_sim_l"].round(6) == merged["cos_sim_e"].round(6)).all()
+
+
+def test_decontaminate_semijoin_matches_broadcast(ray_session, sf_dir, duck, monkeypatch):
+    """VERDICT r2: the decontamination broadcast must be bounded.  Forcing
+    the budget below the eval-hash count activates the distributed hash
+    semi-join, which must be row/value-identical to both the broadcast
+    path and the DuckDB oracle (no driver collect of hashes happens by
+    construction on this path)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import curation
+
+    def run():
+        return (
+            curation.q_decontaminate(sf_dir)
+            .to_pandas()
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    broadcast = run()
+    monkeypatch.setenv("KMETA_DECON_BROADCAST_MAX", "-1")
+    semijoin = run()
+    pd.testing.assert_frame_equal(semijoin, broadcast, check_dtype=True)
+
+    oracle = (
+        duck.execute(curation.decontaminate_oracle_sql())
+        .fetchdf()
+        .sort_values("doc_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert list(semijoin.columns) == list(oracle.columns)
+    for c in semijoin.columns:
+        assert (
+            semijoin[c].fillna("@").astype(str) == oracle[c].fillna("@").astype(str)
+        ).all(), c
