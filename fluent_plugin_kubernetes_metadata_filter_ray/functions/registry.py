@@ -35,6 +35,7 @@ def queries() -> dict:
         "q_ann_lsh": simsearch.q_ann_lsh,
         "q_ann_ivf": simsearch.q_ann_ivf,
         "q_media_decode": multimodal.q_media_decode,
+        "q_media_dims": multimodal.q_media_dims,
         "q_doc_embed_join": joins.q_doc_embed_join,
         "q_turn_snapshot_asof": joins.q_turn_snapshot_asof,
         "q_doc_repetition": curation.q_doc_repetition,
@@ -77,6 +78,7 @@ def oracle_sql() -> dict:
         "q_ann_lsh": simsearch.ann_lsh_oracle_sql(),
         "q_ann_ivf": simsearch.ann_ivf_oracle_sql(),
         "q_media_decode": multimodal.media_decode_oracle_sql(),
+        "q_media_dims": multimodal.media_dims_oracle_sql(),
         "q_doc_embed_join": joins.doc_embed_join_oracle_sql(),
         "q_turn_snapshot_asof": joins.turn_snapshot_asof_oracle_sql(),
         "q_doc_repetition": curation.doc_repetition_oracle_sql(),

@@ -49,6 +49,25 @@ def list_shards(transcripts_dir: str, files_per_shard: int = 4) -> list[list[str
     return [files[i : i + files_per_shard] for i in range(0, len(files), files_per_shard)]
 
 
+def _manifest_current(mpath: str, files: list[str]) -> bool:
+    """A committed manifest is honored only if its lineage still matches
+    the shard: same input file LIST and same input ROW COUNT.  Appending
+    new transcript files (incremental ingestion — the ``in_tail`` pos-file
+    analog) can regroup shards when the old file count wasn't a multiple
+    of files_per_shard, and a re-derived cache can change a file's rows
+    under the same name; both must invalidate the commit, never silently
+    skip."""
+    try:
+        with open(mpath) as f:
+            man = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return False
+    if man.get("input_files") != files:
+        return False
+    rows_now = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
+    return man.get("rows_in") == rows_now
+
+
 def run_resumable(
     sf_dir: str,
     out_dir: str,
@@ -57,12 +76,21 @@ def run_resumable(
     files_per_shard: int = 4,
     fail_after: int | None = None,
     shard_rows: int | None = None,
+    transcripts_dir: str | None = None,
 ) -> dict:
     """Run the flagship parse → enrich → route pipeline shard-by-shard with
     per-shard lineage manifests; skips shards already committed.
 
-    ``fail_after=k`` injects a crash after k shards (tests).  Returns a
-    summary: shards run / skipped and merged per-role counts.
+    Incremental ingestion: re-running after NEW transcript files arrive in
+    the input directory processes only the new shards (committed manifests
+    whose lineage still matches are skipped; see ``_manifest_current``) and
+    the rollup counts stay additive — the batch analog of the reference's
+    ``in_tail`` position file.
+
+    ``transcripts_dir`` overrides the datagen-derived cache (point it at a
+    live landing directory).  ``fail_after=k`` injects a crash after k
+    shards (tests).  Returns a summary: shards run / skipped and merged
+    per-role counts.
     """
     import ray.data
 
@@ -74,7 +102,7 @@ def run_resumable(
     from .. import datagen
 
     cfg = cfg or DEFAULT_CONFIG
-    tdir = datagen.transcripts_path(sf_dir, rep=rep, shard_rows=shard_rows)
+    tdir = transcripts_dir or datagen.transcripts_path(sf_dir, rep=rep, shard_rows=shard_rows)
     snapshot = datagen.metadata_snapshot_dir()
     shards = list_shards(tdir, files_per_shard)
     os.makedirs(out_dir, exist_ok=True)
@@ -82,7 +110,7 @@ def run_resumable(
     ran, skipped = [], []
     for idx, files in enumerate(shards):
         mpath = _manifest_path(out_dir, idx)
-        if os.path.exists(mpath):
+        if os.path.exists(mpath) and _manifest_current(mpath, files):
             skipped.append(idx)
             continue
         if fail_after is not None and len(ran) >= fail_after:

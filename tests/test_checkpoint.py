@@ -124,3 +124,50 @@ def test_transcripts_cache_migration_no_duplicates(sf_dir):
     assert n == 2000  # fresh shards only — the stale single file is gone
     shutil.rmtree(tag_dir, ignore_errors=True)
     os.remove(tag_dir + ".done")
+
+
+def test_incremental_shard_ingestion(ray_session, sf_dir, tmp_path):
+    """VERDICT r2 task 6 — the in_tail pos-file analog: appending transcript
+    shards to a COMPLETED run processes ONLY the new shards (committed
+    manifests skipped), the rollup stays additive, and a shard whose
+    content changed under a committed manifest is re-run, never silently
+    skipped."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.state import checkpoint as cpt
+
+    src = dg.transcripts_path(sf_dir, rep=8, shard_rows=2048)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    assert len(files) >= 4
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    for f in files[:3]:
+        shutil.copy(os.path.join(src, f), os.path.join(land, f))
+
+    out = str(tmp_path / "incr")
+    s1 = cpt.run_resumable(sf_dir, out, files_per_shard=1, transcripts_dir=land)
+    assert len(s1["ran"]) == 3 and s1["skipped"] == []
+    rows3 = sum(
+        pq.ParquetFile(os.path.join(land, f)).metadata.num_rows for f in files[:3]
+    )
+    assert sum(c["n_turns"] for c in s1["route_counts"].values()) == rows3
+
+    # a new shard lands: only it runs; counts become the 4-file total
+    shutil.copy(os.path.join(src, files[3]), os.path.join(land, files[3]))
+    s2 = cpt.run_resumable(sf_dir, out, files_per_shard=1, transcripts_dir=land)
+    assert s2["ran"] == [3]
+    assert s2["skipped"] == [0, 1, 2]
+    rows4 = rows3 + pq.ParquetFile(os.path.join(src, files[3])).metadata.num_rows
+    assert sum(c["n_turns"] for c in s2["route_counts"].values()) == rows4
+
+    # shard 0's content changes under its committed manifest (row count
+    # differs): the stale manifest is invalidated and the shard re-runs
+    f0 = os.path.join(land, files[0])
+    t0 = pq.read_table(f0)
+    pq.write_table(t0.slice(0, t0.num_rows // 2), f0)
+    s3 = cpt.run_resumable(sf_dir, out, files_per_shard=1, transcripts_dir=land)
+    assert s3["ran"] == [0]
+    assert s3["skipped"] == [1, 2, 3]

@@ -30,6 +30,7 @@ SORT_KEYS = {
     "q_embed_centroids": ["label", "dim"],
     "q_embed_neardup_lsh": ["vec_a", "vec_b"],
     "q_media_decode": ["doc_id"],
+    "q_media_dims": ["doc_id"],
     "q_doc_embed_join": ["doc_id"],
     "q_turn_snapshot_asof": ["conv_id", "turn_idx"],
     "q_doc_repetition": ["doc_id"],
