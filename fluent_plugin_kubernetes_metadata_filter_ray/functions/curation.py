@@ -951,3 +951,78 @@ FROM pr
 JOIN sz sa ON sa.source = pr.source_a
 JOIN sz sb ON sb.source = pr.source_b
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (CDC chunks → hash groups)
+
+# (doc_id, chunk_idx) packed into one int64 so the distributed Min picks the
+# lexicographically-first keeper without an argmin aggregate; chunk_idx is
+# bounded by tokens-per-doc ≪ 2^20 and doc_id ≪ 2^43 on every corpus here
+_PACK_SHIFT = 20
+_PACK_MOD = 1 << _PACK_SHIFT
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Exact dedup at CHUNK granularity: content-defined chunks (T33 —
+    boundaries survive edits, unlike fixed windows) hashed and grouped, one
+    row per distinct chunk with its copy count and lexicographically-first
+    keeper — the sub-document dedup pass (boilerplate headers, repeated
+    license blocks) a crawl pipeline runs after doc-level dedup.
+
+    Ray shape: per-batch chunker (T33's vectorized kernel) feeding a
+    per-batch combiner (≤ distinct-chunks-per-batch rows cross the wire)
+    → ``groupby(chunk_hash)`` Sum/Min.  The corpus text never shuffles —
+    only thin (hash, count, packed-keeper) partials."""
+    from ray.data.aggregate import Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ch = chunk_batch(batch)
+        ids = ch.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = ch.column("chunk_idx").to_numpy(zero_copy_only=False)
+        assert len(idx) == 0 or int(idx.max()) < _PACK_MOD  # packing bound
+        packed = ids * _PACK_MOD + idx
+        t = pa.table(
+            {
+                "chunk_hash": ch.column("chunk_hash"),
+                "packed": pa.array(packed, pa.int64()),
+            }
+        )
+        g = t.group_by(["chunk_hash"]).aggregate([("packed", "min"), ([], "count_all")])
+        return pa.table(
+            {
+                "chunk_hash": g.column("chunk_hash"),
+                "packed": g.column("packed_min"),
+                "n_copies": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    agg = (
+        cp.read_documents(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("chunk_hash")
+        .aggregate(Min("packed", alias_name="packed"), Sum("n_copies", alias_name="n_copies"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        packed = t.column("packed").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "chunk_hash": t.column("chunk_hash"),
+                "n_copies": t.column("n_copies"),
+                "keeper_doc": pa.array(packed // _PACK_MOD, pa.int64()),
+                "keeper_chunk_idx": pa.array(packed % _PACK_MOD, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_dedup_oracle_sql() -> str:
+    return f"""
+WITH chunks AS ({doc_chunks_oracle_sql()})
+SELECT chunk_hash, count(*)::BIGINT AS n_copies,
+  (min(doc_id * {_PACK_MOD} + chunk_idx) // {_PACK_MOD})::BIGINT AS keeper_doc,
+  (min(doc_id * {_PACK_MOD} + chunk_idx) % {_PACK_MOD})::BIGINT AS keeper_chunk_idx
+FROM chunks GROUP BY chunk_hash
+""".strip()

@@ -46,6 +46,8 @@ def queries() -> dict:
         "q_doc_chunks": curation.q_doc_chunks,
         "q_source_overlap": curation.q_source_overlap,
         "q_embed_quantize": simsearch.q_embed_quantize,
+        "q_ann_range": simsearch.q_ann_range,
+        "q_chunk_dedup": curation.q_chunk_dedup,
     }
 
 
@@ -89,4 +91,6 @@ def oracle_sql() -> dict:
         "q_doc_chunks": curation.doc_chunks_oracle_sql(),
         "q_source_overlap": curation.source_overlap_oracle_sql(),
         "q_embed_quantize": simsearch.embed_quantize_oracle_sql(),
+        "q_ann_range": simsearch.ann_range_oracle_sql(),
+        "q_chunk_dedup": curation.chunk_dedup_oracle_sql(),
     }

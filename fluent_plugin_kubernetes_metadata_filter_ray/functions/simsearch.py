@@ -999,3 +999,67 @@ SELECT vec_id, count(*)::BIGINT AS n_dims, min(q8)::BIGINT AS q8_min,
   sum(q8 * dim)::BIGINT AS q8_posdot
 FROM q GROUP BY vec_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# range (radius) similarity search
+# ---------------------------------------------------------------------------
+
+RANGE_COS_THRESHOLD = 0.5
+
+
+class RangeSearch:
+    """Per-block range search against the broadcast query matrix: every
+    (query, vector) pair with cosine ≥ RANGE_COS_THRESHOLD — the radius-
+    query sibling of top-k (retrieval dedup, "everything similar to these
+    probes").  Embarrassingly parallel: the filter runs inside the block,
+    nothing shuffles, output streams.  Threshold compares share the
+    q_embed_neardup risk profile (float64 both sides, synthetic sims are
+    never within 1 ulp of the cut)."""
+
+    def __init__(self, queries_ref):
+        import ray
+
+        self.q_ids, qm = (
+            ray.get(queries_ref) if type(queries_ref).__name__ == "ObjectRef" else queries_ref
+        )
+        self.qn = _normalize(qm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, m = _matrix(batch)
+        sims = self.qn @ _normalize(m).T  # (Q, B)
+        qi, bj = np.nonzero(sims >= RANGE_COS_THRESHOLD)
+        return pa.table(
+            {
+                "query_id": pa.array(self.q_ids[qi], pa.int64()),
+                "vec_id": pa.array(ids[bj], pa.int64()),
+                "cos_sim": pa.array(np.round(sims[qi, bj], ROUND), pa.float64()),
+            }
+        )
+
+
+def q_ann_range(sf_dir: str):
+    """All corpus vectors within cosine radius of each query vector."""
+    import ray
+
+    queries_ref = ray.put(_load_queries(sf_dir))
+    return cp.read_embeddings(sf_dir).map_batches(
+        RangeSearch,
+        fn_constructor_kwargs={"queries_ref": queries_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+    )
+
+
+def ann_range_oracle_sql() -> str:
+    return f"""
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qe FROM ed WHERE vec_id < {N_QUERIES})
+SELECT q.query_id, e.vec_id,
+  round(list_cosine_similarity(q.qe, e.emb), {ROUND}) AS cos_sim
+FROM q CROSS JOIN ed e
+WHERE list_cosine_similarity(q.qe, e.emb) >= {RANGE_COS_THRESHOLD}
+""".strip()
