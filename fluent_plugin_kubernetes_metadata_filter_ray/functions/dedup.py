@@ -652,6 +652,14 @@ def _both_directions(t: pa.Table) -> pa.Table:
 def q_dedup_clusters(sf_dir: str):
     """Each doc → its cluster's canonical (minimum) doc_id + keep/drop flag,
     where clusters are connected components of the MinHash near-dup pairs.
+    See :func:`cluster_assign` for the distributed shape."""
+    return cluster_assign(q_dedup_minhash(sf_dir), cp.read_augmented_ids(sf_dir))
+
+
+def cluster_assign(pairs, ids_ds):
+    """Connected-components dedup decision over an arbitrary near-dup pair
+    Dataset(doc_a, doc_b, …) and node universe Dataset(doc_id) — shared by
+    the MinHash doc clusters and the embedding semantic-dedup clusters.
 
     Fully distributed (round-1 VERDICT: the driver union-find assumed the
     pair list fits driver memory — a dup-heavy crawl breaks that).  Min-
@@ -666,7 +674,6 @@ def q_dedup_clusters(sf_dir: str):
     from ray.data.aggregate import Min as AMin
 
     nparts = _join_partitions()
-    pairs = q_dedup_minhash(sf_dir)
     edges = pairs.map_batches(
         _both_directions, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
@@ -688,7 +695,6 @@ def q_dedup_clusters(sf_dir: str):
         zero_copy_batch=True,
     ).repartition(nparts).materialize()
 
-    ids_ds = cp.read_augmented_ids(sf_dir)
     if labels.count() == 0:  # no near-dup pairs at all: identity assignment
         return ids_ds.map_batches(
             lambda t: pa.table(

@@ -48,6 +48,8 @@ def queries() -> dict:
         "q_embed_quantize": simsearch.q_embed_quantize,
         "q_ann_range": simsearch.q_ann_range,
         "q_chunk_dedup": curation.q_chunk_dedup,
+        "q_embed_dedup_clusters": simsearch.q_embed_dedup_clusters,
+        "q_doc_sample_weighted": sampling.q_doc_sample_weighted,
     }
 
 
@@ -93,4 +95,6 @@ def oracle_sql() -> dict:
         "q_embed_quantize": simsearch.embed_quantize_oracle_sql(),
         "q_ann_range": simsearch.ann_range_oracle_sql(),
         "q_chunk_dedup": curation.chunk_dedup_oracle_sql(),
+        "q_embed_dedup_clusters": simsearch.embed_dedup_clusters_oracle_sql(),
+        "q_doc_sample_weighted": sampling.doc_sample_weighted_oracle_sql(),
     }

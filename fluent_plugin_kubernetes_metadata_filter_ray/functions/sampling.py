@@ -17,6 +17,7 @@ no RNG) with exact DuckDB twins.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -285,4 +286,78 @@ t AS (SELECT sum(weight_q)::BIGINT AS tot FROM w)
 SELECT source, n_docs, n_tokens, weight_q,
   weight_q::DOUBLE / t.tot::DOUBLE AS mix_share
 FROM w CROSS JOIN t
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# temperature-sampled corpus materialization (the op that APPLIES the
+# q_source_mix weights): draw a ~budget-sized sample whose per-source
+# composition follows the sqrt-temperature mix, deterministically.
+
+MIX_SAMPLE_DENOM = 4  # budget = n_docs // 4
+_MIX_RES = 1_000_000  # hash resolution for the inclusion threshold
+
+
+def q_doc_sample_weighted(sf_dir: str):
+    """Keep each doc with probability ∝ its source's mix weight per doc
+    (θ_s = budget·weight_s·RES // (Σweights·n_docs_s), compared against a
+    per-doc hash) — upweighting small sources exactly as q_source_mix
+    prescribes, reproducible across runs/engines.
+
+    Exactness: θ_s is computed ONCE per source in unbounded Python ints
+    (HUGEINT on the oracle side) so no per-doc arithmetic can overflow;
+    the per-doc test is one int compare against the broadcast θ of its
+    source.  Ray shape: the mix table is the tiny q_source_mix aggregate
+    (≤ #sources rows on the driver); the corpus streams through one
+    stateless filter."""
+    import ray
+
+    from ..stages.aggregate import _NULL_KEY
+
+    mix = q_source_mix(sf_dir)  # pandas, ≤ #sources rows
+    n_total = int(mix["n_docs"].sum()) if len(mix) else 0
+    tot_w = int(mix["weight_q"].sum()) if len(mix) else 0
+    budget = n_total // MIX_SAMPLE_DENOM
+    theta = {}
+    for _, r in mix.iterrows():
+        key = r["source"] if pd.notna(r["source"]) else _NULL_KEY
+        if tot_w and int(r["n_docs"]):
+            theta[key] = min(
+                _MIX_RES,
+                (budget * int(r["weight_q"]) * _MIX_RES) // (tot_w * int(r["n_docs"])),
+            )
+        else:
+            theta[key] = 0
+    theta_ref = ray.put(theta)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        th = ray.get(theta_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY)
+        cut = src.map(th).fillna(0).to_numpy(dtype=np.int64)
+        h = np.fromiter(
+            ((cp.w32(f"mix:{i}") % _MIX_RES) for i in ids), dtype=np.int64, count=len(ids)
+        )
+        return batch.select(["doc_id", "source"]).filter(pa.array(h < cut))
+
+    return cp.read_documents(sf_dir, columns=("doc_id", "source")).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_sample_weighted_oracle_sql() -> str:
+    w32 = cp.SQL_W32.format(s="('mix:' || d.doc_id)")
+    return f"""
+WITH mix AS ({source_mix_oracle_sql()}),
+tot AS (SELECT sum(weight_q)::HUGEINT AS tw, sum(n_docs)::BIGINT AS nd FROM mix),
+th AS (
+  SELECT m.source,
+    least({_MIX_RES},
+          ((t.nd // {MIX_SAMPLE_DENOM})::HUGEINT * m.weight_q::HUGEINT * {_MIX_RES})
+            // (t.tw * m.n_docs::HUGEINT)) AS theta
+  FROM mix m CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN th ON th.source IS NOT DISTINCT FROM d.source
+WHERE ({w32} % {_MIX_RES})::HUGEINT < th.theta
 """.strip()

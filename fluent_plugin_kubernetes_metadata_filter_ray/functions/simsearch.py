@@ -1063,3 +1063,59 @@ SELECT q.query_id, e.vec_id,
 FROM q CROSS JOIN ed e
 WHERE list_cosine_similarity(q.qe, e.emb) >= {RANGE_COS_THRESHOLD}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: connected components of the embedding near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def q_embed_dedup_clusters(sf_dir: str):
+    """SemDeDup-style semantic dedup DECISION: cluster the embedding-cosine
+    near-dup graph (banded cosine-LSH pairs, q_embed_neardup_lsh) by
+    connected components and assign every vector its cluster canonical
+    (minimum vec_id) plus a keep/drop flag — the "keep one per semantic
+    group" pass an embedding-curated corpus runs after exact/fuzzy text
+    dedup.
+
+    Composition: the pair pipeline (bucket-local verify, no candidate
+    materialization) feeds the SHARED distributed min-label propagation
+    (dedup.cluster_assign) — both pieces already scale-shaped; nothing new
+    touches the driver."""
+    from .dedup import cluster_assign
+
+    pairs = q_embed_neardup_lsh(sf_dir).map_batches(
+        lambda t: pa.table({"doc_a": t.column("vec_a"), "doc_b": t.column("vec_b")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ids = cp.read_embeddings(sf_dir, columns=("vec_id",)).map_batches(
+        lambda t: pa.table({"doc_id": t.column("vec_id")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = cluster_assign(pairs, ids)
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": t.column("doc_id"),
+                "canonical_id": t.column("canonical_id"),
+                "is_kept": t.column("is_kept"),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def embed_dedup_clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS ({embed_neardup_lsh_oracle_sql()}),
+edges AS (SELECT vec_a AS a, vec_b AS b FROM p UNION ALL SELECT vec_b, vec_a FROM p),
+nodes AS (SELECT vec_id FROM embeddings),
+reach AS (
+  SELECT vec_id AS v, vec_id AS lbl FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v
+)
+SELECT v AS vec_id, min(lbl) AS canonical_id,
+  CAST(min(lbl) = v AS BIGINT) AS is_kept
+FROM reach GROUP BY v
+""".strip()

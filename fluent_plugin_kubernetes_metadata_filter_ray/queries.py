@@ -133,6 +133,10 @@ def _q_conv_cardinality(sf_dir: str):
     return _la.conv_cardinality(flagship.read_transcripts(sf_dir))
 
 
+def _q_turn_late(sf_dir: str):
+    return _la.turn_late(flagship.read_transcripts(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -155,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_hopping": _q_turn_hopping,
         "q_rate_anomaly": _q_rate_anomaly,
         "q_conv_cardinality": _q_conv_cardinality,
+        "q_turn_late": _q_turn_late,
     }
     from .functions import registry
     q.update(registry.queries())
@@ -183,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_hopping": _la.turn_hopping_oracle_sql(),
         "q_rate_anomaly": _la.rate_anomaly_oracle_sql(),
         "q_conv_cardinality": _la.conv_cardinality_oracle_sql(),
+        "q_turn_late": _la.turn_late_oracle_sql(),
     }
     from .functions import registry
     o.update(registry.oracle_sql())

@@ -652,3 +652,90 @@ SELECT
   (SELECT count(DISTINCT conv_id)::BIGINT FROM transcripts_t) AS n_convs_exact
 FROM e
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Late-data / watermark flags: per-turn event-time disorder.  The reference
+# is order-free (SURVEY W4), but a 10^12-turn TRAINING pipeline needs the
+# Flink-style lateness signal: order turns by their sequence (turn_idx),
+# track the per-conversation event-time high-water mark, and flag turns
+# whose ts lags it beyond the allowed lateness (they'd miss their window
+# and need side-output handling).
+# --------------------------------------------------------------------------
+
+ALLOWED_LATENESS_S = 3600
+_LATE_US = ALLOWED_LATENESS_S * 1_000_000
+
+
+def _late_sorted_block(t: pa.Table) -> pa.Table:
+    """Per-conv watermark scan over a conv-sorted block: block-wide lexsort
+    by (conv, turn_idx, ts), then one numpy cummax per conv SEGMENT —
+    the same cost class as the rolling-window kernel (two numpy calls per
+    conv, no per-group Python machinery)."""
+    from .aggregate import _conv_codes, _unmask_col
+
+    n = len(t)
+    if n == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], t.schema.field("turn_idx").type),
+                "ts": pa.array([], t.schema.field("ts").type),
+                "delay_us": pa.array([], pa.int64()),
+                "is_late": pa.array([], pa.bool_()),
+            }
+        )
+    codes, conv = _conv_codes(t)
+    ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ts, ti, codes))
+    c_s, ts_s = codes[order], ts[order]
+    starts = np.r_[0, np.flatnonzero(c_s[1:] != c_s[:-1]) + 1]
+    ends = np.r_[starts[1:], n]
+    delay = np.zeros(n, dtype=np.int64)
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        cm = np.maximum.accumulate(ts_s[s:e])
+        delay[s + 1 : e] = np.maximum(0, cm[:-1] - ts_s[s + 1 : e])
+    take = pa.array(order)
+    return pa.table(
+        {
+            "conv_id": _unmask_col(conv.take(take)),
+            "turn_idx": t.column("turn_idx").take(take),
+            "ts": t.column("ts").take(take),
+            "delay_us": pa.array(delay, pa.int64()),
+            "is_late": pa.array(delay > _LATE_US),
+        }
+    )
+
+
+def turn_late(ds):
+    """Per-turn lateness vs the conversation's event-time watermark:
+    ``delay_us`` = how far this turn's ts lags the max ts of all PRIOR
+    turns (sequence order: turn_idx, ties by ts); ``is_late`` when the lag
+    exceeds ALLOWED_LATENESS_S.  Sorted-block shape; the shuffle carries 3
+    thin columns."""
+    from .aggregate import _sorted_by_conv
+
+    return _sorted_by_conv(ds, ["conv_id", "turn_idx", "ts"]).map_batches(
+        _late_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def turn_late_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+w AS (
+  SELECT conv_id, turn_idx, ts,
+    max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+  FROM transcripts_t
+)
+SELECT conv_id, turn_idx, ts,
+  coalesce(greatest(0, date_diff('microsecond', ts, prevmax)), 0)::BIGINT AS delay_us,
+  coalesce(date_diff('microsecond', ts, prevmax) > {_LATE_US}, false) AS is_late
+FROM w
+""".strip()

@@ -33,6 +33,8 @@ SORT_KEYS = {
     "q_media_dims": ["doc_id"],
     "q_ann_range": ["query_id", "vec_id"],
     "q_chunk_dedup": ["chunk_hash"],
+    "q_embed_dedup_clusters": ["vec_id"],
+    "q_doc_sample_weighted": ["doc_id"],
     "q_doc_embed_join": ["doc_id"],
     "q_turn_snapshot_asof": ["conv_id", "turn_idx"],
     "q_doc_repetition": ["doc_id"],

@@ -215,3 +215,47 @@ def test_log_templates_sentinel_collision(ray_session, tmp_path):
     assert len(null_grp) == 1 and null_grp["n_turns"].iloc[0] == 1
     assert null_grp["example_conv"].iloc[0] == "c2"
     assert len(lit_grp) == 1 and lit_grp["example_conv"].iloc[0] == "c1"
+
+
+def test_turn_late_disorder_semantics(ray_session, tmp_path):
+    """The gate corpus has monotone per-conv timestamps (zero late turns),
+    so the actually-late branch is pinned here: a turn whose ts lags the
+    conversation's event-time high-water mark by more than the allowed
+    lateness is flagged; smaller disorder records its delay un-flagged."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        _LATE_US,
+        turn_late,
+    )
+
+    base = pd.Timestamp("2024-01-02").value // 1000
+    h = 3_600_000_000
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4 + ["c2"], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3, 0], pa.int32()),
+            "role": pa.array(["u"] * 5, pa.string()),
+            "text": pa.array(["a"] * 5, pa.string()),
+            "ts": pa.array(
+                [
+                    base,            # t0: watermark seeds here
+                    base + 3 * h,    # t1: advances watermark to +3h
+                    base + 1 * h,    # t2: 2h behind watermark → LATE (>1h)
+                    base + 3 * h - 1_000_000,  # t3: 1s behind → delayed, not late
+                    base,            # other conv: first turn, never late
+                ],
+                pa.int64(),
+            ).cast(pa.timestamp("us")),
+        }
+    )
+    d = _write(tmp_path, "late", t)
+    out = (
+        turn_late(ray.data.read_parquet(d))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["delay_us"].tolist() == [0, 0, 2 * h, 1_000_000, 0]
+    assert out["is_late"].tolist() == [False, False, True, False, False]
+    assert 2 * h > _LATE_US >= 1_000_000

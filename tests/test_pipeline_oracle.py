@@ -45,6 +45,7 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_conv_concat", ["conv_id"]),
     ("q_role_transitions", ["from_role", "to_role"]),
     ("q_log_templates", ["role", "template"]),
+    ("q_turn_late", ["conv_id", "turn_idx"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
