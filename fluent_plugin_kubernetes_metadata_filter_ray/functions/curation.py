@@ -527,6 +527,8 @@ def _doc_frequencies(sf_dir: str) -> tuple[dict[str, tuple[int, float]], int]:
         _df_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     dfpd = ds.groupby("token").aggregate(Sum("df", alias_name="df")).to_pandas()
+    if "token" not in dfpd.columns:  # empty corpus: column-less to_pandas
+        return {"df": {}, "idf": {}}, n_docs
     # math.log (libm) is bit-identical to DuckDB ln(); numpy's SIMD log
     # differs by 1 ulp — compute idf per distinct df value in Python
     df_map = {t: int(d) for t, d in zip(dfpd["token"], dfpd["df"])}
@@ -666,13 +668,18 @@ def q_doc_rank(sf_dir: str):
     heads = sorted_ds.map_batches(
         batch_head, batch_format="pyarrow", batch_size=None
     ).to_pandas()
-    # batches tile the global sort order; their first keys inherit it
-    heads = heads.sort_values(
-        ["first_score", "first_doc"], ascending=[False, True], kind="mergesort"
-    )
-    offsets = dict(
-        zip(heads["first_doc"], np.r_[0, np.cumsum(heads["n"].to_numpy())[:-1]])
-    )
+    if "first_doc" not in heads.columns or not len(heads):
+        # empty corpus: to_pandas of an all-empty Dataset is column-less;
+        # the assign pass below only ever sees empty batches
+        offsets: dict = {}
+    else:
+        # batches tile the global sort order; their first keys inherit it
+        heads = heads.sort_values(
+            ["first_score", "first_doc"], ascending=[False, True], kind="mergesort"
+        )
+        offsets = dict(
+            zip(heads["first_doc"], np.r_[0, np.cumsum(heads["n"].to_numpy())[:-1]])
+        )
     off_ref = ray.put(offsets)
 
     def assign(t: pa.Table) -> pa.Table:

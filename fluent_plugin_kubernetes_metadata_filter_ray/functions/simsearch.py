@@ -41,6 +41,8 @@ ROUND = 6
 
 def _matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    if len(ids) == 0:  # reshape(0, -1) is a ValueError; dim is moot here
+        return ids, np.zeros((0, 1), dtype=np.float64)
     emb = batch.column("embedding")
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
@@ -78,6 +80,14 @@ class TopKPartial:
         self.qn = _normalize(qm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or self.qn.shape[0] == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
         ids, m = _matrix(batch)
         sims = self.qn @ _normalize(m).T  # (Q, B)
         k = min(TOPK_K, sims.shape[1])
@@ -168,6 +178,14 @@ class CosineNearDup:
         self.an = _normalize(am)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or self.an.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
         ids, m = _matrix(batch)
         sims = _normalize(m) @ self.an.T  # (B, N)
         bi, aj = np.nonzero(sims >= NEARDUP_COS_THRESHOLD)
@@ -428,6 +446,8 @@ def _corpus_size_and_dim(sf_dir: str) -> tuple[int, int]:
 
     pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
     n = pf.metadata.num_rows
+    if n == 0:  # empty corpus: dim is moot (no vector ever flows)
+        return 0, 1
     head = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
     return n, len(head.column(0)[0])
 
@@ -1026,6 +1046,14 @@ class RangeSearch:
         self.qn = _normalize(qm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0 or self.qn.shape[0] == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
         ids, m = _matrix(batch)
         sims = self.qn @ _normalize(m).T  # (Q, B)
         qi, bj = np.nonzero(sims >= RANGE_COS_THRESHOLD)

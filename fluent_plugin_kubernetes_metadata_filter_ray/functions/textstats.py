@@ -389,6 +389,9 @@ def q_token_heavy(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"))
         .to_pandas()  # candidates ≤ 1/s per batch — small by construction
     )
+    if "token" not in cand.columns:  # empty corpus: column-less to_pandas
+        cand = pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
     n_total = int(cand.loc[cand["token"] == _HH_TOTAL, "n"].sum())
     thresh = math.ceil(HH_FRAC * n_total)
     side_ref = ray.put(
