@@ -185,7 +185,7 @@ def parse_jpeg_header(b: bytes):
             return None
         seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
         if marker in _JPEG_SOF:
-            if i + 9 > len(b):
+            if i + 10 > len(b):  # need dims (i+5..i+9) AND ncomp (b[i+9])
                 return None
             h, w = struct.unpack(">HH", b[i + 5 : i + 9])
             return w, h, b[i + 9]

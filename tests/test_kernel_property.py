@@ -235,3 +235,56 @@ def test_hll_estimate_accuracy():
         else raw
     )
     assert abs(est - n) / n < 0.06
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    ts=st.lists(st.integers(0, 30), min_size=1, max_size=25),
+    late=st.integers(0, 20),
+)
+def test_watermark_delay_matches_bruteforce(ts, late):
+    """The sorted-block lateness kernel vs an O(n²) brute force on one
+    conversation: delay_us[i] = max(0, max(ts[:i]) - ts[i]) in sequence
+    order (ties on (turn_idx, ts) can't affect a running max of ts)."""
+    import pyarrow as pa
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        _late_sorted_block,
+    )
+
+    n = len(ts)
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c"] * n, pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "ts": pa.array([v * 1_000_000 for v in ts], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+        }
+    )
+    out = _late_sorted_block(t)
+    got = dict(zip(out.column("turn_idx").to_pylist(), out.column("delay_us").to_pylist()))
+    for i, v in enumerate(ts):
+        expect = max(0, max(ts[:i], default=v) - v) * 1_000_000
+        assert got[i] == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_image_header_parsers_reject_truncation(data):
+    """Any PREFIX of a valid PNG/JPEG container either parses to the full
+    dims or returns None — truncation can never crash or mis-parse."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import multimodal as mm
+
+    w = data.draw(st.integers(1, 64))
+    h = data.draw(st.integers(1, 64))
+    is_png = data.draw(st.booleans())
+    b = mm.png_payload(w, h) if is_png else mm.jpeg_payload(w, h)
+    cut = data.draw(st.integers(0, len(b)))
+    parse = mm.parse_png_header if is_png else mm.parse_jpeg_header
+    got = parse(b[:cut])
+    assert got in (None, (w, h, 3))
+    assert parse(b) == (w, h, 3)  # the untruncated container always parses
+    # cross-parser rejection: a PNG is never JPEG and vice versa
+    other = mm.parse_jpeg_header if is_png else mm.parse_png_header
+    assert other(b) is None
