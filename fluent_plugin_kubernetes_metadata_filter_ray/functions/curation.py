@@ -19,10 +19,10 @@ text stats (textstats.py) and before/alongside dedup (dedup.py):
   ``source``, documents ordered by doc_id are laid head-to-tail and cut
   every PACK_TARGET tokens (GPT-style pretraining packing); each doc is
   stamped with its global token offset and chunk id.  Shape: thin
-  token-count ``map_batches`` → ``groupby(source).map_groups`` with a
-  vectorized cumsum (assumes one source's doc list fits a worker, like
-  sessionization; at 10^12 docs, range-partition each source by doc_id
-  and carry per-partition prefix sums in a second tiny pass).
+  token-count ``map_batches`` → ``sort(source, doc_id)`` → per-block run
+  sums → driver prefix-sum of the tiny run table → broadcast offsets
+  (the distributed zipWithIndex pattern; no single source ever has to
+  fit one worker).
 - ``q_doc_tfidf``       — top-TFIDF_TOPK distinctive tokens per doc.
   Pass 1 computes document frequencies with a per-batch combiner (each
   batch emits ≤ |vocab| rows pre-shuffle) and collects the tiny vocab
@@ -463,10 +463,107 @@ def _pack_group(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _pack_runs(t: pa.Table):
+    """Source-run boundaries of a (source, doc_id)-sorted block: a block
+    can hold several sources; each contiguous run is one prefix-sum unit
+    keyed by (source, first doc_id) — unique because doc_ids are."""
+    src = np.asarray(t.column("source").to_pylist(), dtype=object)
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    ntk = t.column("n_tokens").to_numpy(zero_copy_only=False)
+    starts = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+    ends = np.r_[starts[1:], len(t)]
+    return src, ids, ntk, starts, ends
+
+
 def q_doc_pack(sf_dir: str):
     """Concat-and-chunk packing per source: docs (ordered by doc_id) laid
     head-to-tail, cut every PACK_TARGET tokens; a doc belongs to the chunk
-    its first token falls in."""
+    its first token falls in.
+
+    Shape — the distributed prefix-sum / zipWithIndex pattern (same as
+    q_doc_rank): thin token counts → ``sort(source, doc_id)`` →
+    materialize (pins the block tiling for both passes) → pass 1 emits ONE
+    (source, first_doc, sum_tokens) row per source-RUN per block; the
+    driver prefix-sums that tiny table (≈ blocks + sources rows) in key
+    order and broadcasts run → base offset; pass 2 assigns base + the
+    exclusive cumsum inside the run.  The earlier
+    ``groupby(source).map_groups`` shape (kept below as
+    q_doc_pack_mapgroups for the property tests) required one SOURCE's
+    whole doc list to fit a worker — with a handful of sources each group
+    is corpus/|sources|, which cannot hold at 10^12 docs."""
+    import ray
+
+    from ..stages.aggregate import _NULL_KEY, _mask_null_key, _unmask_col
+
+    thin = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        _token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sorted_ds = _mask_null_key(thin, "source").sort(["source", "doc_id"]).materialize()
+
+    def run_heads(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {
+                    "source": pa.array([], pa.string()),
+                    "first_doc": pa.array([], pa.int64()),
+                    "sum_tokens": pa.array([], pa.int64()),
+                }
+            )
+        src, ids, ntk, starts, _ = _pack_runs(t)
+        return pa.table(
+            {
+                "source": pa.array(src[starts], pa.string()),
+                "first_doc": pa.array(ids[starts], pa.int64()),
+                "sum_tokens": pa.array(np.add.reduceat(ntk, starts), pa.int64()),
+            }
+        )
+
+    heads = sorted_ds.map_batches(
+        run_heads, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    offsets: dict = {}
+    if "source" in heads.columns and len(heads):
+        heads = heads.sort_values(["source", "first_doc"], kind="mergesort")
+        for srcv, grp in heads.groupby("source", sort=False):
+            cums = np.r_[0, np.cumsum(grp["sum_tokens"].to_numpy(dtype=np.int64))[:-1]]
+            for fd, off in zip(grp["first_doc"], cums):
+                offsets[(srcv, int(fd))] = int(off)
+    off_ref = ray.put(offsets)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "source": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_offset": pa.array([], pa.int64()),
+                    "pack_chunk": pa.array([], pa.int64()),
+                }
+            )
+        off = ray.get(off_ref)
+        src, ids, ntk, starts, ends = _pack_runs(t)
+        out = np.empty(len(t), dtype=np.int64)
+        for s, e in zip(starts, ends):
+            c = np.cumsum(ntk[s:e])
+            out[s:e] = off[(src[s], int(ids[s]))] + np.r_[0, c[:-1]]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": _unmask_col(t.column("source")),
+                "n_tokens": t.column("n_tokens"),
+                "pack_offset": pa.array(out, pa.int64()),
+                "pack_chunk": pa.array(out // PACK_TARGET, pa.int64()),
+            }
+        )
+
+    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def q_doc_pack_mapgroups(sf_dir: str):
+    """Reference ``groupby(source).map_groups`` implementation — kept (not
+    driver-wired) as the baseline the property tests compare the
+    prefix-sum rewrite against on randomized multi-block layouts."""
     from ..stages.aggregate import _mask_null_key
 
     ds = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(

@@ -66,16 +66,44 @@ def _head_k(group: pa.Table) -> pa.Table:
     )
 
 
-def q_doc_sample_stratified(sf_dir: str):
-    """First-k docs (by doc_id) per source stratum.  A null source is one
-    SQL-style stratum (sentinel-masked around the groupby: Ray's
-    map_groups key sort rejects null keys)."""
-    from ..stages.aggregate import _mask_null_key
+def _head_k_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch combiner: the k smallest doc_ids per source — any global
+    first-k doc is in its own batch's first-k, so the shuffle carries
+    ≤ sources × k thin rows per batch instead of the whole stratum (one
+    SOURCE's rows cannot be required to fit a worker at 10^12 docs)."""
+    import pandas as pd
 
-    ds = cp.read_documents(sf_dir, columns=("doc_id", "source"))
-    return _mask_null_key(ds, "source").groupby("source").map_groups(
-        _head_k, batch_format="pyarrow"
+    from ..stages.aggregate import _NULL_KEY
+
+    df = pd.DataFrame(
+        {
+            "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+            "source": pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY),
+        }
     )
+    head = (
+        df.sort_values(["source", "doc_id"], kind="mergesort")
+        .groupby("source", sort=False)
+        .head(STRATA_K)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(head["doc_id"].to_numpy(dtype=np.int64)),
+            "source": pa.array(head["source"].to_numpy(dtype=object), pa.string()),
+        }
+    )
+
+
+def q_doc_sample_stratified(sf_dir: str):
+    """First-k docs (by doc_id) per source stratum.  Combiner-pushed: each
+    batch emits its own per-source first-k; the final ``map_groups`` sees
+    ≤ k × batches short rows per source, never the stratum itself.  A null
+    source is one SQL-style stratum (sentinel-masked through the shuffle:
+    Ray's map_groups key sort rejects null keys)."""
+    partials = cp.read_documents(sf_dir, columns=("doc_id", "source")).map_batches(
+        _head_k_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("source").map_groups(_head_k, batch_format="pyarrow")
 
 
 def doc_sample_stratified_oracle_sql() -> str:

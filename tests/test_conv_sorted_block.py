@@ -126,3 +126,41 @@ def test_sorted_block_single_conv_many_blocks(ray_session, tmp_path):
     cc = ag.conv_concat(ds).to_pandas()
     assert cc["n_turns"].iloc[0] == n
     assert cc["doc_len"].iloc[0] == sum(len(f"t{i}") for i in range(n)) + n - 1
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_doc_pack_prefix_sum_matches_mapgroups(ray_session, tmp_path, seed):
+    """q_doc_pack's distributed prefix-sum rewrite vs the map_groups
+    baseline on a randomized multi-source multi-shard corpus (sources
+    deliberately span shards so runs split across blocks), row-exact."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import curation
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    sources = ["web", "book", "code", None]
+    words = ["a", "bb", "ccc", "dd ee", ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n).astype(np.int64), pa.int64()),
+            "text": pa.array(
+                [" ".join(words[i] for i in rng.choice(len(words), rng.integers(0, 6)))
+                 or None for _ in range(n)],
+                pa.string(),
+            ),
+            "source": pa.array(
+                [sources[i] for i in rng.choice(len(sources), n)], pa.string()
+            ),
+        }
+    )
+    d = str(tmp_path / "packdocs")
+    os.makedirs(d)
+    pq.write_table(t, f"{d}/documents.parquet")
+
+    key = ["doc_id"]
+    got = curation.q_doc_pack(d).to_pandas().sort_values(key).reset_index(drop=True)
+    want = (
+        curation.q_doc_pack_mapgroups(d).to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    got["source"] = got["source"].astype(object).where(got["source"].notna(), None)
+    want["source"] = want["source"].astype(object).where(want["source"].notna(), None)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], want[sorted(want.columns)])
