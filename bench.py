@@ -239,6 +239,7 @@ def run_bench() -> dict:
         # scale-path decontamination: force the hash semi-join (the shape
         # that replaces the corpus-growing broadcast past
         # DECON_BROADCAST_MAX — VERDICT r2) so its cost is a tracked number
+        prior_max = os.environ.get("KMETA_DECON_BROADCAST_MAX")
         os.environ["KMETA_DECON_BROADCAST_MAX"] = "-1"
         try:
             t0 = time.perf_counter()
@@ -246,8 +247,11 @@ def run_bench() -> dict:
             queries["decontaminate_semijoin_big"] = time.perf_counter() - t0
             shuffle_bytes["decontaminate_semijoin_big"] = _shuffle_bytes(m.stats())
             del m
-        finally:
-            del os.environ["KMETA_DECON_BROADCAST_MAX"]
+        finally:  # restore, don't destroy, a user-set value
+            if prior_max is None:
+                del os.environ["KMETA_DECON_BROADCAST_MAX"]
+            else:
+                os.environ["KMETA_DECON_BROADCAST_MAX"] = prior_max
 
     # q3 (headline): parse+enrich+route write+per-sink counts
     out_dir = f"/tmp/kmeta_bench_out/cpus{NUM_CPUS}"

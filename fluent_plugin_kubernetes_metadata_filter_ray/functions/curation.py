@@ -230,10 +230,10 @@ def _eval_hash_ds(sf_dir: str):
     )
 
 
-def _eval_shingle_hashes(sf_dir: str) -> np.ndarray:
+def _collect_eval_hashes(ev_ds) -> np.ndarray:
     """Distinct sorted eval hashes collected for broadcast — only called
     once the count is known to fit DECON_BROADCAST_MAX."""
-    df = _eval_hash_ds(sf_dir).to_pandas()  # empty blocks → column-less
+    df = ev_ds.to_pandas()  # empty blocks → column-less
     if "h" not in df.columns or not len(df):
         return np.empty(0, dtype=np.int64)
     return np.sort(df["h"].to_numpy(dtype=np.int64))
@@ -398,12 +398,7 @@ def q_decontaminate(sf_dir: str):
     max_bc = int(os.environ.get("KMETA_DECON_BROADCAST_MAX", str(DECON_BROADCAST_MAX)))
     ev = _eval_hash_ds(sf_dir).materialize()
     if ev.count() <= max_bc:
-        df = ev.to_pandas()  # ≤ max_bc rows by the check above
-        hashes = (
-            np.sort(df["h"].to_numpy(dtype=np.int64))
-            if "h" in df.columns and len(df)
-            else np.empty(0, dtype=np.int64)
-        )
+        hashes = _collect_eval_hashes(ev)  # ≤ max_bc rows by the check above
         return contamination_stage(cp.read_documents(sf_dir), ray.put(hashes))
     return _decontaminate_semijoin(sf_dir, ev)
 

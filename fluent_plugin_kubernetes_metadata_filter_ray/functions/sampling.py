@@ -71,8 +71,6 @@ def _head_k_partial(batch: pa.Table) -> pa.Table:
     first-k doc is in its own batch's first-k, so the shuffle carries
     ≤ sources × k thin rows per batch instead of the whole stratum (one
     SOURCE's rows cannot be required to fit a worker at 10^12 docs)."""
-    import pandas as pd
-
     from ..stages.aggregate import _NULL_KEY
 
     df = pd.DataFrame(

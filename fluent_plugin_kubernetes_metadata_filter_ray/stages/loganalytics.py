@@ -198,11 +198,21 @@ _TRANSITIONS_EMPTY = pa.table(
 )
 
 
+# null-LAST sort key for the role tie-breaker: mirrors DuckDB's default
+# ASC NULLS LAST.  Max-codepoint pair — roles are producer-controlled
+# identifiers (same bound the \x00 sentinel documents), never user text.
+_NULL_LAST_KEY = "\U0010ffff\U0010ffff"
+
+
 def _transitions_sorted_block(t: pa.Table) -> pa.Table:
     """Bigram partial counts over a conv-sorted block: ONE lexsort by
-    (conv, turn_idx, ts), shifted pair with a same-conv mask, then a single
-    C++ pyarrow group_by per BLOCK — zero per-conv Python (the map_groups
-    shape paid ~50-125 µs/conv plus a pandas groupby per conv)."""
+    (conv, turn_idx, ts, role), shifted pair with a same-conv mask, then a
+    single C++ pyarrow group_by per BLOCK — zero per-conv Python (the
+    map_groups shape paid ~50-125 µs/conv plus a pandas groupby per conv).
+    role is the FINAL tie-breaker on both twins (same determinism class as
+    conv_concat's text tie-breaker, ADVICE r2): duplicate (turn_idx, ts)
+    turns with different roles otherwise pair up in shuffle-arrival
+    order."""
     from ..stages.aggregate import _conv_codes
 
     n = len(t)
@@ -211,14 +221,17 @@ def _transitions_sorted_block(t: pa.Table) -> pa.Table:
     codes, _ = _conv_codes(t)
     ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
     ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-    order = np.lexsort((ts, ti, codes))
+    role = t.column("role")
+    if isinstance(role, pa.ChunkedArray):
+        role = role.combine_chunks()
+    role_key = np.asarray(
+        pc.fill_null(role, _NULL_LAST_KEY).to_pylist(), dtype=object
+    )
+    order = np.lexsort((role_key, ts, ti, codes))
     c_s = codes[order]
     same = c_s[1:] == c_s[:-1]
     if not same.any():
         return _TRANSITIONS_EMPTY
-    role = t.column("role")
-    if isinstance(role, pa.ChunkedArray):
-        role = role.combine_chunks()
     roles_s = pc.fill_null(role.take(pa.array(order)), _NULL_KEY)
     keep = pa.array(same)
     pairs = pa.table(
@@ -284,7 +297,11 @@ def role_transitions_mapgroups(ds):
             return _TRANSITIONS_EMPTY
         ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ts, ti))
+        role_key = np.asarray(
+            [r if r is not None else _NULL_LAST_KEY for r in g.column("role").to_pylist()],
+            dtype=object,
+        )
+        order = np.lexsort((role_key, ts, ti))
         roles = np.asarray(
             [r if r is not None else _NULL_KEY for r in g.column("role").to_pylist()],
             dtype=object,
@@ -331,8 +348,8 @@ def role_transitions_oracle_sql() -> str:
 WITH {dg.TRANSCRIPTS_CTE},
 w AS (
   SELECT role AS from_role,
-    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS to_role,
-    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts) AS rn,
+    lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS to_role,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, role) AS rn,
     count(*) OVER (PARTITION BY conv_id) AS nc
   FROM transcripts_t
 )

@@ -49,20 +49,31 @@ def list_shards(transcripts_dir: str, files_per_shard: int = 4) -> list[list[str
     return [files[i : i + files_per_shard] for i in range(0, len(files), files_per_shard)]
 
 
+def _input_stats(files: list[str]) -> list[list[int]]:
+    """Per-file (size, mtime_ns) lineage fingerprint — cheap stat-level
+    identity; any rewrite of a file (even one preserving its row count,
+    e.g. a re-derived cache with changed text under the same name) bumps
+    mtime and invalidates the commit."""
+    return [[os.stat(p).st_size, os.stat(p).st_mtime_ns] for p in files]
+
+
 def _manifest_current(mpath: str, files: list[str]) -> bool:
     """A committed manifest is honored only if its lineage still matches
-    the shard: same input file LIST and same input ROW COUNT.  Appending
-    new transcript files (incremental ingestion — the ``in_tail`` pos-file
-    analog) can regroup shards when the old file count wasn't a multiple
-    of files_per_shard, and a re-derived cache can change a file's rows
-    under the same name; both must invalidate the commit, never silently
-    skip."""
+    the shard: same input file LIST, same ROW COUNT, and same per-file
+    (size, mtime) fingerprints.  Appending new transcript files
+    (incremental ingestion — the ``in_tail`` pos-file analog) can regroup
+    shards when the old file count wasn't a multiple of files_per_shard,
+    and a re-derived cache can change a file's CONTENT under the same
+    name and row count; all of these must invalidate the commit, never
+    silently skip."""
     try:
         with open(mpath) as f:
             man = json.load(f)
     except (OSError, json.JSONDecodeError):
         return False
     if man.get("input_files") != files:
+        return False
+    if "input_stats" in man and man["input_stats"] != _input_stats(files):
         return False
     rows_now = sum(pq.ParquetFile(p).metadata.num_rows for p in files)
     return man.get("rows_in") == rows_now
@@ -118,6 +129,7 @@ def run_resumable(
 
         t0 = time.perf_counter()
         rows_in = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        stats_in = _input_stats(files)  # fingerprint BEFORE processing
         shard_out = os.path.join(out_dir, f"shard={idx:05d}")
 
         ds = ray.data.read_parquet(files)
@@ -134,6 +146,7 @@ def run_resumable(
         manifest = {
             "shard": idx,
             "input_files": files,
+            "input_stats": stats_in,
             "rows_in": rows_in,
             "rows_out": rows_out,
             "route_counts": {

@@ -171,3 +171,43 @@ def test_incremental_shard_ingestion(ray_session, sf_dir, tmp_path):
     s3 = cpt.run_resumable(sf_dir, out, files_per_shard=1, transcripts_dir=land)
     assert s3["ran"] == [0]
     assert s3["skipped"] == [1, 2, 3]
+
+
+def test_manifest_invalidated_by_content_change_same_rows(ray_session, sf_dir, tmp_path):
+    """Code-review r3: a shard rewritten with the SAME row count (a
+    re-derived cache changes text under the same name) must still
+    invalidate its manifest — the per-file (size, mtime) fingerprint
+    catches what the row-count check cannot."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.state import checkpoint as cpt
+
+    src = dg.transcripts_path(sf_dir, rep=8, shard_rows=2048)
+    files = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))[:2]
+    land = str(tmp_path / "landing2")
+    os.makedirs(land)
+    for f in files:
+        shutil.copy(os.path.join(src, f), os.path.join(land, f))
+
+    out = str(tmp_path / "fp")
+    s1 = cpt.run_resumable(sf_dir, out, files_per_shard=1, transcripts_dir=land)
+    assert len(s1["ran"]) == 2
+
+    # rewrite shard 0 with identical rows but different content
+    f0 = os.path.join(land, files[0])
+    t0 = pq.read_table(f0)
+    import pyarrow.compute as pc
+
+    t0 = t0.set_column(
+        t0.column_names.index("text"), "text",
+        pc.binary_join_element_wise(t0.column("text"), "!", ""),
+    )
+    pq.write_table(t0, f0)
+    assert pq.ParquetFile(f0).metadata.num_rows == t0.num_rows  # rows unchanged
+
+    s2 = cpt.run_resumable(sf_dir, out, files_per_shard=1, transcripts_dir=land)
+    assert s2["ran"] == [0]
+    assert s2["skipped"] == [1]

@@ -259,3 +259,42 @@ def test_turn_late_disorder_semantics(ray_session, tmp_path):
     assert out["delay_us"].tolist() == [0, 0, 2 * h, 1_000_000, 0]
     assert out["is_late"].tolist() == [False, False, True, False, False]
     assert 2 * h > _LATE_US >= 1_000_000
+
+
+def test_role_transitions_tie_order_deterministic(ray_session, tmp_path):
+    """Code-review r3: duplicate (turn_idx, ts) turns with DIFFERENT roles
+    must pair in ONE deterministic order on both twins — role is the final
+    tie-breaker (ASC, nulls last), mirroring the oracle's ORDER BY."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        role_transitions,
+    )
+
+    ts = pd.Timestamp("2024-01-02")
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"] * 4, pa.string()),
+            # rows 0-2 all tie on (turn_idx=1, ts): order must be
+            # assistant < user < NULL (nulls last), then the tool turn
+            "turn_idx": pa.array([1, 1, 1, 2], pa.int32()),
+            "role": pa.array(["user", "assistant", None, "tool"], pa.string()),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            "ts": pa.array([ts] * 4, pa.timestamp("us")),
+        }
+    )
+    d = _write(tmp_path, "roletie", t)
+    out = (
+        role_transitions(ray.data.read_parquet(d))
+        .to_pandas()
+        .sort_values(["from_role", "to_role"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pairs = {
+        (r["from_role"], r["to_role"]): r["n_pairs"] for _, r in out.iterrows()
+    }
+    assert pairs == {
+        ("assistant", "user"): 1,
+        ("user", None): 1,
+        (None, "tool"): 1,
+    }
