@@ -224,10 +224,16 @@ def _transitions_sorted_block(t: pa.Table) -> pa.Table:
     role = t.column("role")
     if isinstance(role, pa.ChunkedArray):
         role = role.combine_chunks()
-    role_key = np.asarray(
-        pc.fill_null(role, _NULL_LAST_KEY).to_pylist(), dtype=object
-    )
-    order = np.lexsort((role_key, ts, ti, codes))
+    order = np.lexsort((ts, ti, codes))
+    # pay the object-array role key only when (conv, ti, ts) DUPLICATES
+    # exist — the sole case where the role tie-break can matter (ties are
+    # rare on real streams; the common path stays all-int)
+    c0, t0, s0 = codes[order], ti[order], ts[order]
+    if bool(((c0[1:] == c0[:-1]) & (t0[1:] == t0[:-1]) & (s0[1:] == s0[:-1])).any()):
+        role_key = np.asarray(
+            pc.fill_null(role, _NULL_LAST_KEY).to_pylist(), dtype=object
+        )
+        order = np.lexsort((role_key, ts, ti, codes))
     c_s = codes[order]
     same = c_s[1:] == c_s[:-1]
     if not same.any():

@@ -62,3 +62,47 @@ def _route_write_into(enriched_ds, out_dir: str):
             )
             sub.write_parquet(os.path.join(out_dir, f"role={role}"))
     return out_dir
+
+
+ROLES = ("user", "assistant", "tool", "system")
+
+
+def route_write_jsonl(enriched_ds, out_dir: str):
+    """JSONL sink twin of :func:`route_write` — the reference's fan-out
+    targets arbitrary fluentd outputs (files, forward, http), most of which
+    speak line-delimited JSON; this closes the source/sink symmetry with
+    sources/jsonl.py.  Same per-role layout (role=<v>/*.json, one JSON
+    object per line) and the same clear-before-write idempotence contract
+    the checkpoint layer relies on.
+
+    ``write_json`` has no partition_cols (Ray 2.49), so the fan-out is K
+    filtered passes over one shared scan — K = 4 known roles, and the
+    filter is a vectorized Arrow kernel, so each pass prunes at the block
+    level.  Dictionary-encoded enrich columns are decoded first (JSON has
+    no dictionary type); timestamps serialize as epoch ms (orient=records
+    default), round-tripped by read_jsonl_sink."""
+    from .enrich import decode_stage
+
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow.compute as pc
+
+    decoded = decode_stage(enriched_ds)
+    for role in ROLES:
+        sub = decoded.map_batches(
+            lambda t, r=role: t.filter(pc.equal(t.column("role"), r)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sub.write_json(os.path.join(out_dir, f"role={role}"))
+    return out_dir
+
+
+def read_jsonl_sink(out_dir: str, columns):
+    """Read-back of a JSONL sink (hive-partitioned role dirs)."""
+    import ray.data
+    from ray.data.datasource.partitioning import Partitioning
+
+    ds = ray.data.read_json(out_dir, partitioning=Partitioning("hive"))
+    return ds.select_columns(list(columns))

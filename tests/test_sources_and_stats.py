@@ -199,3 +199,39 @@ def test_msgpack_codec_roundtrip_property():
         assert unpack_stream(bytes(buf)) == evs
 
     check()
+
+
+def test_jsonl_sink_roundtrip(ray_session, sf_dir, tmp_path):
+    """route_write_jsonl: per-role JSONL sinks hold exactly the enriched
+    rows (routed-row equality per sink — the Parquet sink's contract,
+    proven for the JSON fan-out too)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import enrich as en
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.route import (
+        read_jsonl_sink,
+        route_write_jsonl,
+    )
+
+    out = str(tmp_path / "jsonl_sinks")
+    route_write_jsonl(flagship.build_enriched(sf_dir), out)
+
+    got = (
+        read_jsonl_sink(out, ["conv_id", "turn_idx", "role", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        en.decode_stage(flagship.build_enriched(sf_dir))
+        .to_pandas()[["conv_id", "turn_idx", "role", "text"]]
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 1000
+    assert (got["text"].fillna("@") == want["text"].fillna("@")).all()
+    assert (got["role"].astype(str) == want["role"].astype(str)).all()
+    # every role sink directory exists and is non-empty
+    import os as _os
+
+    sink_dirs = sorted(d for d in _os.listdir(out) if d.startswith("role="))
+    assert sink_dirs == sorted(f"role={r}" for r in got["role"].unique())
