@@ -461,13 +461,20 @@ def _pack_group(df: pd.DataFrame) -> pd.DataFrame:
 def _pack_runs(t: pa.Table):
     """Source-run boundaries of a (source, doc_id)-sorted block: a block
     can hold several sources; each contiguous run is one prefix-sum unit
-    keyed by (source, first doc_id) — unique because doc_ids are."""
-    src = np.asarray(t.column("source").to_pylist(), dtype=object)
+    keyed by (source, first doc_id) — unique because doc_ids are.
+    Boundaries come from int32 dictionary codes (equal sources are
+    adjacent in the sorted block), never per-row Python string compares;
+    only the ≤ runs-per-block head strings are materialized."""
+    src_col = t.column("source")
+    if isinstance(src_col, pa.ChunkedArray):
+        src_col = src_col.combine_chunks()
+    codes = src_col.dictionary_encode().indices.to_numpy(zero_copy_only=False)
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     ntk = t.column("n_tokens").to_numpy(zero_copy_only=False)
-    starts = np.r_[0, np.flatnonzero(src[1:] != src[:-1]) + 1]
+    starts = np.r_[0, np.flatnonzero(codes[1:] != codes[:-1]) + 1]
     ends = np.r_[starts[1:], len(t)]
-    return src, ids, ntk, starts, ends
+    src_at_starts = src_col.take(pa.array(starts)).to_pylist()
+    return src_at_starts, ids, ntk, starts, ends
 
 
 def q_doc_pack(sf_dir: str):
@@ -488,7 +495,7 @@ def q_doc_pack(sf_dir: str):
     is corpus/|sources|, which cannot hold at 10^12 docs."""
     import ray
 
-    from ..stages.aggregate import _NULL_KEY, _mask_null_key, _unmask_col
+    from ..stages.aggregate import _mask_null_key, _unmask_col
 
     thin = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
         _token_count_batch, batch_format="pyarrow", zero_copy_batch=True
@@ -504,17 +511,17 @@ def q_doc_pack(sf_dir: str):
                     "sum_tokens": pa.array([], pa.int64()),
                 }
             )
-        src, ids, ntk, starts, _ = _pack_runs(t)
+        src_heads, ids, ntk, starts, _ = _pack_runs(t)
         return pa.table(
             {
-                "source": pa.array(src[starts], pa.string()),
+                "source": pa.array(src_heads, pa.string()),
                 "first_doc": pa.array(ids[starts], pa.int64()),
                 "sum_tokens": pa.array(np.add.reduceat(ntk, starts), pa.int64()),
             }
         )
 
     heads = sorted_ds.map_batches(
-        run_heads, batch_format="pyarrow", batch_size=None
+        run_heads, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
     offsets: dict = {}
     if "source" in heads.columns and len(heads):
@@ -537,11 +544,11 @@ def q_doc_pack(sf_dir: str):
                 }
             )
         off = ray.get(off_ref)
-        src, ids, ntk, starts, ends = _pack_runs(t)
+        src_heads, ids, ntk, starts, ends = _pack_runs(t)
         out = np.empty(len(t), dtype=np.int64)
-        for s, e in zip(starts, ends):
+        for sh, s, e in zip(src_heads, starts, ends):
             c = np.cumsum(ntk[s:e])
-            out[s:e] = off[(src[s], int(ids[s]))] + np.r_[0, c[:-1]]
+            out[s:e] = off[(sh, int(ids[s]))] + np.r_[0, c[:-1]]
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -552,7 +559,9 @@ def q_doc_pack(sf_dir: str):
             }
         )
 
-    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    return sorted_ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
 
 
 def q_doc_pack_mapgroups(sf_dir: str):

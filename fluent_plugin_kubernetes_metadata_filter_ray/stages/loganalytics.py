@@ -202,6 +202,8 @@ _TRANSITIONS_EMPTY = pa.table(
 # ASC NULLS LAST.  Max-codepoint pair — roles are producer-controlled
 # identifiers (same bound the \x00 sentinel documents), never user text.
 _NULL_LAST_KEY = "\U0010ffff\U0010ffff"
+# int64 NULLS-LAST fill for ts/turn_idx sort keys (epoch µs ≪ 2^62)
+_KEY_NULL_LAST = 2**62
 
 
 def _transitions_sorted_block(t: pa.Table) -> pa.Table:
@@ -219,8 +221,15 @@ def _transitions_sorted_block(t: pa.Table) -> pa.Table:
     if n < 2:
         return _TRANSITIONS_EMPTY
     codes, _ = _conv_codes(t)
-    ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
-    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # sort keys as FILLED int64 (nulls → +2^62 = SQL NULLS LAST): a null
+    # ts/turn_idx would otherwise surface as float NaN, and NaN != NaN
+    # breaks both the duplicate gate below and lexsort determinism
+    ti = pc.fill_null(t.column("turn_idx").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
+    ts = pc.fill_null(t.column("ts").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
     role = t.column("role")
     if isinstance(role, pa.ChunkedArray):
         role = role.combine_chunks()
@@ -301,8 +310,12 @@ def role_transitions_mapgroups(ds):
     def per_conv(g: pa.Table) -> pa.Table:
         if len(g) < 2:
             return _TRANSITIONS_EMPTY
-        ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ti = pc.fill_null(g.column("turn_idx").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+            zero_copy_only=False
+        )
+        ts = pc.fill_null(g.column("ts").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+            zero_copy_only=False
+        )
         role_key = np.asarray(
             [r if r is not None else _NULL_LAST_KEY for r in g.column("role").to_pylist()],
             dtype=object,

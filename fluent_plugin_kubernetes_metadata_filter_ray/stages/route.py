@@ -49,22 +49,51 @@ def read_sink(out_dir: str, columns):
     )
 
 
+# dir name for the NULL-role sink in manual fan-outs (write_parquet's own
+# partition_cols path uses Hive's __HIVE_DEFAULT_PARTITION__ for the same)
+NULL_ROLE_DIR = "__null__"
+
+
+def _write_role_sinks(ds, out_dir: str, roles, write_fn) -> str:
+    """Shared manual fan-out: one filtered pass per role value (NULL role
+    included — a row must never vanish from every sink), each handed to
+    ``write_fn(sub_dataset, sink_path)``.  Callers pass a MATERIALIZED
+    dataset: each pass re-consumes it, and re-running the upstream
+    per-row kernels once per sink is the exact consume-twice trap
+    CLAUDE.md documents."""
+    import pyarrow.compute as pc
+
+    for role in roles:
+        if role is None:
+            flt = lambda t: t.filter(pc.is_null(t.column("role")))  # noqa: E731
+            name = NULL_ROLE_DIR
+        else:
+            # Table.filter drops null-mask rows, which is exactly right
+            # here: null-role rows belong to the None sink above
+            flt = lambda t, r=role: t.filter(pc.equal(t.column("role"), r))  # noqa: E731
+            name = role
+        # the partition DIR carries the role (exactly like write_parquet's
+        # partition_cols); keeping it in-file too breaks hive read-back of
+        # the NULL sink (Arrow infers null type, can't cast the dir string)
+        sub = ds.map_batches(
+            lambda t, f=flt: f(t).drop_columns(["role"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        write_fn(sub, os.path.join(out_dir, f"role={name}"))
+    return out_dir
+
+
 def _route_write_into(enriched_ds, out_dir: str):
     try:
         enriched_ds.write_parquet(out_dir, partition_cols=["role"])
     except TypeError:
-        # older Ray without partition_cols: K filtered passes over a shared scan
-        import pyarrow.compute as pc
-        for role in ("user", "assistant", "tool", "system"):
-            sub = enriched_ds.map_batches(
-                lambda t, r=role: t.filter(pc.equal(t.column("role"), r)),
-                batch_format="pyarrow",
-            )
-            sub.write_parquet(os.path.join(out_dir, f"role={role}"))
+        # older Ray without partition_cols: K filtered passes over a
+        # materialized scan (fallback only; unreached on Ray 2.49)
+        m = enriched_ds.materialize()
+        roles = sorted(m.unique("role"), key=lambda v: (v is None, v))
+        _write_role_sinks(m, out_dir, roles, lambda ds, p: ds.write_parquet(p))
     return out_dir
-
-
-ROLES = ("user", "assistant", "tool", "system")
 
 
 def route_write_jsonl(enriched_ds, out_dir: str):
@@ -75,28 +104,22 @@ def route_write_jsonl(enriched_ds, out_dir: str):
     object per line) and the same clear-before-write idempotence contract
     the checkpoint layer relies on.
 
-    ``write_json`` has no partition_cols (Ray 2.49), so the fan-out is K
-    filtered passes over one shared scan — K = 4 known roles, and the
-    filter is a vectorized Arrow kernel, so each pass prunes at the block
-    level.  Dictionary-encoded enrich columns are decoded first (JSON has
-    no dictionary type); timestamps serialize as epoch ms (orient=records
-    default), round-tripped by read_jsonl_sink."""
+    ``write_json`` has no partition_cols (Ray 2.49), so the fan-out is one
+    filtered pass per DISTINCT role (computed from the data, so unmapped
+    or NULL roles land in their own sink rather than silently vanishing)
+    over a MATERIALIZED decode — the upstream parse/enrich kernels run
+    once, not once per sink.  Dictionary-encoded enrich columns are
+    decoded first (JSON has no dictionary type)."""
     from .enrich import decode_stage
 
     if os.path.isdir(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    import pyarrow.compute as pc
-
-    decoded = decode_stage(enriched_ds)
-    for role in ROLES:
-        sub = decoded.map_batches(
-            lambda t, r=role: t.filter(pc.equal(t.column("role"), r)),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        sub.write_json(os.path.join(out_dir, f"role={role}"))
-    return out_dir
+    decoded = decode_stage(enriched_ds).materialize()
+    roles = sorted(decoded.unique("role"), key=lambda v: (v is None, v))
+    return _write_role_sinks(
+        decoded, out_dir, roles, lambda ds, p: ds.write_json(p)
+    )
 
 
 def read_jsonl_sink(out_dir: str, columns):

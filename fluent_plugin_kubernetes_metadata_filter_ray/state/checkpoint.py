@@ -54,7 +54,8 @@ def _input_stats(files: list[str]) -> list[list[int]]:
     identity; any rewrite of a file (even one preserving its row count,
     e.g. a re-derived cache with changed text under the same name) bumps
     mtime and invalidates the commit."""
-    return [[os.stat(p).st_size, os.stat(p).st_mtime_ns] for p in files]
+    stats = [os.stat(p) for p in files]
+    return [[s.st_size, s.st_mtime_ns] for s in stats]
 
 
 def _manifest_current(mpath: str, files: list[str]) -> bool:

@@ -230,8 +230,47 @@ def test_jsonl_sink_roundtrip(ray_session, sf_dir, tmp_path):
     assert len(got) == len(want) == 1000
     assert (got["text"].fillna("@") == want["text"].fillna("@")).all()
     assert (got["role"].astype(str) == want["role"].astype(str)).all()
-    # every role sink directory exists and is non-empty
+    # one sink dir per role present in the ENRICHED source of truth (the
+    # sink read-back would shrink together with a dropped role)
     import os as _os
 
     sink_dirs = sorted(d for d in _os.listdir(out) if d.startswith("role="))
-    assert sink_dirs == sorted(f"role={r}" for r in got["role"].unique())
+    assert sink_dirs == sorted(f"role={r}" for r in want["role"].unique())
+
+
+def test_jsonl_sink_keeps_null_and_unknown_roles(ray_session, tmp_path):
+    """Code-review r3: a NULL or out-of-vocabulary role must land in its
+    own sink, never vanish from every sink — the parquet twin's
+    partition_cols path writes every row and the JSONL fan-out must too."""
+    import pyarrow as pa
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.route import (
+        NULL_ROLE_DIR,
+        read_jsonl_sink,
+        route_write_jsonl,
+    )
+
+    rows = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 4, pa.string()),
+            "turn_idx": pa.array(range(4), pa.int32()),
+            "role": pa.array(["user", None, "critic", "user"], pa.string()),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "nullrole")
+    route_write_jsonl(ray.data.from_arrow(rows), out)
+
+    import os as _os
+
+    assert sorted(_os.listdir(out)) == [
+        f"role={NULL_ROLE_DIR}", "role=critic", "role=user",
+    ]
+    got = (
+        read_jsonl_sink(out, ["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == ["a", "b", "c", "d"]  # nothing vanished
