@@ -49,9 +49,27 @@ def read_sink(out_dir: str, columns):
     )
 
 
-# dir name for the NULL-role sink in manual fan-outs (write_parquet's own
-# partition_cols path uses Hive's __HIVE_DEFAULT_PARTITION__ for the same)
-NULL_ROLE_DIR = "__null__"
+# dir name for the NULL-role sink in manual fan-outs.  Contains a literal
+# '%', which _role_dir_name's quote() always escapes ('%' → '%25') — so no
+# real role value, however adversarial, can ever encode to this sentinel.
+NULL_ROLE_DIR = "%00"
+
+
+def _role_dir_name(role) -> str:
+    """Role value → safe sink dir component.  Roles come from DATA (the
+    fan-out writes one sink per distinct value), so '/', '=', '%' etc.
+    must never reach the filesystem raw — percent-encode everything
+    (Ray's hive partitioning does NOT url-decode, verified on 2.49, so
+    read_jsonl_sink decodes symmetrically)."""
+    import urllib.parse
+
+    return NULL_ROLE_DIR if role is None else urllib.parse.quote(role, safe="")
+
+
+def _role_from_dir(name):
+    import urllib.parse
+
+    return None if name == NULL_ROLE_DIR else urllib.parse.unquote(name)
 
 
 def _write_role_sinks(ds, out_dir: str, roles, write_fn) -> str:
@@ -66,12 +84,10 @@ def _write_role_sinks(ds, out_dir: str, roles, write_fn) -> str:
     for role in roles:
         if role is None:
             flt = lambda t: t.filter(pc.is_null(t.column("role")))  # noqa: E731
-            name = NULL_ROLE_DIR
         else:
             # Table.filter drops null-mask rows, which is exactly right
             # here: null-role rows belong to the None sink above
             flt = lambda t, r=role: t.filter(pc.equal(t.column("role"), r))  # noqa: E731
-            name = role
         # the partition DIR carries the role (exactly like write_parquet's
         # partition_cols); keeping it in-file too breaks hive read-back of
         # the NULL sink (Arrow infers null type, can't cast the dir string)
@@ -80,7 +96,7 @@ def _write_role_sinks(ds, out_dir: str, roles, write_fn) -> str:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        write_fn(sub, os.path.join(out_dir, f"role={name}"))
+        write_fn(sub, os.path.join(out_dir, f"role={_role_dir_name(role)}"))
     return out_dir
 
 
@@ -91,7 +107,8 @@ def _route_write_into(enriched_ds, out_dir: str):
         # older Ray without partition_cols: K filtered passes over a
         # materialized scan (fallback only; unreached on Ray 2.49)
         m = enriched_ds.materialize()
-        roles = sorted(m.unique("role"), key=lambda v: (v is None, v))
+        # unique() returns None (not []) on an empty stream — verified 2.49
+        roles = sorted(m.unique("role") or [], key=lambda v: (v is None, v))
         _write_role_sinks(m, out_dir, roles, lambda ds, p: ds.write_parquet(p))
     return out_dir
 
@@ -116,16 +133,28 @@ def route_write_jsonl(enriched_ds, out_dir: str):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     decoded = decode_stage(enriched_ds).materialize()
-    roles = sorted(decoded.unique("role"), key=lambda v: (v is None, v))
+    # unique() returns None (not []) on an empty stream — verified 2.49
+    roles = sorted(decoded.unique("role") or [], key=lambda v: (v is None, v))
     return _write_role_sinks(
         decoded, out_dir, roles, lambda ds, p: ds.write_json(p)
     )
 
 
 def read_jsonl_sink(out_dir: str, columns):
-    """Read-back of a JSONL sink (hive-partitioned role dirs)."""
+    """Read-back of a JSONL sink (hive-partitioned role dirs): the role
+    partition value is decoded back from its dir encoding (percent-decode;
+    the NULL sentinel → SQL null), so the round-trip is value-lossless."""
+    import pyarrow as pa
     import ray.data
     from ray.data.datasource.partitioning import Partitioning
 
     ds = ray.data.read_json(out_dir, partitioning=Partitioning("hive"))
-    return ds.select_columns(list(columns))
+    ds = ds.select_columns(list(columns))
+    if "role" in columns:
+        def decode(t: pa.Table) -> pa.Table:
+            raw = t.column("role").to_pylist()
+            dec = pa.array([_role_from_dir(r) for r in raw], pa.string())
+            return t.set_column(t.column_names.index("role"), "role", dec)
+
+        ds = ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+    return ds

@@ -239,38 +239,43 @@ def test_jsonl_sink_roundtrip(ray_session, sf_dir, tmp_path):
 
 
 def test_jsonl_sink_keeps_null_and_unknown_roles(ray_session, tmp_path):
-    """Code-review r3: a NULL or out-of-vocabulary role must land in its
-    own sink, never vanish from every sink — the parquet twin's
-    partition_cols path writes every row and the JSONL fan-out must too."""
+    """Code-review r3: a NULL, out-of-vocabulary, or path-hostile role must
+    land in its own sink and ROUND-TRIP to its original value — the
+    parquet twin's partition_cols path writes every row and the JSONL
+    fan-out must too.  'a/b' and '%00' (the sentinel's literal spelling)
+    are the adversarial dir-name cases; quote/decode keeps them apart."""
     import pyarrow as pa
     import ray.data
 
     from fluent_plugin_kubernetes_metadata_filter_ray.stages.route import (
-        NULL_ROLE_DIR,
         read_jsonl_sink,
         route_write_jsonl,
     )
 
+    roles = ["user", None, "critic", "a/b", "%00"]
     rows = pa.table(
         {
-            "conv_id": pa.array(["c"] * 4, pa.string()),
-            "turn_idx": pa.array(range(4), pa.int32()),
-            "role": pa.array(["user", None, "critic", "user"], pa.string()),
-            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            "conv_id": pa.array(["c"] * 5, pa.string()),
+            "turn_idx": pa.array(range(5), pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(["a", "b", "c", "d", "e"], pa.string()),
         }
     )
     out = str(tmp_path / "nullrole")
     route_write_jsonl(ray.data.from_arrow(rows), out)
 
-    import os as _os
-
-    assert sorted(_os.listdir(out)) == [
-        f"role={NULL_ROLE_DIR}", "role=critic", "role=user",
-    ]
     got = (
-        read_jsonl_sink(out, ["conv_id", "turn_idx", "text"])
+        read_jsonl_sink(out, ["conv_id", "turn_idx", "role", "text"])
         .to_pandas()
         .sort_values("turn_idx")
         .reset_index(drop=True)
     )
-    assert got["text"].tolist() == ["a", "b", "c", "d"]  # nothing vanished
+    assert got["text"].tolist() == ["a", "b", "c", "d", "e"]  # nothing vanished
+    assert got["role"].where(got["role"].notna(), None).tolist() == roles  # lossless
+
+    # empty stream: an empty sink dir, not a crash (unique() returns None)
+    out2 = str(tmp_path / "emptyroles")
+    route_write_jsonl(ray.data.from_arrow(rows.slice(0, 0)), out2)
+    import os as _os
+
+    assert _os.listdir(out2) == []
