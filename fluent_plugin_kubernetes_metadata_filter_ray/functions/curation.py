@@ -615,26 +615,51 @@ def _df_partial(batch: pa.Table) -> pa.Table:
     )
 
 
-def _doc_frequencies(sf_dir: str) -> tuple[dict[str, tuple[int, float]], int]:
-    """token → (df, idf) over the corpus, plus N.  Assumes each doc's text
-    lives in one row (true of the documents table), so per-batch distinct
-    (doc,token) pairs are globally distinct and Sum-combining is exact.
-    |vocab| ≪ corpus, so the collected table is small by construction."""
-    import pyarrow.parquet as pq
+# Vocab-broadcast budget (VERDICT r3): ≤ this many distinct tokens collect
+# + ray.put; beyond it the df table stays distributed and scoring becomes a
+# hash join (same switch as q_decontaminate / q_doc_lm_score).
+TFIDF_BROADCAST_MAX = 4_000_000
+
+
+def _df_ds(sf_dir: str):
+    """Distributed document-frequency table (token, df).  Assumes each
+    doc's text lives in one row (true of the documents table), so per-batch
+    distinct (doc,token) pairs are globally distinct and Sum-combining is
+    exact."""
     from ray.data.aggregate import Sum
 
-    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     ds = cp.read_documents(sf_dir).map_batches(
         _df_partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    dfpd = ds.groupby("token").aggregate(Sum("df", alias_name="df")).to_pandas()
+    return ds.groupby("token").aggregate(Sum("df", alias_name="df")).materialize()
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+def _doc_frequencies(df_ds, n_docs: int) -> dict:
+    """Broadcast-tier side table: token → df / idf.  Only called once the
+    distinct-token count is known to fit the broadcast budget."""
+    dfpd = df_ds.to_pandas()
     if "token" not in dfpd.columns:  # empty corpus: column-less to_pandas
-        return {"df": {}, "idf": {}}, n_docs
+        return {"df": {}, "idf": {}}
     # math.log (libm) is bit-identical to DuckDB ln(); numpy's SIMD log
     # differs by 1 ulp — compute idf per distinct df value in Python
     df_map = {t: int(d) for t, d in zip(dfpd["token"], dfpd["df"])}
     idf_map = {t: math.log((n_docs + 1) / (d + 1)) for t, d in df_map.items()}
-    return {"df": df_map, "idf": idf_map}, n_docs
+    return {"df": df_map, "idf": idf_map}
+
+
+def _idf_from_df(df: np.ndarray, n_docs: int) -> np.ndarray:
+    """df → ln((N+1)/(df+1)) float64, libm-exact per DISTINCT df value."""
+    ud, inv = np.unique(df, return_inverse=True)
+    vals = np.array(
+        [math.log((n_docs + 1) / (int(d) + 1)) for d in ud], dtype=np.float64
+    )
+    return vals[inv]
 
 
 def tfidf_stage(ds, side_ref, topk: int = TFIDF_TOPK):
@@ -685,13 +710,138 @@ def tfidf_stage(ds, side_ref, topk: int = TFIDF_TOPK):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tfidf_join(sf_dir: str, df_ds, n_docs: int, topk: int = TFIDF_TOPK):
+    """Scale path: TF-IDF as a distributed hash join — a web-scale vocab
+    (10⁸–10⁹ hapax-heavy tokens) never visits the driver.
+
+    Shape: (doc_id, token, tf) triples inner-join the distributed (token,
+    df) table; each join output block scores tfidf = tf·idf (libm-exact
+    idf per distinct df) and PRUNES to its per-doc top-k — a provable
+    superset of the global top-k, since a globally-ranked row outranks
+    every same-doc row of its own block too.  The thin pruned stream
+    (≤ k rows per doc per block) then sorts by doc_id and one sorted-block
+    kernel re-ranks exactly (the _sorted_by_conv physical contract: equal
+    keys never split across blocks).  Sentinel rows guard the Ray 2.49
+    empty-first-block shuffle race; the sentinel token contains a space,
+    unreachable by whitespace tokenization."""
+    import ray.data as rd
+
+    from .dedup import SENTINEL_ID, _join_partitions
+
+    _SENT_TOKEN = " "
+
+    def tf_triples(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pandas())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = s.str.strip().str.split().explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+            .groupby(["row", "token"], sort=False).size().rename("tf").reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[g["row"].to_numpy()], pa.int64()),
+                "token": pa.array(g["token"].to_numpy(dtype=object), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    nparts = _join_partitions()
+    tri = cp.read_documents(sf_dir).map_batches(
+        tf_triples, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "token": pa.array([_SENT_TOKEN], pa.string()),
+         "tf": pa.array([0], pa.int64())}
+    )))
+    dfd = df_ds.union(rd.from_arrow(pa.table(
+        {"token": pa.array([_SENT_TOKEN], pa.string()),
+         "df": pa.array([0], pa.int64())}
+    )))
+    joined = tri.join(dfd, join_type="inner", num_partitions=nparts, on=("token",))
+
+    def score_prune(t: pa.Table) -> pa.Table:
+        f = pd.DataFrame(
+            {
+                "doc_id": t.column("doc_id").to_numpy(zero_copy_only=False),
+                "token": t.column("token").to_pandas(),
+                "tf": t.column("tf").to_numpy(zero_copy_only=False),
+                "df": t.column("df").to_numpy(zero_copy_only=False),
+            }
+        )
+        idf = _idf_from_df(f["df"].to_numpy(dtype=np.int64), n_docs)
+        f["tfidf"] = f["tf"].to_numpy(dtype=np.float64) * idf
+        f = f.sort_values(
+            ["doc_id", "tfidf", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        f = f[f.groupby("doc_id", sort=False).cumcount() < topk]
+        return pa.table(
+            {
+                "doc_id": pa.array(f["doc_id"].to_numpy(dtype=np.int64)),
+                "token": pa.array(f["token"].to_numpy(dtype=object), pa.string()),
+                "tf": pa.array(f["tf"].to_numpy(dtype=np.int64)),
+                "df": pa.array(f["df"].to_numpy(dtype=np.int64)),
+                "tfidf": pa.array(f["tfidf"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    pruned = joined.map_batches(
+        score_prune, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def rerank_block(t: pa.Table) -> pa.Table:
+        f = t.to_pandas()
+        f = f[f["doc_id"] != SENTINEL_ID]
+        f = f.sort_values(
+            ["doc_id", "tfidf", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        f["rnk"] = f.groupby("doc_id", sort=False).cumcount() + 1
+        f = f[f["rnk"] <= topk]
+        return pa.table(
+            {
+                "doc_id": pa.array(f["doc_id"].to_numpy(dtype=np.int64)),
+                "rnk": pa.array(f["rnk"].to_numpy(dtype=np.int64)),
+                "token": pa.array(f["token"].to_numpy(dtype=object), pa.string()),
+                "tf": pa.array(f["tf"].to_numpy(dtype=np.int64)),
+                "df": pa.array(f["df"].to_numpy(dtype=np.int64)),
+                "tfidf": pa.array(f["tfidf"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    return pruned.sort("doc_id").map_batches(
+        rerank_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_doc_tfidf(sf_dir: str):
-    """Top-TFIDF_TOPK distinctive tokens per doc (ties broken by token)."""
+    """Top-TFIDF_TOPK distinctive tokens per doc (ties broken by token).
+
+    Adaptive shape (VERDICT r3): distinct-token count vs the broadcast
+    budget (KMETA_TFIDF_BROADCAST_MAX, default TFIDF_BROADCAST_MAX) — a
+    bounded vocab broadcasts (zero corpus shuffle); a web-scale vocab
+    scores via the distributed hash join, so driver memory never grows
+    with corpus content."""
+    import os
+
     import ray
 
-    side, _ = _doc_frequencies(sf_dir)
-    side_ref = ray.put(side)
-    return tfidf_stage(cp.read_documents(sf_dir), side_ref)
+    max_bc = int(
+        os.environ.get("KMETA_TFIDF_BROADCAST_MAX", str(TFIDF_BROADCAST_MAX))
+    )
+    df_ds = _df_ds(sf_dir)
+    n_docs = _n_docs(sf_dir)
+    if df_ds.count() <= max_bc:
+        side_ref = ray.put(_doc_frequencies(df_ds, n_docs))
+        return tfidf_stage(cp.read_documents(sf_dir), side_ref)
+    return _tfidf_join(sf_dir, df_ds, n_docs)
 
 
 def doc_tfidf_oracle_sql() -> str:

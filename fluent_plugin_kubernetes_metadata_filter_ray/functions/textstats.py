@@ -183,13 +183,32 @@ GROUP BY token
 LM_Q = 1e9  # logprob quantization: floor(ln(p)·1e9) summed as exact int64
 LM_KEEP_MIN = -3.6  # avg-ln-prob gate (unigram; ≈ppl 36.6 cutoff)
 
+# Vocab-broadcast budget (VERDICT r3: the unbounded collect was the last
+# driver-memory term growing with corpus CONTENT).  ≤ this many distinct
+# tokens: collect + ray.put (zero corpus shuffle).  Beyond it: the model
+# stays a distributed table and scoring becomes a hash join — same switch
+# as q_decontaminate (curation.KMETA_DECON_BROADCAST_MAX).
+LM_BROADCAST_MAX = 4_000_000
 
-def _lm_side(sf_dir: str) -> dict:
-    """Corpus unigram model: token → quantized logprob (int64), plus the
-    OOV floor.  Pass 1 of the KenLM-style perplexity filter: the vocab is
-    |V| ≪ corpus by construction (same combiner shape as token_freq), so
-    collecting it to the driver and broadcasting via ``ray.put`` is the
-    scale play — the corpus itself never shuffles.
+# join-side sentinel token: whitespace split can never emit a token
+# containing a space, so this value cannot collide with real vocab
+_SENT_TOKEN = " "
+
+
+def _lm_vocab_ds(sf_dir: str):
+    """Distributed corpus unigram counts: (token, n), combiner-pushed."""
+    from ray.data.aggregate import Sum
+
+    ds = cp.read_documents(sf_dir).map_batches(
+        token_freq_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.groupby("token").aggregate(Sum("n", alias_name="n")).materialize()
+
+
+def _lm_side(vocab_ds) -> dict:
+    """Broadcast-tier model build: token → quantized logprob (int64), plus
+    the OOV floor.  Only called once the distinct-token count is known to
+    fit LM_BROADCAST_MAX, so the driver collect is bounded.
 
     Determinism: per-token lq = floor(ln(c/N)·1e9) with math.log (libm,
     bit-identical to DuckDB ``ln``) in the exact operand order the SQL twin
@@ -197,12 +216,7 @@ def _lm_side(sf_dir: str) -> dict:
     (the float-sum-order trap simsearch._qdots documents)."""
     import math
 
-    from ray.data.aggregate import Sum
-
-    ds = cp.read_documents(sf_dir).map_batches(
-        token_freq_partial, batch_format="pyarrow", zero_copy_batch=True
-    )
-    vocab = ds.groupby("token").aggregate(Sum("n", alias_name="n")).to_pandas()
+    vocab = vocab_ds.to_pandas()
     n_total = int(vocab["n"].sum()) if len(vocab) else 0
     if n_total == 0:  # empty / all-blank corpus: no model, nothing scores
         return {"lq": {}, "oov": 0}
@@ -212,6 +226,151 @@ def _lm_side(sf_dir: str) -> dict:
     }
     oov = math.floor(math.log(1.0 / n_total) * LM_Q)
     return {"lq": lq, "oov": oov}
+
+
+def _lq_from_counts(c: np.ndarray, n_total: int) -> np.ndarray:
+    """counts → floor(ln(c/N)·LM_Q) int64, libm-exact: math.log per DISTINCT
+    count (Zipf: few), mapped back — never numpy's 1-ulp-off SIMD log."""
+    import math
+
+    uc, inv = np.unique(c, return_inverse=True)
+    lqs = np.array(
+        [math.floor(math.log(int(u) / n_total) * LM_Q) for u in uc], dtype=np.int64
+    )
+    return lqs[inv]
+
+
+def _lm_score_join(sf_dir: str, vocab_ds):
+    """Scale path: unigram scoring as a distributed hash join — the model
+    never visits the driver (10⁸–10⁹-token web vocabs would make the
+    broadcast dict multi-GB).  Same shape as curation._decontaminate_semijoin:
+
+    - (doc_id, n_tokens) totals are a per-batch count, no hashing/joining
+    - (doc_id, token, tf) triples inner-join the (token, lq) model table;
+      per-batch partial Sum(tf·lq) then a thin groupby(doc_id) — exact
+      int64, identical to the oracle's per-occurrence sum(lq)
+    - one sentinel row per join input guards the Ray 2.49 empty-first-block
+      shuffle race (state/raypatch.py note); the sentinel token contains a
+      space, which whitespace tokenization can never produce"""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import SENTINEL_ID, _join_partitions
+
+    n_total = int(vocab_ds.sum("n") or 0)
+
+    def model_rows(t: pa.Table) -> pa.Table:
+        c = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "token": t.column("token"),
+                "lq": pa.array(_lq_from_counts(c, n_total), pa.int64()),
+            }
+        )
+
+    lp = vocab_ds.map_batches(
+        model_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"token": pa.array([_SENT_TOKEN], pa.string()),
+         "lq": pa.array([0], pa.int64())}
+    )))
+
+    def totals(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pandas())
+        ntok = s.str.strip().str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(ntok),
+            }
+        )
+
+    def triples(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column("text").to_pandas())
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ex = s.str.strip().str.split().explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        g = (
+            pd.DataFrame({"row": ex.index, "token": ex.to_numpy()})
+            .groupby(["row", "token"], sort=False).size().rename("tf").reset_index()
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[g["row"].to_numpy()], pa.int64()),
+                "token": pa.array(g["token"].to_numpy(dtype=object), pa.string()),
+                "tf": pa.array(g["tf"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    nparts = _join_partitions()
+    docs = cp.read_documents(sf_dir)
+    tri = docs.map_batches(
+        triples, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "token": pa.array([_SENT_TOKEN], pa.string()),
+         "tf": pa.array([0], pa.int64())}
+    )))
+    joined = tri.join(lp, join_type="inner", num_partitions=nparts, on=("token",))
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        lq = t.column("lq").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes, uniq = pd.factorize(ids, sort=False)
+        sums = np.bincount(codes, weights=tf * lq, minlength=len(uniq))
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq.astype(np.int64)),
+                # tf·lq stays well under 2^53 per batch (lq ~ -2e10, tf·Σ
+                # bounded by batch tokens), so the float64 bincount sum is
+                # exact; cast back to int64
+                "logprob_q": pa.array(sums.astype(np.int64)),
+            }
+        )
+
+    sums = (
+        joined.map_batches(sum_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("logprob_q", alias_name="logprob_q"))
+    )
+    tot = docs.map_batches(
+        totals, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "n_tokens": pa.array([0], pa.int64())}
+    )))
+    out = tot.join(sums, join_type="left_outer", num_partitions=nparts, on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_id"), SENTINEL_ID))
+        nt = t.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        sq = (
+            pc.fill_null(t.column("logprob_q"), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        den = np.where(nt > 0, nt, 1).astype(np.float64)
+        avg = np.where(nt > 0, (sq.astype(np.float64) / den) / LM_Q, 0.0)
+        keep = (nt > 0) & (avg >= LM_KEEP_MIN)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(nt),
+                "logprob_q": pa.array(sq),
+                "avg_logprob": pa.array(avg),
+                "lm_keep": pa.array(keep),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lm_score_stage(ds, side_ref):
@@ -251,12 +410,24 @@ def lm_score_stage(ds, side_ref):
 
 def q_doc_lm_score(sf_dir: str):
     """Unigram-LM quality scoring (KenLM-style perplexity filter): pass 1
-    builds the corpus unigram model, pass 2 scores every doc against the
-    broadcast model and gates on average log-probability."""
+    builds the corpus unigram model distributed, pass 2 scores every doc.
+
+    Adaptive shape (VERDICT r3): the distinct-token count is checked
+    against the broadcast budget (KMETA_LM_BROADCAST_MAX, default
+    LM_BROADCAST_MAX) — a bounded vocab is collected + ``ray.put`` and
+    scoring is a zero-shuffle map; a web-scale vocab stays distributed and
+    scoring becomes the hash join, so driver memory never grows with
+    corpus content."""
+    import os
+
     import ray
 
-    side_ref = ray.put(_lm_side(sf_dir))
-    return lm_score_stage(cp.read_documents(sf_dir), side_ref)
+    max_bc = int(os.environ.get("KMETA_LM_BROADCAST_MAX", str(LM_BROADCAST_MAX)))
+    vocab = _lm_vocab_ds(sf_dir)
+    if vocab.count() <= max_bc:
+        side_ref = ray.put(_lm_side(vocab))
+        return lm_score_stage(cp.read_documents(sf_dir), side_ref)
+    return _lm_score_join(sf_dir, vocab)
 
 
 def doc_lm_score_oracle_sql() -> str:

@@ -137,6 +137,34 @@ def _q_turn_late(sf_dir: str):
     return _la.turn_late(flagship.read_transcripts(sf_dir))
 
 
+# The driver's correctness run witnesses a WINDOW of the registry (r3: the
+# first 50 of 61 entries, registry order).  Keep the newest / least-witnessed
+# queries at the FRONT so every operator gets a driver-green CORRECTNESS row
+# across rounds (VERDICT r3 task 2); previously-green entries rotate to the
+# tail.
+_DRIVER_PRIORITY = [
+    # round-4 additions (never driver-witnessed)
+    # round-3 additions that fell outside the r3 window
+    "q_ann_range",
+    "q_chunk_dedup",
+    "q_decontaminate",
+    "q_doc_chunks",
+    "q_doc_pack",
+    "q_doc_rank",
+    "q_doc_sample_weighted",
+    "q_doc_tfidf",
+    "q_embed_dedup_clusters",
+    "q_embed_quantize",
+    "q_source_overlap",
+]
+
+
+def _driver_order(d: dict) -> dict:
+    head = {k: d[k] for k in _DRIVER_PRIORITY if k in d}
+    head.update((k, v) for k, v in d.items() if k not in head)
+    return head
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q = {
         "q_transcripts": _q_transcripts,
@@ -163,7 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     from .functions import registry
     q.update(registry.queries())
-    return q
+    return _driver_order(q)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -192,4 +220,4 @@ def oracle_sql() -> dict[str, str]:
     }
     from .functions import registry
     o.update(registry.oracle_sql())
-    return o
+    return _driver_order(o)

@@ -124,6 +124,23 @@ SESSION_GAP_S = 21600  # 6h inter-turn gap ⇒ new session
 # before the groupby and unmasking in the kernel's output.
 _NULL_KEY = "\x00\x00null-key"
 
+# Null int64 sort keys (ts, turn_idx): ``cast(int64).to_numpy`` would yield
+# float NaN, which poisons diffs/cummax into INT64_MIN (ADVICE r3).  Fill
+# with a beyond-any-epoch sentinel instead — numerically NULLS LAST, the
+# DuckDB ORDER BY default the oracles rely on — and carry the validity mask
+# separately where the kernel's arithmetic must skip nulls.
+_KEY_NULL_LAST = 2**62
+
+
+def _int_key(col, sentinel: int = _KEY_NULL_LAST):
+    """Nullable int-ish column → (int64 ndarray with nulls = sentinel,
+    bool validity ndarray)."""
+    import pyarrow.compute as pc
+
+    c = col.cast(pa.int64())
+    v = pc.is_valid(c).to_numpy(zero_copy_only=False)
+    return pc.fill_null(c, sentinel).to_numpy(zero_copy_only=False), v
+
 
 def _mask_null_key(ds, col: str):
     import pyarrow.compute as pc
@@ -220,15 +237,17 @@ def _sessions_sorted_block(t: pa.Table) -> pa.Table:
     if n == 0:
         return _SESSIONS_EMPTY
     codes, conv = _conv_codes(t)
-    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-    ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
+    ts, v = _int_key(t.column("ts"))
+    ti, _ = _int_key(t.column("turn_idx"))
     order = np.lexsort((ti, ts, codes))
-    c_s, ts_s = codes[order], ts[order]
+    c_s, ts_s, v_s = codes[order], ts[order], v[order]
     nb = np.empty(n, dtype=bool)  # new-conv mask
     nb[0] = True
     nb[1:] = c_s[1:] != c_s[:-1]
+    # A null ts never breaks (oracle: date_diff vs/from NULL → CASE → 0);
+    # nulls sort LAST within the conv, so v_s[i] ⇒ v_s[i-1] — one mask term.
     brk = np.zeros(n, dtype=bool)  # same-conv session break
-    brk[1:] = ~nb[1:] & (np.diff(ts_s) > SESSION_GAP_S * 1_000_000)
+    brk[1:] = ~nb[1:] & v_s[1:] & (np.diff(ts_s) > SESSION_GAP_S * 1_000_000)
     starts = np.flatnonzero(nb | brk)
     ends = np.r_[starts[1:], n] - 1
     # session_idx = per-conv cumsum of breaks: global cumsum minus its
@@ -237,13 +256,20 @@ def _sessions_sorted_block(t: pa.Table) -> pa.Table:
     conv_ord = np.cumsum(nb) - 1  # conv ordinal per row
     base = cum[np.flatnonzero(nb)]  # cum at each conv's first row (brk=False there)
     sess_idx = (cum - base[conv_ord])[starts]
+    # t_start/t_end skip nulls (SQL min/max): valid rows are a session
+    # PREFIX (nulls last), so t_start is row `start` iff valid and t_end is
+    # row start + n_valid - 1; an all-null session gets NULL bounds.
+    cv = np.cumsum(v_s)
+    nv = cv[ends] - cv[starts] + v_s[starts]
+    has = nv > 0
+    end_idx = np.where(has, starts + nv - 1, starts)
     return pa.table(
         {
             "conv_id": _unmask_col(conv.take(pa.array(order[starts]))),
             "session_idx": pa.array(sess_idx, pa.int64()),
             "n_turns": pa.array(np.diff(np.r_[starts, n]), pa.int64()),
-            "t_start": pa.array(ts_s[starts], pa.int64()).cast(pa.timestamp("us")),
-            "t_end": pa.array(ts_s[ends], pa.int64()).cast(pa.timestamp("us")),
+            "t_start": pa.array(ts_s[starts], mask=~has).cast(pa.timestamp("us")),
+            "t_end": pa.array(ts_s[end_idx], mask=~has).cast(pa.timestamp("us")),
         }
     )
 
@@ -274,17 +300,21 @@ def conv_sessions_mapgroups(ds):
         ds = ds.select_columns(need)
 
     def per_conv(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ti = g.column("turn_idx").to_numpy(zero_copy_only=False)
+        ts, v = _int_key(g.column("ts"))
+        ti, _ = _int_key(g.column("turn_idx"))
         order = np.lexsort((ti, ts))
-        ts_s = ts[order]
+        ts_s, v_s = ts[order], v[order]
         brk = np.zeros(len(ts_s), dtype=np.int64)
         if len(ts_s) > 1:
-            brk[1:] = np.diff(ts_s) > SESSION_GAP_S * 1_000_000
+            brk[1:] = v_s[1:] & (np.diff(ts_s) > SESSION_GAP_S * 1_000_000)
         sess = np.cumsum(brk)
         starts = np.flatnonzero(np.r_[1, brk[1:]])
         n_turns = np.diff(np.r_[starts, len(ts_s)])
         ends = starts + n_turns - 1
+        cv = np.cumsum(v_s)
+        nv = cv[ends] - cv[starts] + v_s[starts]
+        has = nv > 0
+        end_idx = np.where(has, starts + nv - 1, starts)
         n = len(starts)
         cid = g.column("conv_id")[0].as_py()
         return pa.table(
@@ -294,8 +324,8 @@ def conv_sessions_mapgroups(ds):
                 ),
                 "session_idx": pa.array(sess[starts], pa.int64()),
                 "n_turns": pa.array(n_turns, pa.int64()),
-                "t_start": pa.array(ts_s[starts], pa.int64()).cast(pa.timestamp("us")),
-                "t_end": pa.array(ts_s[ends], pa.int64()).cast(pa.timestamp("us")),
+                "t_start": pa.array(ts_s[starts], mask=~has).cast(pa.timestamp("us")),
+                "t_end": pa.array(ts_s[end_idx], mask=~has).cast(pa.timestamp("us")),
             }
         )
 
@@ -379,16 +409,27 @@ FROM transcripts_t GROUP BY role, date_trunc('hour', ts)
 ROLLING_WINDOW_S = 3600  # trailing 1h
 
 
-def rolling_counts(ts, win_us: int):
+def rolling_counts(ts, win_us: int, valid=None):
     """Per element of ``ts`` (int64 µs, any order): how many elements fall
     in [t - win_us, t] — SQL RANGE-frame semantics, current row and its
-    ts-peers included.  Twin-searchsorted over one sort: O(n log n)."""
+    ts-peers included.  Twin-searchsorted over one sort: O(n log n).
+
+    ``valid`` marks non-null timestamps: SQL RANGE frames put all NULL
+    ordering keys in one peer group, so a null row's count is the number
+    of null rows in the partition and null rows never enter a valid row's
+    window (DuckDB-verified)."""
     import numpy as np
 
-    ts_sorted = np.sort(ts)
-    lo = np.searchsorted(ts_sorted, ts - win_us, side="left")
-    hi = np.searchsorted(ts_sorted, ts, side="right")
-    return hi - lo
+    if valid is None:
+        valid = np.ones(len(ts), dtype=bool)
+    out = np.empty(len(ts), dtype=np.int64)
+    vals = np.sort(ts[valid])
+    tv = ts[valid]
+    lo = np.searchsorted(vals, tv - win_us, side="left")
+    hi = np.searchsorted(vals, tv, side="right")
+    out[valid] = hi - lo
+    out[~valid] = len(ts) - len(vals)
+    return out
 
 
 def _rolling_sorted_block(t: pa.Table) -> pa.Table:
@@ -412,17 +453,20 @@ def _rolling_sorted_block(t: pa.Table) -> pa.Table:
         )
     win_us = ROLLING_WINDOW_S * 1_000_000
     codes, conv = _conv_codes(t)
-    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ts, v = _int_key(t.column("ts"))
     order = np.lexsort((ts, codes))
-    c_s, ts_s = codes[order], ts[order]
+    c_s, ts_s, v_s = codes[order], ts[order], v[order]
     starts = np.r_[0, np.flatnonzero(c_s[1:] != c_s[:-1]) + 1]
     ends = np.r_[starts[1:], n]
     counts = np.empty(n, dtype=np.int64)
     for s, e in zip(starts, ends):
-        seg = ts_s[s:e]
-        counts[s:e] = np.searchsorted(seg, seg, side="right") - np.searchsorted(
+        # nulls sort last: the valid rows are the segment's PREFIX
+        k = s + int(v_s[s:e].sum())
+        seg = ts_s[s:k]
+        counts[s:k] = np.searchsorted(seg, seg, side="right") - np.searchsorted(
             seg, seg - win_us, side="left"
         )
+        counts[k:e] = e - k  # null peer group (SQL RANGE over NULL keys)
     take = pa.array(order)
     return pa.table(
         {
@@ -458,13 +502,13 @@ def turn_rolling_mapgroups(ds):
     win_us = ROLLING_WINDOW_S * 1_000_000
 
     def per_conv(g: pa.Table) -> pa.Table:
-        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts, v = _int_key(g.column("ts"))
         return pa.table(
             {
                 "conv_id": _unmask_null_key(g.column("conv_id")),
                 "turn_idx": g.column("turn_idx"),
                 "ts": g.column("ts"),
-                "n_last_hour": pa.array(rolling_counts(ts, win_us), pa.int64()),
+                "n_last_hour": pa.array(rolling_counts(ts, win_us, v), pa.int64()),
             }
         )
 

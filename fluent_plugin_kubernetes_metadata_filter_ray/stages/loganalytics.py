@@ -721,19 +721,32 @@ def _late_sorted_block(t: pa.Table) -> pa.Table:
                 "is_late": pa.array([], pa.bool_()),
             }
         )
+    from .aggregate import _int_key
+
     codes, conv = _conv_codes(t)
-    ti = t.column("turn_idx").to_numpy(zero_copy_only=False)
-    ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    # null sort keys fill NULLS-LAST (ADVICE r3: raw to_numpy gives float
+    # NaN, which poisons the cummax into INT64_MIN for every later row)
+    ti, _ = _int_key(t.column("turn_idx"))
+    ts, v = _int_key(t.column("ts"))
     order = np.lexsort((ts, ti, codes))
-    c_s, ts_s = codes[order], ts[order]
+    c_s, ts_s, v_s = codes[order], ts[order], v[order]
     starts = np.r_[0, np.flatnonzero(c_s[1:] != c_s[:-1]) + 1]
     ends = np.r_[starts[1:], n]
     delay = np.zeros(n, dtype=np.int64)
+    late = np.zeros(n, dtype=bool)
+    _NO_PREV = np.int64(-(2**62))
+    # watermark = running max over PRIOR NON-NULL ts (SQL max() skips
+    # NULLs); rows with null ts, or with no prior valid ts, coalesce to
+    # delay 0 / is_late false like the oracle twin.
+    work = np.where(v_s, ts_s, _NO_PREV)
     for s, e in zip(starts, ends):
         if e - s < 2:
             continue
-        cm = np.maximum.accumulate(ts_s[s:e])
-        delay[s + 1 : e] = np.maximum(0, cm[:-1] - ts_s[s + 1 : e])
+        cm = np.maximum.accumulate(work[s : e - 1])
+        ok = v_s[s + 1 : e] & (cm != _NO_PREV)
+        lag = np.where(ok, cm - ts_s[s + 1 : e], 0)
+        delay[s + 1 : e] = np.maximum(0, lag)
+        late[s + 1 : e] = lag > _LATE_US
     take = pa.array(order)
     return pa.table(
         {
@@ -741,7 +754,7 @@ def _late_sorted_block(t: pa.Table) -> pa.Table:
             "turn_idx": t.column("turn_idx").take(take),
             "ts": t.column("ts").take(take),
             "delay_us": pa.array(delay, pa.int64()),
-            "is_late": pa.array(delay > _LATE_US),
+            "is_late": pa.array(late),
         }
     )
 

@@ -27,12 +27,21 @@ def route_write(enriched_ds, out_dir: str):
     return _route_write_into(enriched_ds, out_dir)
 
 
+# marker dropped by the manual fan-out fallback: its role dirs are
+# percent-ENCODED (_role_dir_name), unlike write_parquet's raw hive values,
+# so read_sink must decode them back (ADVICE r3: 'a/b' came back 'a%2Fb'
+# and the NULL sentinel came back as the literal '%00' on that path).
+_ENCODED_MARKER = "_KMETA_ENCODED_ROLES"
+
+
 def read_sink(out_dir: str, columns):
     """Column-pruned read-back of a routed sink with block count matched to
     the actual file count: Ray's default parallelism over-splits a small
     sink into empty ghost blocks, and every empty block entering a
     downstream sort/aggregate triggers a schema-less-RefBundle warning and
-    a wasted task."""
+    a wasted task.  Sinks written by the manual fallback (marker file)
+    get their hive role values percent-decoded like read_jsonl_sink."""
+    import pyarrow as pa
     import ray
     import ray.data
 
@@ -44,9 +53,17 @@ def read_sink(out_dir: str, columns):
     except Exception:
         cpus = 4
     blocks = max(1, min(n_files, 2 * cpus))
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         out_dir, columns=list(columns), override_num_blocks=blocks
     )
+    if "role" in columns and os.path.exists(os.path.join(out_dir, _ENCODED_MARKER)):
+        def decode(t: pa.Table) -> pa.Table:
+            raw = t.column("role").to_pylist()
+            dec = pa.array([_role_from_dir(r) for r in raw], pa.string())
+            return t.set_column(t.column_names.index("role"), "role", dec)
+
+        ds = ds.map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
 
 
 # dir name for the NULL-role sink in manual fan-outs.  Contains a literal
@@ -110,6 +127,9 @@ def _route_write_into(enriched_ds, out_dir: str):
         # unique() returns None (not []) on an empty stream — verified 2.49
         roles = sorted(m.unique("role") or [], key=lambda v: (v is None, v))
         _write_role_sinks(m, out_dir, roles, lambda ds, p: ds.write_parquet(p))
+        # mark the encoded-dir layout so read_sink decodes symmetrically
+        with open(os.path.join(out_dir, _ENCODED_MARKER), "w"):
+            pass
     return out_dir
 
 

@@ -160,7 +160,7 @@ def test_blank_corpus_lm_and_heavy(ray_session, tmp_path):
     )
     pq.write_table(t, f"{d}/documents.parquet")
 
-    side = textstats._lm_side(d)
+    side = textstats._lm_side(textstats._lm_vocab_ds(d))
     assert side == {"lq": {}, "oov": 0}
     scored = textstats.q_doc_lm_score(d).to_pandas()
     assert scored["n_tokens"].tolist() == [0, 0]
@@ -209,7 +209,7 @@ def test_hostile_docs_lm_score(ray_session, tmp_path):
         }
     )
     pq.write_table(t, f"{d}/documents.parquet")
-    side_ref = ray.put(textstats._lm_side(d))
+    side_ref = ray.put(textstats._lm_side(textstats._lm_vocab_ds(d)))
     import ray.data
     out = (
         textstats.lm_score_stage(ray.data.read_parquet(f"{d}/documents.parquet"), side_ref)

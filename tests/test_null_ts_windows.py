@@ -1,0 +1,245 @@
+"""Null event-time hardening for the conv-window kernels (ADVICE r3).
+
+A null ``ts`` used to reach the kernels as float NaN (``cast(int64)
+.to_numpy``), which either crashed the Arrow int64 conversion
+(sessions/rolling) or silently poisoned the watermark cummax into
+INT64_MIN for every later row of the conversation (turn_late).  The
+oracle twins define the required semantics: DuckDB orders NULLS LAST,
+``max()``/``min()``/window aggregates skip NULLs, RANGE frames put all
+NULL ordering keys in one peer group, and the lateness twin coalesces a
+NULL lag to delay 0 / not-late.  These tests pin the engine to DuckDB on
+a table that exercises every branch: null ts mid-conversation, all-null
+conversations, null turn_idx tie keys, and a session whose tail is null.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+    ROLLING_WINDOW_S,
+    SESSION_GAP_S,
+)
+from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+    ALLOWED_LATENESS_S,
+)
+
+_GAP_US = SESSION_GAP_S * 1_000_000
+_WIN_S = ROLLING_WINDOW_S
+_LATE_US = ALLOWED_LATENESS_S * 1_000_000
+
+
+def _null_ts_dir(tmp_path) -> str:
+    ts0 = pd.Timestamp("2024-01-01").value // 1000  # µs
+
+    def t(h):
+        return None if h is None else ts0 + int(h * 3600 * 1_000_000)
+
+    rows = [
+        # conv a: valid, null, valid (short gap), null, valid (big gap)
+        ("a", 0, t(0)),
+        ("a", 1, None),
+        ("a", 2, t(0.5)),
+        ("a", 3, None),
+        ("a", 4, t(10)),
+        # conv b: ALL null ts
+        ("b", 0, None),
+        ("b", 1, None),
+        # conv c: null turn_idx tie key + out-of-order ts (late arrival)
+        ("c", None, t(0.1)),
+        ("c", 0, t(0.2)),
+        ("c", 1, t(0.15)),
+        # conv d: late beyond the allowed lateness, then a null
+        ("d", 0, t(5)),
+        ("d", 1, t(1)),
+        ("d", 2, None),
+        # null conv_id with a null ts
+        (None, 0, None),
+        (None, 1, t(2)),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "nullts")
+    os.makedirs(d, exist_ok=True)
+    # two shards so convs straddle input blocks
+    pq.write_table(tbl.slice(0, 8), f"{d}/part-0.parquet")
+    pq.write_table(tbl.slice(8), f"{d}/part-1.parquet")
+    return d
+
+
+def _oracle(d: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW transcripts_t AS SELECT * FROM read_parquet('{d}/*.parquet')"
+    )
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _cmp(a: pd.DataFrame, b: pd.DataFrame, keys):
+    a = a.sort_values(keys, kind="mergesort", na_position="last").reset_index(drop=True)
+    b = b.sort_values(keys, kind="mergesort", na_position="last").reset_index(drop=True)
+    assert sorted(a.columns) == sorted(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        am, bm = a[c].fillna("@").astype(str), b[c].fillna("@").astype(str)
+        assert (am == bm).all(), f"{c}: {a[c].tolist()} vs {b[c].tolist()}"
+
+
+def test_turn_late_null_ts_matches_duckdb(ray_session, tmp_path):
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import turn_late
+
+    d = _null_ts_dir(tmp_path)
+    got = turn_late(ray.data.read_parquet(d)).to_pandas()
+    # no NaN→INT64_MIN poisoning anywhere
+    assert (got["delay_us"] >= 0).all()
+    want = _oracle(
+        d,
+        f"""
+        WITH w AS (
+          SELECT conv_id, turn_idx, ts,
+            max(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+          FROM transcripts_t)
+        SELECT conv_id, turn_idx, ts,
+          coalesce(greatest(0, date_diff('microsecond', ts, prevmax)), 0)::BIGINT AS delay_us,
+          coalesce(date_diff('microsecond', ts, prevmax) > {_LATE_US}, false) AS is_late
+        FROM w
+        """,
+    )
+    _cmp(got, want, ["conv_id", "turn_idx", "ts"])
+    # the conv-d late arrival is flagged; null-ts rows never are
+    late = got[got["is_late"]]
+    assert set(late["conv_id"]) == {"d"} and late["turn_idx"].tolist() == [1]
+    assert got.loc[got["ts"].isna(), "delay_us"].eq(0).all()
+
+
+def test_conv_sessions_null_ts_matches_duckdb(ray_session, tmp_path):
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        conv_sessions,
+        conv_sessions_mapgroups,
+    )
+
+    d = _null_ts_dir(tmp_path)
+    got = conv_sessions(ray.data.read_parquet(d)).to_pandas()
+    want = _oracle(
+        d,
+        f"""
+        WITH b AS (
+          SELECT conv_id, turn_idx, ts,
+            CASE WHEN date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx), ts)
+                 > {_GAP_US} THEN 1 ELSE 0 END AS brk
+          FROM transcripts_t),
+        s AS (
+          SELECT conv_id, ts,
+            sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                           ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+          FROM b)
+        SELECT conv_id, session_idx, count(*)::BIGINT AS n_turns,
+          min(ts) AS t_start, max(ts) AS t_end
+        FROM s GROUP BY conv_id, session_idx
+        """,
+    )
+    _cmp(got, want, ["conv_id", "session_idx"])
+    # the all-null conv collapses to one session with NULL bounds
+    b = got[got["conv_id"] == "b"]
+    assert len(b) == 1 and b["n_turns"].iloc[0] == 2
+    assert b["t_start"].isna().all() and b["t_end"].isna().all()
+    # baseline kernel agrees (property-test parity)
+    mg = conv_sessions_mapgroups(ray.data.read_parquet(d)).to_pandas()
+    _cmp(got, mg, ["conv_id", "session_idx"])
+
+
+def test_turn_rolling_null_ts_matches_duckdb(ray_session, tmp_path):
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        turn_rolling,
+        turn_rolling_mapgroups,
+    )
+
+    d = _null_ts_dir(tmp_path)
+    got = turn_rolling(ray.data.read_parquet(d)).to_pandas()
+    want = _oracle(
+        d,
+        f"""
+        SELECT conv_id, turn_idx, ts,
+          count(*) OVER (PARTITION BY conv_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL {_WIN_S} SECONDS PRECEDING
+                         AND CURRENT ROW)::BIGINT AS n_last_hour
+        FROM transcripts_t
+        """,
+    )
+    _cmp(got, want, ["conv_id", "turn_idx", "ts"])
+    # null peer group: conv a's two null rows see each other, not the valid rows
+    a = got[(got["conv_id"] == "a") & got["ts"].isna()]
+    assert a["n_last_hour"].tolist() == [2, 2]
+    mg = turn_rolling_mapgroups(ray.data.read_parquet(d)).to_pandas()
+    _cmp(got, mg, ["conv_id", "turn_idx", "ts"])
+
+
+def test_random_null_ts_property(ray_session, tmp_path):
+    """Randomized multi-shard layouts with ~25% null ts / null turn_idx:
+    sorted-block vs map_groups row-exact (the multi-block regression class
+    from CLAUDE.md), plus non-negative delays from turn_late."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        conv_sessions,
+        conv_sessions_mapgroups,
+        turn_rolling,
+        turn_rolling_mapgroups,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import turn_late
+
+    rng = np.random.default_rng(321)
+    n = 160
+    base = pd.Timestamp("2024-03-01").value // 1000
+    convs = [f"c{i}" for i in range(12)] + [None]
+    off = rng.choice([0, 1, 3600, 3601, 7 * 3600, 14 * 3600], n).astype(np.int64)
+    ts_vals = base + off * 1_000_000
+    ts_mask = rng.random(n) < 0.25
+    ti_vals = rng.integers(0, 5, n)
+    ti_mask = rng.random(n) < 0.15
+    t = pa.table(
+        {
+            "conv_id": pa.array([convs[i] for i in rng.choice(len(convs), n)], pa.string()),
+            "turn_idx": pa.array(ti_vals, mask=ti_mask).cast(pa.int32()),
+            "ts": pa.array(ts_vals, mask=ts_mask).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "randnull")
+    os.makedirs(d)
+    for s in range(0, n, 40):
+        pq.write_table(t.slice(s, 40), f"{d}/part-{s:04d}.parquet")
+
+    for impl, ref, keys in (
+        (conv_sessions, conv_sessions_mapgroups, ["conv_id", "session_idx"]),
+        (turn_rolling, turn_rolling_mapgroups, ["conv_id", "turn_idx", "ts"]),
+    ):
+        got = impl(ray.data.read_parquet(d)).to_pandas()
+        want = ref(ray.data.read_parquet(d)).to_pandas()
+        _cmp(got, want, keys)
+
+    tl = turn_late(ray.data.read_parquet(d)).to_pandas()
+    assert len(tl) == n and (tl["delay_us"] >= 0).all()
+    assert tl.loc[tl["ts"].isna(), "delay_us"].eq(0).all()
+    assert not tl.loc[tl["ts"].isna(), "is_late"].any()

@@ -279,3 +279,46 @@ def test_jsonl_sink_keeps_null_and_unknown_roles(ray_session, tmp_path):
     import os as _os
 
     assert _os.listdir(out2) == []
+
+
+def test_parquet_fallback_roles_roundtrip(ray_session, tmp_path, monkeypatch):
+    """ADVICE r3: the older-Ray manual fan-out writes percent-encoded role
+    dirs; read_sink must decode them back (marker file) so 'a/b' and NULL
+    round-trip losslessly on that path too.  Simulated by making
+    partition_cols raise TypeError like a pre-partition_cols Ray."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data import Dataset
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import route
+
+    orig = Dataset.write_parquet
+
+    def no_partition_cols(self, path, **kw):
+        if "partition_cols" in kw:
+            raise TypeError("partition_cols unsupported (simulated older Ray)")
+        return orig(self, path)
+
+    monkeypatch.setattr(Dataset, "write_parquet", no_partition_cols)
+
+    roles = ["user", None, "critic", "a/b", "%00"]
+    rows = pa.table(
+        {
+            "conv_id": pa.array(["c"] * 5, pa.string()),
+            "turn_idx": pa.array(range(5), pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+        }
+    )
+    out = str(tmp_path / "pqfallback")
+    route.route_write(ray.data.from_arrow(rows), out)
+    assert os.path.exists(os.path.join(out, route._ENCODED_MARKER))
+
+    got = (
+        route.read_sink(out, ["conv_id", "turn_idx", "role", "text"])
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert got["text"].tolist() == ["a", "b", "c", "d", "e"]
+    assert got["role"].where(got["role"].notna(), None).tolist() == roles
