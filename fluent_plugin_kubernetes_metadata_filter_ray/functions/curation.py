@@ -874,13 +874,34 @@ def q_doc_rank(sf_dir: str):
     primitive Ray Data lacks: rank every doc by (quality_score DESC,
     doc_id ASC) with contiguous 1-based ranks.
 
-    Shape: thin (doc_id, score) columns → distributed sort → materialize
-    (pins the batch split so both passes see identical tiling) → pass 1
-    emits ONE (first_doc_id, n_rows) row per batch; the driver prefix-sums
-    that tiny table in key order and broadcasts first_doc_id → offset;
-    pass 2 assigns offset + arange per batch.  Only batch-count rows reach
-    the driver — the corpus crosses the wire once, in the sort."""
+    Shape (VERDICT r3 task 4 — no full-corpus object-store materialize):
+    thin (doc_id, score) columns → distributed sort → STREAMING
+    ``write_parquet`` of the sorted payload (the object store only ever
+    holds in-flight blocks; the checkpoint is the resumable-output layout
+    this repo uses everywhere) → per-file offsets from parquet FOOTERS in
+    filename order (write task indices tile the sort order — verified on
+    2.49: ``{uuid}_{task_idx}_{block_idx}`` names; row counts come from
+    metadata, no data read) → read back one block per file and assign
+    offset + arange.
+
+    Why not stamp block ids on the lazy sort output instead: a Dataset is
+    re-executed per consumption and the sort's range boundaries come from
+    a SAMPLE, so two passes over an unmaterialized sort can tile
+    differently — pinning tiling requires either materialize() (the old
+    shape, 2× residency of the sorted payload) or this disk checkpoint.
+
+    Physical guard: each written file must come back as ONE batch (the
+    write produces one row group per block, and the read is
+    one-block-per-file); ``assign`` checks batch length against the
+    file's footer count and fails loudly rather than mis-rank."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
     import ray
+    import ray.data
 
     from .textstats import doc_stats_batch
 
@@ -890,48 +911,36 @@ def q_doc_rank(sf_dir: str):
             {"doc_id": st.column("doc_id"), "quality_score": st.column("quality_score")}
         )
 
-    sorted_ds = (
+    out = "/tmp/kmeta_cache/rank_sorted_{}".format(
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    (
         cp.read_documents(sf_dir)
         .map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["quality_score", "doc_id"], descending=[True, False])
-        .materialize()
+        .write_parquet(out)
     )
-
-    def batch_head(t: pa.Table) -> pa.Table:
-        if not len(t):
-            return pa.table(
+    files = [
+        f
+        for f in sorted(glob.glob(f"{out}/*.parquet"))
+        if pq_.ParquetFile(f).metadata.num_rows > 0
+    ]
+    if not files:  # empty corpus → typed empty result
+        return ray.data.from_arrow(
+            pa.table(
                 {
-                    "first_doc": pa.array([], pa.int64()),
-                    "first_score": pa.array([], pa.float64()),
-                    "n": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "quality_score": pa.array([], pa.float64()),
+                    "doc_rank": pa.array([], pa.int64()),
                 }
             )
-        return pa.table(
-            {
-                "first_doc": pa.array([t.column("doc_id")[0].as_py()], pa.int64()),
-                "first_score": pa.array(
-                    [t.column("quality_score")[0].as_py()], pa.float64()
-                ),
-                "n": pa.array([len(t)], pa.int64()),
-            }
         )
-
-    heads = sorted_ds.map_batches(
-        batch_head, batch_format="pyarrow", batch_size=None
-    ).to_pandas()
-    if "first_doc" not in heads.columns or not len(heads):
-        # empty corpus: to_pandas of an all-empty Dataset is column-less;
-        # the assign pass below only ever sees empty batches
-        offsets: dict = {}
-    else:
-        # batches tile the global sort order; their first keys inherit it
-        heads = heads.sort_values(
-            ["first_score", "first_doc"], ascending=[False, True], kind="mergesort"
-        )
-        offsets = dict(
-            zip(heads["first_doc"], np.r_[0, np.cumsum(heads["n"].to_numpy())[:-1]])
-        )
-    off_ref = ray.put(offsets)
+    counts = np.array([pq_.ParquetFile(f).metadata.num_rows for f in files])
+    offs = np.r_[0, np.cumsum(counts)[:-1]]
+    meta = {f: (int(o), int(c)) for f, o, c in zip(files, offs, counts)}
+    meta_ref = ray.put(meta)
 
     def assign(t: pa.Table) -> pa.Table:
         if not len(t):
@@ -942,7 +951,13 @@ def q_doc_rank(sf_dir: str):
                     "doc_rank": pa.array([], pa.int64()),
                 }
             )
-        off = ray.get(off_ref)[t.column("doc_id")[0].as_py()]
+        path = t.column("path")[0].as_py()
+        off, n_file = ray.get(meta_ref)[path]
+        if len(t) != n_file:
+            raise RuntimeError(
+                f"doc_rank: file {path} arrived as a {len(t)}-row batch, "
+                f"footer says {n_file} — one-block-per-file contract broken"
+            )
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -951,7 +966,10 @@ def q_doc_rank(sf_dir: str):
             }
         )
 
-    return sorted_ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    ds = ray.data.read_parquet(
+        files, include_paths=True, override_num_blocks=len(files)
+    )
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
 def doc_rank_oracle_sql() -> str:

@@ -174,6 +174,30 @@ class TableMetadataStore(MetadataStore):
     def reload(self) -> None:
         self._load()
 
+    def reload_diff(self) -> tuple[dict, dict]:
+        """Reload and return the per-key snapshot diff — the batch analog of
+        the watch threads' per-event granularity
+        (kubernetes_metadata_watch_pods.rb:160-204: MODIFIED updates ONE
+        cache entry, DELETED removes one).  Returns
+        ``(pod_diff, ns_diff)`` where each maps a store key to
+        ``(old_meta | None, new_meta | None)`` — (old, new) for modified,
+        (None, new) for added, (old, None) for deleted keys.  The caller
+        applies targeted cache upserts instead of a full flush."""
+        old_pods, old_nss = self._pods, self._namespaces
+        self._load()
+
+        def diff(old: dict, new: dict) -> dict:
+            d = {}
+            for k, v in new.items():
+                ov = old.get(k)
+                if ov != v:
+                    d[k] = (ov, v)
+            for k in old.keys() - new.keys():
+                d[k] = (old[k], None)
+            return d
+
+        return diff(old_pods, self._pods), diff(old_nss, self._namespaces)
+
     def get_pod(self, namespace: str, pod: str) -> dict | None:
         return self._pods.get((namespace, pod))
 

@@ -100,10 +100,22 @@ class Enricher:
 
     def _maybe_refresh_snapshot(self) -> None:
         """Between-batch snapshot refresh (watch-MODIFIED analog, SURVEY.md
-        §2.8 W1/W2): if the snapshot files changed on disk, reload and drop
-        all caches — conservative-correct invalidation for a batch engine
-        (the reference updates entries incrementally; dropping the caches
-        reaches the same fixed point against the authoritative store)."""
+        §2.8 W1/W2): if the snapshot files changed on disk, reload and apply
+        PER-KEY cache upserts from the snapshot diff — the reference watch
+        threads' granularity (watch_pods.rb:160-204: MODIFIED overwrites one
+        @cache[uid], DELETED removes one), so a long-running job with
+        frequent metadata churn keeps every untouched key's cache entry warm
+        (VERDICT r3 task 3) instead of re-warming all caches per poll.
+        Stores without ``reload_diff`` fall back to the conservative
+        reload-plus-flush.
+
+        Why upserts alone are sufficient: the id_cache holds only KEYS
+        (pod_id/namespace_id); the hit path re-resolves metadata through
+        pod_cache/ns_cache with a store fallback, so deleting a stale
+        entry (id changed / key gone) forces a refetch from the reloaded
+        authoritative store, and overwriting in place serves the new
+        metadata directly.  Negative conclusions never outlive a batch
+        (batch_miss_cache), so an ADDED key is observed at the next miss."""
         poll = self.cfg.snapshot_poll_s
         if poll is None or not hasattr(self.store, "changed"):
             return
@@ -111,12 +123,32 @@ class Enricher:
         if now - self._last_poll < poll:
             return
         self._last_poll = now
-        if self.store.changed():
+        if not self.store.changed():
+            return
+        if not hasattr(self.store, "reload_diff"):
             self.store.reload()
             self.id_cache.clear()
             self.pod_cache.clear()
             self.ns_cache.clear()
             self.stats.bump("snapshot_reloads")
+            return
+        pod_diff, ns_diff = self.store.reload_diff()
+        for _key, (old, new) in pod_diff.items():
+            old_id = old.get("pod_id") if old else None
+            new_id = new.get("pod_id") if new else None
+            if old_id is not None and old_id != new_id:
+                self.pod_cache.delete(old_id)  # deleted / recreated uid
+            if new_id is not None:
+                self.pod_cache[new_id] = new  # watch ADDED/MODIFIED upsert
+        for _key, (old, new) in ns_diff.items():
+            old_id = old.get("namespace_id") if old else None
+            new_id = new.get("namespace_id") if new else None
+            if old_id is not None and old_id != new_id:
+                self.ns_cache.delete(old_id)
+            if new_id is not None:
+                self.ns_cache[new_id] = new
+        self.stats.bump("snapshot_reloads")
+        self.stats.bump("snapshot_upserts", len(pod_diff) + len(ns_diff))
 
     # -- store probes with the reference's error degradation ---------------
 

@@ -56,6 +56,10 @@ class TTLLRUCache:
             return fallback()
         return value
 
+    def delete(self, key) -> None:
+        """Targeted invalidation (watch-DELETED analog); absent keys no-op."""
+        self._d.pop(key, None)
+
     def __len__(self) -> int:
         now = self.clock()
         return sum(1 for expiry, _ in self._d.values() if expiry > now)

@@ -109,3 +109,87 @@ def test_midrun_snapshot_refresh_one_flowing_pipeline(ray_session, tmp_path):
     assert set(ips.index) == {"10.0.0.0", new_ip}
     assert ips["10.0.0.0"] == swap_after * n_per
     assert ips[new_ip] == (n_shards - swap_after) * n_per
+
+
+def test_incremental_upsert_preserves_untouched_cache_entries(tmp_path):
+    """VERDICT r3 task 3: a snapshot change to ONE pod must re-resolve only
+    that key; every other key's pod/ns cache entry survives (zero store
+    probes on the id-cache-hit path), unlike the old reload-plus-flush-all.
+    No Ray involved — the Enricher is a plain callable."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources import metadata_store as ms
+
+    snap = str(tmp_path / "snap-upsert")
+    os.makedirs(snap)
+    pq.write_table(dg.build_pods_table(), f"{snap}/pods.parquet")
+    pq.write_table(dg.build_namespaces_table(), f"{snap}/namespaces.parquet")
+
+    class CountingStore(ms.TableMetadataStore):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.pod_probes = 0
+            self.ns_probes = 0
+
+        def get_pod(self, namespace, pod):
+            self.pod_probes += 1
+            return super().get_pod(namespace, pod)
+
+        def get_namespace(self, namespace):
+            self.ns_probes += 1
+            return super().get_namespace(namespace)
+
+    def _bump_mtime(p):
+        st = os.stat(p)
+        os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 2_000_000_000))
+
+    cfg = PipelineConfig(snapshot_poll_s=0.0)
+    store = CountingStore(snap, cfg)
+    e = en.Enricher(cfg, store=store)
+
+    # warm two keys (separate pods + namespaces)
+    le0, _, _ = e.get_pod_metadata_pair("k0", "ns-0", "pod-0", {})
+    le1, _, _ = e.get_pod_metadata_pair("k1", "ns-1", "pod-1", {})
+    assert le0["pod_ip"] == "10.0.0.0"
+    old_ns1_id = le1["namespace_id"]
+
+    # --- snapshot v2: pod-0's IP changes (watch-MODIFIED analog) ---------
+    rows = dg.build_pods_table().to_pylist()
+    for r in rows:
+        if r["namespace_name"] == "ns-0" and r["pod_name"] == "pod-0":
+            r["pod_ip"] = "9.9.9.9"
+    p = f"{snap}/pods.parquet"
+    pq.write_table(pa.Table.from_pylist(rows, schema=dg.build_pods_table().schema), p)
+    _bump_mtime(p)
+
+    probes = (store.pod_probes, store.ns_probes)
+    e._maybe_refresh_snapshot()
+    assert e.stats.counters.get("snapshot_reloads") == 1
+    assert e.stats.counters.get("snapshot_upserts") == 1  # exactly one key
+
+    le0b, _, _ = e.get_pod_metadata_pair("k0", "ns-0", "pod-0", {})
+    le1b, _, _ = e.get_pod_metadata_pair("k1", "ns-1", "pod-1", {})
+    # BOTH keys served without a single new store probe: the changed key
+    # was upserted in place, the untouched key's entries survived
+    assert (store.pod_probes, store.ns_probes) == probes
+    assert le0b["pod_ip"] == "9.9.9.9"  # changed key re-resolved
+    assert le1b == le1                   # untouched key identical
+
+    # --- snapshot v3: ns-1 RECREATED (new uid) → targeted refetch --------
+    nrows = dg.build_namespaces_table().to_pylist()
+    for r in nrows:
+        if r["name"] == "ns-1":
+            r["uid"] = "f" * 32
+    np_ = f"{snap}/namespaces.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(nrows, schema=dg.build_namespaces_table().schema), np_
+    )
+    _bump_mtime(np_)
+
+    e._maybe_refresh_snapshot()
+    probes = (store.pod_probes, store.ns_probes)
+    le0c, _, _ = e.get_pod_metadata_pair("k0", "ns-0", "pod-0", {})
+    assert (store.pod_probes, store.ns_probes) == probes  # ns-0 untouched
+    le1c, _, _ = e.get_pod_metadata_pair("k1", "ns-1", "pod-1", {})
+    # recreated namespace: old id invalidated → exactly one ns refetch
+    assert store.ns_probes == probes[1] + 1
+    assert store.pod_probes == probes[0]
+    assert le1c["namespace_id"] == "f" * 32 != old_ns1_id
