@@ -95,10 +95,33 @@ def run_bench() -> dict:
             _fq[_name]("/root/testdata/sf0.001").count()
 
     queries: dict[str, float] = {}
+    trials_out: dict[str, list] = {}
     shuffle_bytes: dict[str, int] = {}
     mode = os.environ.get("KMETA_BENCH_ONLY", "full")  # full | e2e | compute
     e2e_only = mode in ("e2e", "compute")
     n_rows = None
+
+    # VERDICT r3 task 8: this host's hypervisor steal makes single walls
+    # swing up to 7× — every light entry runs KMETA_BENCH_TRIALS times and
+    # reports the MEDIAN (raw walls kept in "trials" so entry-level
+    # regressions are self-explaining); heavy entries (>15 s) run once.
+    n_trials = int(os.environ.get("KMETA_BENCH_TRIALS", "3"))
+
+    def timed(name: str, fn, trials: int = 0, shuffle: bool = False):
+        walls = []
+        for i in range(trials or n_trials):
+            t0 = time.perf_counter()
+            r = fn()
+            walls.append(time.perf_counter() - t0)
+            if shuffle and i == 0:
+                shuffle_bytes[name] = _shuffle_bytes(r.stats())
+            del r
+        walls.sort()
+        trials_out[name] = [round(w, 3) for w in walls]
+        # lower median: hypervisor-steal noise is strictly one-sided (it only
+        # ADDS wall time), so for even n the lower middle is the better
+        # capability estimate
+        queries[name] = walls[(len(walls) - 1) // 2]
 
     if mode == "compute":
         # scaling-evidence job: parse → enrich → per-sink counts, NO sink
@@ -125,35 +148,33 @@ def run_bench() -> dict:
 
     if not e2e_only:
         # q1: parse-only throughput (count consumes the stream distributed)
-        t0 = time.perf_counter()
         from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
         from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
 
-        n_rows = parse_stage(flagship.read_transcripts(SF_DIR, rep=REP), DEFAULT_CONFIG).count()
-        queries["parse_only"] = time.perf_counter() - t0
+        n_rows = parse_stage(
+            flagship.read_transcripts(SF_DIR, rep=REP), DEFAULT_CONFIG
+        ).count()  # row count once, untimed
+        timed("parse_only", lambda: parse_stage(
+            flagship.read_transcripts(SF_DIR, rep=REP), DEFAULT_CONFIG).count())
 
         # q2: parse+enrich
-        t0 = time.perf_counter()
-        flagship.build_enriched(SF_DIR, rep=REP).count()
-        queries["parse_enrich"] = time.perf_counter() - t0
+        timed("parse_enrich", lambda: flagship.build_enriched(SF_DIR, rep=REP).count())
 
         # record scrubbing over the replicated transcripts (RE2 mask pass)
         from fluent_plugin_kubernetes_metadata_filter_ray.stages.redact import (
             redact_stage,
         )
 
-        t0 = time.perf_counter()
-        redact_stage(flagship.read_transcripts(SF_DIR, rep=REP)).count()
-        queries["redact_only"] = time.perf_counter() - t0
+        timed("redact_only",
+              lambda: redact_stage(flagship.read_transcripts(SF_DIR, rep=REP)).count())
 
         # windowed sessionization over the replicated transcripts
         from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
             conv_sessions,
         )
 
-        t0 = time.perf_counter()
-        conv_sessions(flagship.read_transcripts(SF_DIR, rep=REP)).count()
-        queries["conv_sessions"] = time.perf_counter() - t0
+        timed("conv_sessions",
+              lambda: conv_sessions(flagship.read_transcripts(SF_DIR, rep=REP)).count())
 
         # template mining over the replicated transcripts (full-corpus RE2
         # mask + the exact-distinct-conv double shuffle)
@@ -161,9 +182,8 @@ def run_bench() -> dict:
             log_templates,
         )
 
-        t0 = time.perf_counter()
-        log_templates(flagship.read_transcripts(SF_DIR, rep=REP)).count()
-        queries["log_templates"] = time.perf_counter() - t0
+        timed("log_templates",
+              lambda: log_templates(flagship.read_transcripts(SF_DIR, rep=REP)).count())
 
         # conv-window family at ≥100k conversations (VERDICT r2 task 1):
         # salt conv_id by turn_idx so the 1,500-user corpus becomes
@@ -203,9 +223,7 @@ def run_bench() -> dict:
             ("conv_concat_big", conv_concat),
             ("role_transitions_big", role_transitions),
         ):
-            t0 = time.perf_counter()
-            op(_salted()).count()
-            queries[name] = time.perf_counter() - t0
+            timed(name, lambda op=op: op(_salted()).count())
 
         # training-data ops over the sf documents/embeddings tables
         from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
@@ -213,9 +231,7 @@ def run_bench() -> dict:
         fq = registry.queries()
         for name in ("q_dedup_exact", "q_dedup_minhash", "q_ann_topk",
                      "q_ann_lsh", "q_embed_neardup_lsh"):
-            t0 = time.perf_counter()
-            fq[name](SF_DIR).count()
-            queries[name[2:]] = time.perf_counter() - t0
+            timed(name[2:], lambda name=name: fq[name](SF_DIR).count())
 
         # BIG derived corpus (replicated + permuted/rotated — scalegen.py):
         # the sf tables top out at 5k docs / 2k vectors, where these ops
@@ -228,13 +244,41 @@ def run_bench() -> dict:
         big_docs = int(os.environ.get("KMETA_BENCH_BIGDOCS", "20"))
         big_vecs = int(os.environ.get("KMETA_BENCH_BIGVECS", "64"))
         big = scalegen.big_sf_dir(SF_DIR, big_docs, big_vecs)
+        # heavy entries (>15 s single wall) run once; the rest get trials
+        heavy = {"q_dedup_minhash", "q_dedup_incremental_fuzzy"}
         for name in ("q_dedup_exact", "q_dedup_minhash", "q_dedup_incremental_fuzzy",
                      "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh", "q_doc_chunks"):
-            t0 = time.perf_counter()
-            m = fq[name](big).materialize()  # retains stats for byte accounting
-            queries[name[2:] + "_big"] = time.perf_counter() - t0
-            shuffle_bytes[name[2:] + "_big"] = _shuffle_bytes(m.stats())
-            del m
+            timed(name[2:] + "_big",
+                  lambda name=name: fq[name](big).materialize(),
+                  trials=1 if name in heavy else 0, shuffle=True)
+
+        # trained-IVF production path (VERDICT r3 task 5): spherical-k-means
+        # codebook over a driver-side 4096-vector sample, plus recall@k of
+        # both codebooks against the exact brute-force top-k ground truth
+        import pyarrow.parquet as _pq
+
+        from fluent_plugin_kubernetes_metadata_filter_ray.functions import (
+            simsearch as _ss,
+        )
+
+        emb_t = _pq.read_table(
+            f"{big}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).slice(0, 4096)
+        _, _m = _ss._matrix(emb_t)
+        _cb = _ss.train_centroids(_m)
+        timed("ann_ivf_trained_big",
+              lambda: _ss.q_ann_ivf(big, codebook=_cb).materialize(), shuffle=True)
+        exact = set(map(tuple,
+                        _ss.q_ann_topk(big).to_pandas()[["query_id", "vec_id"]].values))
+        ivf_tr = set(map(tuple,
+                         _ss.q_ann_ivf(big, codebook=_cb)
+                         .to_pandas()[["query_id", "vec_id"]].values))
+        ivf_df = set(map(tuple,
+                         _ss.q_ann_ivf(big).to_pandas()[["query_id", "vec_id"]].values))
+        recall = {
+            "ann_ivf_trained_big": round(len(ivf_tr & exact) / len(exact), 3),
+            "ann_ivf_default_big": round(len(ivf_df & exact) / len(exact), 3),
+        }
 
         # scale-path decontamination: force the hash semi-join (the shape
         # that replaces the corpus-growing broadcast past
@@ -242,36 +286,57 @@ def run_bench() -> dict:
         prior_max = os.environ.get("KMETA_DECON_BROADCAST_MAX")
         os.environ["KMETA_DECON_BROADCAST_MAX"] = "-1"
         try:
-            t0 = time.perf_counter()
-            m = fq["q_decontaminate"](big).materialize()
-            queries["decontaminate_semijoin_big"] = time.perf_counter() - t0
-            shuffle_bytes["decontaminate_semijoin_big"] = _shuffle_bytes(m.stats())
-            del m
+            timed("decontaminate_semijoin_big",
+                  lambda: fq["q_decontaminate"](big).materialize(),
+                  trials=1, shuffle=True)
         finally:  # restore, don't destroy, a user-set value
             if prior_max is None:
                 del os.environ["KMETA_DECON_BROADCAST_MAX"]
             else:
                 os.environ["KMETA_DECON_BROADCAST_MAX"] = prior_max
 
-    # q3 (headline): parse+enrich+route write+per-sink counts
+        # forced-join TF-IDF / LM scoring (VERDICT r3 task 1): the bounded-
+        # broadcast fallback's cost + shuffle bytes as tracked numbers
+        for env, qname, bname in (
+            ("KMETA_TFIDF_BROADCAST_MAX", "q_doc_tfidf", "doc_tfidf_semijoin_big"),
+            ("KMETA_LM_BROADCAST_MAX", "q_doc_lm_score", "lm_score_semijoin_big"),
+        ):
+            prior = os.environ.get(env)
+            os.environ[env] = "-1"
+            try:
+                timed(bname, lambda qname=qname: fq[qname](big).materialize(),
+                      trials=1, shuffle=True)
+            finally:
+                if prior is None:
+                    del os.environ[env]
+                else:
+                    os.environ[env] = prior
+
+    # q3 (headline): parse+enrich+route write+per-sink counts (median of 2
+    # trials: each writes ~600 MB, so keep the disk churn bounded)
     out_dir = f"/tmp/kmeta_bench_out/cpus{NUM_CPUS}"
     import shutil
 
-    shutil.rmtree(out_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    counts = flagship.run_flagship(SF_DIR, out_dir=out_dir, rep=REP).to_pandas()
-    headline = time.perf_counter() - t0
-    queries["flagship_e2e"] = headline
+    counts_box = []
+
+    def run_e2e():
+        shutil.rmtree(out_dir, ignore_errors=True)
+        counts_box.append(flagship.run_flagship(SF_DIR, out_dir=out_dir, rep=REP).to_pandas())
+
+    timed("flagship_e2e", run_e2e, trials=1 if e2e_only else 2)
+    headline = queries["flagship_e2e"]
+    counts = counts_box[-1]
     if n_rows is None:
         n_rows = int(counts["n_turns"].sum())
     assert int(counts["n_turns"].sum()) == n_rows
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "flagship parse→enrich→route e2e",
         "value": round(headline, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in queries.items()},
+        "trials": trials_out,
         "shuffle_bytes": shuffle_bytes,
         "sf": SF_DIR,
         "rep": REP,
@@ -279,6 +344,9 @@ def run_bench() -> dict:
         "turns_per_sec": round(n_rows / headline, 1),
         "num_cpus": NUM_CPUS,
     }
+    if not e2e_only:
+        out["recall_at_k"] = recall
+    return out
 
 
 def run_scaling() -> dict:

@@ -725,6 +725,30 @@ def cluster_assign(pairs, ids_ds):
             .repartition(nparts)  # launder empty-partition blocks pre-join
             .materialize()
         )
+        # pointer jumping (path halving): lbl ← label(lbl).  Each round the
+        # edge push moves a label ONE hop and this self-join DOUBLES every
+        # already-propagated path, so convergence takes O(log diameter)
+        # rounds instead of O(diameter) — a 200-link chain closes in ~8
+        # rounds (VERDICT r3 task 6; pinned by the chain property test).
+        lbl_as_node = labels.map_batches(
+            lambda t: pa.table({"jnode": t.column("node"), "jlbl": t.column("lbl")}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        labels = labels.join(
+            lbl_as_node, join_type="left_outer", num_partitions=nparts,
+            on=("lbl",), right_on=("jnode",),
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "lbl": pc.min_element_wise(
+                        pc.coalesce(t.column("jlbl"), t.column("lbl")),
+                        t.column("lbl"),
+                    ),
+                }
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).repartition(nparts).materialize()
         cur_sum = labels.sum("lbl") or 0
         if cur_sum == prev_sum:
             break

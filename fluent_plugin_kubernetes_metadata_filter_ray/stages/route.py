@@ -133,6 +133,64 @@ def _route_write_into(enriched_ds, out_dir: str):
     return out_dir
 
 
+# Per-role filtered passes are linear in DISTINCT roles (fine for the
+# reference's 4-ish routing keys, quadratic-ish if a deployment routes by a
+# high-cardinality key).  Past this threshold the sink switches to ONE
+# hash-bucketed pass (VERDICT r3 task 7).
+JSONL_FANOUT_MAX_ROLES = 64
+JSONL_N_BUCKETS = 64
+_BUCKETED_MARKER = "_KMETA_BUCKETED_ROLES"
+
+
+def _role_bucket(role) -> int:
+    """Stable role → bucket id (md5, not Python hash(): deterministic
+    across processes/runs so a role's rows always land in one dir)."""
+    import hashlib
+
+    if role is None or not isinstance(role, str):  # null / NaN → bucket 0
+        return 0
+    return int.from_bytes(
+        hashlib.md5(role.encode("utf-8")).digest()[:4], "big"
+    ) % JSONL_N_BUCKETS
+
+
+def _write_bucketed_jsonl(ds, out_dir: str) -> str:
+    """Single-pass fan-out for high-cardinality role sets: each batch
+    groups its rows by role-hash bucket and appends one uniquely-named
+    JSONL part per bucket (role stays IN-FILE — lossless, no dir
+    encoding).  One role's rows all live under one ``bucket-NNN/`` dir, so
+    reading a single sink is that dir + an in-file role filter; total
+    passes over the data: exactly one, independent of role count."""
+    import uuid
+
+    import pyarrow as pa
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        buckets = df["role"].map(_role_bucket)
+        out_rows = []
+        for b, sub in df.groupby(buckets, sort=False):
+            d = os.path.join(out_dir, f"bucket-{int(b):03d}")
+            os.makedirs(d, exist_ok=True)
+            p = os.path.join(d, f"part-{uuid.uuid4().hex}.json")
+            # same serialization Ray's write_json uses (pandas to_json,
+            # records/lines) so both sink layouts round-trip identically
+            sub.to_json(p, orient="records", lines=True)
+            out_rows.append((int(b), len(sub)))
+        bs, ns = zip(*out_rows)
+        return pa.table({"bucket": pa.array(bs, pa.int32()),
+                         "n": pa.array(ns, pa.int64())})
+
+    # consuming the tiny (bucket, n) summary drives the single pass
+    ds.map_batches(write_batch, batch_format="pyarrow", zero_copy_batch=True).count()
+    with open(os.path.join(out_dir, _BUCKETED_MARKER), "w"):
+        pass
+    return out_dir
+
+
 def route_write_jsonl(enriched_ds, out_dir: str):
     """JSONL sink twin of :func:`route_write` — the reference's fan-out
     targets arbitrary fluentd outputs (files, forward, http), most of which
@@ -141,12 +199,15 @@ def route_write_jsonl(enriched_ds, out_dir: str):
     object per line) and the same clear-before-write idempotence contract
     the checkpoint layer relies on.
 
-    ``write_json`` has no partition_cols (Ray 2.49), so the fan-out is one
-    filtered pass per DISTINCT role (computed from the data, so unmapped
-    or NULL roles land in their own sink rather than silently vanishing)
-    over a MATERIALIZED decode — the upstream parse/enrich kernels run
-    once, not once per sink.  Dictionary-encoded enrich columns are
-    decoded first (JSON has no dictionary type)."""
+    ``write_json`` has no partition_cols (Ray 2.49), so the low-cardinality
+    fan-out is one filtered pass per DISTINCT role (computed from the data,
+    so unmapped or NULL roles land in their own sink rather than silently
+    vanishing) over a MATERIALIZED decode — the upstream parse/enrich
+    kernels run once, not once per sink.  Past JSONL_FANOUT_MAX_ROLES
+    distinct roles the sink switches to the hash-bucketed SINGLE pass
+    (``bucket-NNN/`` subdirs, role in-file) so pass count never scales with
+    role cardinality.  Dictionary-encoded enrich columns are decoded first
+    (JSON has no dictionary type)."""
     from .enrich import decode_stage
 
     if os.path.isdir(out_dir):
@@ -155,18 +216,30 @@ def route_write_jsonl(enriched_ds, out_dir: str):
     decoded = decode_stage(enriched_ds).materialize()
     # unique() returns None (not []) on an empty stream — verified 2.49
     roles = sorted(decoded.unique("role") or [], key=lambda v: (v is None, v))
+    if len(roles) > JSONL_FANOUT_MAX_ROLES:
+        return _write_bucketed_jsonl(decoded, out_dir)
     return _write_role_sinks(
         decoded, out_dir, roles, lambda ds, p: ds.write_json(p)
     )
 
 
 def read_jsonl_sink(out_dir: str, columns):
-    """Read-back of a JSONL sink (hive-partitioned role dirs): the role
+    """Read-back of a JSONL sink.  Hive layout (role=<enc> dirs): the role
     partition value is decoded back from its dir encoding (percent-decode;
-    the NULL sentinel → SQL null), so the round-trip is value-lossless."""
+    the NULL sentinel → SQL null).  Bucketed layout (marker file,
+    bucket-NNN dirs): the role column is in-file and already lossless."""
     import pyarrow as pa
     import ray.data
     from ray.data.datasource.partitioning import Partitioning
+
+    if os.path.exists(os.path.join(out_dir, _BUCKETED_MARKER)):
+        files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(out_dir)
+            for f in fs
+            if f.endswith(".json")
+        ]
+        return ray.data.read_json(files).select_columns(list(columns))
 
     ds = ray.data.read_json(out_dir, partitioning=Partitioning("hive"))
     ds = ds.select_columns(list(columns))

@@ -193,3 +193,34 @@ def test_cluster_label_propagation_deep_chain(ray_session, tmp_path):
     # every canonical is its component's minimum and is flagged kept
     kept = orig[orig["is_kept"] == 1]
     assert set(kept["doc_id"]) == set(orig["canonical_id"].unique())
+
+
+def test_cluster_assign_200_link_chain_converges(ray_session, caplog):
+    """VERDICT r3 task 6: a pathological 200-link chain (diameter ≫
+    CLUSTER_MAX_ITERS=30) must still converge — pointer jumping makes
+    rounds O(log diameter), so the run finishes WITHOUT the max-iters
+    warning and every node collapses to canonical 0."""
+    import logging
+
+    import pyarrow as pa
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+
+    n = 201  # chain 0-1-2-…-200
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(range(n - 1), pa.int64()),
+                "doc_b": pa.array(range(1, n), pa.int64()),
+            }
+        )
+    )
+    ids = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    with caplog.at_level(
+        logging.WARNING, logger="fluent_plugin_kubernetes_metadata_filter_ray.functions.dedup"
+    ):
+        out = dedup.cluster_assign(pairs, ids).to_pandas().sort_values("doc_id")
+    assert "CLUSTER_MAX_ITERS" not in caplog.text  # converged, no warning
+    assert (out["canonical_id"] == 0).all()
+    assert out["is_kept"].tolist() == [1] + [0] * (n - 1)

@@ -322,3 +322,56 @@ def test_parquet_fallback_roles_roundtrip(ray_session, tmp_path, monkeypatch):
     )
     assert got["text"].tolist() == ["a", "b", "c", "d", "e"]
     assert got["role"].where(got["role"].notna(), None).tolist() == roles
+
+
+def test_jsonl_bucketed_fanout_high_cardinality(ray_session, tmp_path):
+    """VERDICT r3 task 7: 1k distinct roles must NOT trigger 1k filtered
+    dataset passes — past JSONL_FANOUT_MAX_ROLES the sink writes ONE
+    hash-bucketed pass (bucket-NNN dirs, role in-file) and the round-trip
+    stays value-lossless, null and path-hostile roles included."""
+    import pyarrow as pa
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import route
+
+    n = 1000
+    roles = [f"sink-{i}" for i in range(n - 3)] + [None, "a/b", "%00"]
+    rows = pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array(range(n), pa.int32()),
+            "role": pa.array(roles, pa.string()),
+            "text": pa.array([f"t{i}" for i in range(n)], pa.string()),
+        }
+    )
+    out = str(tmp_path / "bucketed")
+    route.route_write_jsonl(ray.data.from_arrow(rows), out)
+
+    assert os.path.exists(os.path.join(out, route._BUCKETED_MARKER))
+    bdirs = [d for d in os.listdir(out) if d.startswith("bucket-")]
+    assert 0 < len(bdirs) <= route.JSONL_N_BUCKETS  # bucket dirs, not 1k role dirs
+
+    got = (
+        route.read_jsonl_sink(out, ["conv_id", "turn_idx", "role", "text"])
+        .to_pandas()
+        .sort_values("turn_idx")
+        .reset_index(drop=True)
+    )
+    assert len(got) == n  # nothing vanished
+    assert got["role"].where(got["role"].notna(), None).tolist() == roles  # lossless
+    assert got["text"].tolist() == [f"t{i}" for i in range(n)]
+
+    # one role's rows all live in ONE bucket dir (md5 is process-stable)
+    b = route._role_bucket("sink-7")
+    one = (
+        route.read_jsonl_sink(out, ["role", "text"])
+        .to_pandas()
+    )
+    import glob as _glob
+    in_bucket = set()
+    for f in _glob.glob(os.path.join(out, f"bucket-{b:03d}", "*.json")):
+        import json as _json
+        with open(f) as fh:
+            for line in fh:
+                in_bucket.add(_json.loads(line)["role"])
+    assert "sink-7" in in_bucket
