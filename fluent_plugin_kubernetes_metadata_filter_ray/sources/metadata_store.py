@@ -132,6 +132,18 @@ class MetadataStore:
         raise NotImplementedError
 
 
+class ResourceVersionGone(Exception):
+    """The 410 Gone analog (kubernetes_metadata_watch_pods.rb:133-134,
+    187-196): a consumer asked for the diff stream since a resourceVersion
+    the journal no longer retains — it must restart from a full LIST
+    (reload + cache flush) instead of replaying events."""
+
+
+# how many reload_diff generations the watch journal retains; a consumer
+# further behind than this gets ResourceVersionGone (the 410 ladder)
+WATCH_JOURNAL_RETAIN = 8
+
+
 class TableMetadataStore(MetadataStore):
     """Snapshot-backed store: loads + projects the two Parquet side tables
     once (S4-S7 in SURVEY.md §2.1; watch semantics become snapshot versions,
@@ -143,7 +155,14 @@ class TableMetadataStore(MetadataStore):
         self.snapshot_dir = snapshot_dir
         self.cfg = cfg
         self._version_override = version
+        # watch-journal twin of @last_seen_resource_version
+        # (watch_pods.rb:162-166): resource_version advances per observed
+        # snapshot generation; _journal retains the last
+        # WATCH_JOURNAL_RETAIN (base_rv, new_rv, pod_diff, ns_diff) entries
+        # so lagging consumers replay diffs instead of re-LISTing.
+        self._journal: list[tuple[int, int, dict, dict]] = []
         self._load()
+        self.resource_version = max(self._mtimes)
 
     def _paths(self):
         return (
@@ -184,7 +203,9 @@ class TableMetadataStore(MetadataStore):
         (None, new) for added, (old, None) for deleted keys.  The caller
         applies targeted cache upserts instead of a full flush."""
         old_pods, old_nss = self._pods, self._namespaces
+        base_rv = self.resource_version
         self._load()
+        self.resource_version = max(self._mtimes)
 
         def diff(old: dict, new: dict) -> dict:
             d = {}
@@ -196,7 +217,42 @@ class TableMetadataStore(MetadataStore):
                 d[k] = (old[k], None)
             return d
 
-        return diff(old_pods, self._pods), diff(old_nss, self._namespaces)
+        pod_diff = diff(old_pods, self._pods)
+        ns_diff = diff(old_nss, self._namespaces)
+        self._journal.append((base_rv, self.resource_version, pod_diff, ns_diff))
+        del self._journal[:-WATCH_JOURNAL_RETAIN]
+        return pod_diff, ns_diff
+
+    def events_since(self, rv: int) -> tuple[dict, dict, int]:
+        """Replay the retained diff journal from resourceVersion ``rv``:
+        returns (pod_diff, ns_diff, current_rv) with per-key diffs COALESCED
+        across generations (old side from the first entry touching a key,
+        new side from the last — exactly what a consumer that missed
+        intermediate events needs).  Raises :class:`ResourceVersionGone`
+        when ``rv`` predates the retained window — the 410 signal telling
+        the consumer to restart from a full LIST."""
+        if rv == self.resource_version:
+            return {}, {}, rv
+        pod_acc: dict = {}
+        ns_acc: dict = {}
+        found_base = False
+        for base_rv, new_rv, pod_diff, ns_diff in self._journal:
+            if not found_base:
+                if base_rv != rv:
+                    continue
+                found_base = True
+            for acc, d in ((pod_acc, pod_diff), (ns_acc, ns_diff)):
+                for k, (old, new) in d.items():
+                    acc[k] = (acc[k][0] if k in acc else old, new)
+        if not found_base:
+            raise ResourceVersionGone(
+                f"resourceVersion {rv} predates the retained journal "
+                f"(oldest base: {self._journal[0][0] if self._journal else None})"
+            )
+        # drop keys that round-tripped back to their original value
+        pod_acc = {k: v for k, v in pod_acc.items() if v[0] != v[1]}
+        ns_acc = {k: v for k, v in ns_acc.items() if v[0] != v[1]}
+        return pod_acc, ns_acc, self.resource_version
 
     def get_pod(self, namespace: str, pod: str) -> dict | None:
         return self._pods.get((namespace, pod))

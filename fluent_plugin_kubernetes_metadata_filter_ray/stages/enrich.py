@@ -88,6 +88,7 @@ class Enricher:
             import ray
             store = ray.get(store)
         self.store = store
+        self._last_seen_rv = getattr(store, "resource_version", None)
         self.has_store = cfg.kubernetes_url is not None and store is not None
         self.stats = Stats() if cfg.stats_enabled else NoOpStats()
         self.id_cache = TTLLRUCache(cfg.cache_size, cfg.cache_ttl, self.clock)
@@ -132,7 +133,24 @@ class Enricher:
             self.ns_cache.clear()
             self.stats.bump("snapshot_reloads")
             return
-        pod_diff, ns_diff = self.store.reload_diff()
+        self.store.reload_diff()  # advance the store + its watch journal
+        try:
+            # replay from OUR last seen resourceVersion — coalesced diffs if
+            # this consumer missed generations (@last_seen_resource_version
+            # twin, watch_pods.rb:162-166)
+            pod_diff, ns_diff, rv = self.store.events_since(self._last_seen_rv)
+        except ms.ResourceVersionGone:
+            # 410 Gone ladder (watch_pods.rb:133-134,187-196): the journal
+            # no longer reaches our version — restart from a full LIST
+            # (store is already reloaded; flush every cache)
+            self.id_cache.clear()
+            self.pod_cache.clear()
+            self.ns_cache.clear()
+            self._last_seen_rv = self.store.resource_version
+            self.stats.bump("watch_gone_restarts")
+            self.stats.bump("snapshot_reloads")
+            return
+        self._last_seen_rv = rv
         for _key, (old, new) in pod_diff.items():
             old_id = old.get("pod_id") if old else None
             new_id = new.get("pod_id") if new else None
