@@ -1,0 +1,141 @@
+"""Container-log *tail* source: the reference's actual input shape.
+
+fluentd's ``in_tail`` reads ``/var/log/containers/<pod>_<ns>_<container>-
+<dockerid>.log`` and derives the event TAG from the file path (slashes →
+dots) — the tag regex the filter parses (M1/U2) never arrives as a record
+field.  The docker json-file driver writes one JSON object per line:
+``{"log": ..., "stream": ..., "time": ...}``; fluentd pipelines commonly
+merge additional record keys (record_transformer), which is how the
+transcript fields (conv_id, turn_idx, role) ride along here.
+
+This source mirrors that exactly on Ray Data: ``read_json`` over the
+``.log`` files with ``include_paths=True``, the tag reconstructed from each
+row's file name — so the tag comes from WHERE the row was read, not from a
+column (unlike the parquet/JSONL/msgpack sources).  Everything downstream
+(parse → enrich → route) is identical.
+
+Reference: ``in_tail`` + ``filter_kubernetes_metadata.rb`` tag_to_kubernetes
+_name_regexp (filter_kubernetes_metadata.rb:131-151); the e2e fixture tags
+in test_filter_kubernetes_metadata.rb use the same path-derived spelling.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TAG_PREFIX = "var.log.containers."
+_PODS_TAG = None  # compiled lazily
+
+
+def _tag_to_relpath(tool: str) -> str | None:
+    """kube tag → tail file path (both reference grammars).  The tag is the
+    path with '/' → '.', so the containers grammar maps to ONE file under
+    var/log/containers/ and the pods grammar to the nested
+    var/log/pods/<ns>_<pod>_<uid>/<container>/<n>.log layout."""
+    import re
+
+    global _PODS_TAG
+    if not isinstance(tool, str):
+        return None
+    if tool.startswith(TAG_PREFIX) and tool.endswith(".log"):
+        return os.path.join("var/log/containers", tool[len(TAG_PREFIX):])
+    if _PODS_TAG is None:
+        _PODS_TAG = re.compile(r"^var\.log\.pods\.([^.]+)\.([^.]+)\.(\d+)\.log$")
+    m = _PODS_TAG.match(tool)
+    if m:
+        return os.path.join("var/log/pods", m.group(1), m.group(2), m.group(3) + ".log")
+    return None
+
+
+def write_container_logs(transcripts: pa.Table, out_dir: str) -> int:
+    """Test/bench helper (driver-side): lay a transcript table out as
+    docker-style container log files — one file per distinct tool tag at
+    the tag's path spelling (both grammars), one JSON object per line with
+    the docker keys (log/stream/time) plus the merged transcript record
+    keys.  Rows whose ``tool`` maps to no tail path are skipped (returned
+    count = rows written)."""
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = transcripts.to_pandas()
+    rel = df["tool"].astype(object).map(_tag_to_relpath)
+    df = df[rel.notna()]
+    n = 0
+    for tool, sub in df.groupby("tool", sort=False):
+        path = os.path.join(out_dir, _tag_to_relpath(tool))
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            for _, r in sub.iterrows():
+                rec = {
+                    "log": _none(r["text"]),
+                    "stream": "stdout",
+                    "time": None if _isna(r["ts"]) else r["ts"].isoformat() + "Z",
+                    "conv_id": _none(r["conv_id"]),
+                    "turn_idx": None if _isna(r["turn_idx"]) else int(r["turn_idx"]),
+                    "role": _none(r["role"]),
+                }
+                f.write(json.dumps(rec) + "\n")
+                n += 1
+    return n
+
+
+def _none(v):
+    import pandas as pd
+
+    return None if pd.isna(v) else v
+
+
+def _isna(v) -> bool:
+    import pandas as pd
+
+    return bool(pd.isna(v))
+
+
+def read_container_logs(log_dir: str):
+    """Tail-source reader: docker-format ``.log`` files → canonical
+    transcript schema, with the kube TAG reconstructed from each row's file
+    path (relative path, '/' → '.') — in_tail semantics, covering both the
+    containers and pods path grammars."""
+    import ray.data
+
+    from .. import datagen as dg
+
+    root = os.path.abspath(log_dir)
+    ds = ray.data.read_json(
+        log_dir, file_extensions=["log"], include_paths=True
+    )
+
+    def normalize(t: pa.Table) -> pa.Table:
+        paths = t.column("path").to_pylist()
+        tool = pa.array(
+            [
+                os.path.relpath(os.path.abspath(p), root).replace(os.sep, ".")
+                for p in paths
+            ],
+            pa.string(),
+        )
+        tm = t.column("time")
+        if pa.types.is_timestamp(tm.type):
+            ts = tm.cast(pa.timestamp("us"))
+        else:
+            # docker RFC3339 'Z' suffix: strip, then Arrow's native ISO cast
+            # (Arrow strptime lacks %f — a plain cast handles fractions)
+            ts = pc.replace_substring_regex(
+                tm.cast(pa.string()), "Z$", ""
+            ).cast(pa.timestamp("us"))
+        cols = {
+            "conv_id": t.column("conv_id").cast(pa.string()),
+            "turn_idx": t.column("turn_idx").cast(pa.int32()),
+            "role": t.column("role").cast(pa.string()),
+            "text": t.column("log").cast(pa.string()),
+            "tool": tool,
+            "ts": ts,
+        }
+        out = pa.table(cols)
+        assert out.schema.equals(dg.TRANSCRIPT_SCHEMA), out.schema
+        return out
+
+    return ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)

@@ -375,3 +375,50 @@ def test_jsonl_bucketed_fanout_high_cardinality(ray_session, tmp_path):
             for line in fh:
                 in_bucket.add(_json.loads(line)["role"])
     assert "sink-7" in in_bucket
+
+
+def test_rawlog_tail_source_matches_parquet_path(ray_session, sf_dir, tmp_path):
+    """The in_tail twin: docker-format container-log files with the kube tag
+    derived from the FILE PATH (not a column) must flow through parse →
+    enrich identically to the same rows read from parquet."""
+    import pyarrow.parquet as pq_
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.rawlog import (
+        _tag_to_relpath,
+        read_container_logs,
+        write_container_logs,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import enrich as en
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
+    tdir = dg.transcripts_path(sf_dir)
+    t = pq_.read_table(tdir).slice(0, 300)
+    # every derived-transcript tool is a tag; null text/role rows exercise
+    # the docker-line null spellings
+    logdir = str(tmp_path / "containers")
+    n = write_container_logs(t, logdir)
+    mask = [_tag_to_relpath(v) is not None for v in t.column("tool").to_pylist()]
+    assert n == sum(mask) and n >= 200  # ~10% of derived tools are hostile/non-tag
+    grams = {v.split(".")[2] for v, m in zip(t.column("tool").to_pylist(), mask) if m}
+    assert grams == {"containers", "pods"}  # both tail grammars exercised
+
+    def run(ds):
+        parsed = parse_stage(ds, DEFAULT_CONFIG)
+        out = en.decode_stage(
+            en.enrich_stage(parsed, DEFAULT_CONFIG, dg.metadata_snapshot_dir())
+        ).to_pandas()
+        key = ["conv_id", "turn_idx", "text"]
+        return (
+            out.sort_values(key, kind="mergesort", na_position="last")
+            .reset_index(drop=True)[sorted(out.columns)]
+        )
+
+    via_tail = run(read_container_logs(logdir))
+    via_parquet = run(ray.data.from_arrow(t.filter(pa.array(mask))))
+    assert len(via_tail) == n
+    pdt = via_tail.fillna("@").astype(str)
+    pdp = via_parquet.fillna("@").astype(str)
+    assert pdt.equals(pdp), (via_tail.head(), via_parquet.head())
