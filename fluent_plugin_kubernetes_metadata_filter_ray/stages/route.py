@@ -160,8 +160,16 @@ def _write_bucketed_jsonl(ds, out_dir: str) -> str:
     JSONL part per bucket (role stays IN-FILE — lossless, no dir
     encoding).  One role's rows all live under one ``bucket-NNN/`` dir, so
     reading a single sink is that dir + an in-file role filter; total
-    passes over the data: exactly one, independent of role count."""
-    import uuid
+    passes over the data: exactly one, independent of role count.
+
+    Part names are CONTENT-ADDRESSED (md5 of the serialized payload), so a
+    Ray task retry that re-writes its batch overwrites the same file
+    instead of duplicating rows — the idempotence Ray's own datasink commit
+    protocol provides, without needing one.  (Two distinct batches cannot
+    share a payload hash for transcript data: (conv_id, turn_idx) makes
+    rows unique.)  Writes land in a temp name + atomic rename so a
+    mid-write crash never leaves a torn part."""
+    import hashlib
 
     import pyarrow as pa
 
@@ -175,10 +183,15 @@ def _write_bucketed_jsonl(ds, out_dir: str) -> str:
         for b, sub in df.groupby(buckets, sort=False):
             d = os.path.join(out_dir, f"bucket-{int(b):03d}")
             os.makedirs(d, exist_ok=True)
-            p = os.path.join(d, f"part-{uuid.uuid4().hex}.json")
             # same serialization Ray's write_json uses (pandas to_json,
             # records/lines) so both sink layouts round-trip identically
-            sub.to_json(p, orient="records", lines=True)
+            payload = sub.to_json(orient="records", lines=True)
+            digest = hashlib.md5(payload.encode("utf-8")).hexdigest()
+            p = os.path.join(d, f"part-{digest}.json")
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, p)
             out_rows.append((int(b), len(sub)))
         bs, ns = zip(*out_rows)
         return pa.table({"bucket": pa.array(bs, pa.int32()),
