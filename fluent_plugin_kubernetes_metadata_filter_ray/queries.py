@@ -137,6 +137,18 @@ def _q_turn_late(sf_dir: str):
     return _la.turn_late(flagship.read_transcripts(sf_dir))
 
 
+def _q_transcripts_rawlog(sf_dir: str):
+    from .sources import rawlog
+
+    return rawlog.q_transcripts_rawlog(sf_dir)
+
+
+def _rawlog_oracle() -> str:
+    from .sources import rawlog
+
+    return rawlog.transcripts_rawlog_oracle_sql()
+
+
 # The driver's correctness run witnesses a WINDOW of the registry (r3: the
 # first 50 of 61 entries, registry order).  Keep the newest / least-witnessed
 # queries at the FRONT so every operator gets a driver-green CORRECTNESS row
@@ -144,6 +156,7 @@ def _q_turn_late(sf_dir: str):
 # tail.
 _DRIVER_PRIORITY = [
     # round-4 additions (never driver-witnessed)
+    "q_transcripts_rawlog",
     # round-3 additions that fell outside the r3 window
     "q_ann_range",
     "q_chunk_dedup",
@@ -188,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rate_anomaly": _q_rate_anomaly,
         "q_conv_cardinality": _q_conv_cardinality,
         "q_turn_late": _q_turn_late,
+        "q_transcripts_rawlog": _q_transcripts_rawlog,
     }
     from .functions import registry
     q.update(registry.queries())
@@ -217,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rate_anomaly": _la.rate_anomaly_oracle_sql(),
         "q_conv_cardinality": _la.conv_cardinality_oracle_sql(),
         "q_turn_late": _la.turn_late_oracle_sql(),
+        "q_transcripts_rawlog": _rawlog_oracle(),
     }
     from .functions import registry
     o.update(registry.oracle_sql())

@@ -27,24 +27,31 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 TAG_PREFIX = "var.log.containers."
-_PODS_TAG = None  # compiled lazily
+# Python and the SQL twin share these EXACT patterns (RE2 on both sides),
+# so which rows are tail-mappable is bit-identical in both engines.
+CONTAINERS_TAG_RE = r"^var\.log\.containers\.(.+\.log)$"
+PODS_TAG_RE = r"^var\.log\.pods\.([^.]+)\.([^.]+)\.([0-9]+)\.log$"
+_TAG_RES = None  # compiled lazily
 
 
-def _tag_to_relpath(tool: str) -> str | None:
+def _tag_to_relpath(tool) -> str | None:
     """kube tag → tail file path (both reference grammars).  The tag is the
     path with '/' → '.', so the containers grammar maps to ONE file under
     var/log/containers/ and the pods grammar to the nested
     var/log/pods/<ns>_<pod>_<uid>/<container>/<n>.log layout."""
     import re
 
-    global _PODS_TAG
+    global _TAG_RES
     if not isinstance(tool, str):
         return None
-    if tool.startswith(TAG_PREFIX) and tool.endswith(".log"):
-        return os.path.join("var/log/containers", tool[len(TAG_PREFIX):])
-    if _PODS_TAG is None:
-        _PODS_TAG = re.compile(r"^var\.log\.pods\.([^.]+)\.([^.]+)\.(\d+)\.log$")
-    m = _PODS_TAG.match(tool)
+    if "/" in tool or "\\" in tool:  # path-hostile tag: never a tail path
+        return None
+    if _TAG_RES is None:
+        _TAG_RES = (re.compile(CONTAINERS_TAG_RE), re.compile(PODS_TAG_RE))
+    m = _TAG_RES[0].match(tool)
+    if m:
+        return os.path.join("var/log/containers", m.group(1))
+    m = _TAG_RES[1].match(tool)
     if m:
         return os.path.join("var/log/pods", m.group(1), m.group(2), m.group(3) + ".log")
     return None
@@ -139,3 +146,36 @@ def read_container_logs(log_dir: str):
         return out
 
     return ds.map_batches(normalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_transcripts_rawlog(sf_dir: str):
+    """Driver-gated witness for the tail source: the derived transcript
+    table laid out as container-log files and read back through the
+    path-derived-tag reader must equal the transcripts rows whose tool is
+    tail-mappable (the oracle filters with the same RE2 patterns)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq_
+
+    from .. import datagen as dg
+
+    t = pq_.read_table(dg.transcripts_path(sf_dir))
+    out = "/tmp/kmeta_cache/rawlog_{}".format(
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    write_container_logs(t, out)
+    return read_container_logs(out)
+
+
+def transcripts_rawlog_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_t
+WHERE tool NOT LIKE '%/%' AND tool NOT LIKE '%\%'
+  AND (regexp_matches(tool, '{CONTAINERS_TAG_RE}')
+       OR regexp_matches(tool, '{PODS_TAG_RE}'))
+""".strip()

@@ -422,3 +422,36 @@ def test_rawlog_tail_source_matches_parquet_path(ray_session, sf_dir, tmp_path):
     pdt = via_tail.fillna("@").astype(str)
     pdp = via_parquet.fillna("@").astype(str)
     assert pdt.equals(pdp), (via_tail.head(), via_parquet.head())
+
+
+def test_rawlog_tag_mappability_python_sql_parity():
+    """Which tools are tail-mappable must agree bit-for-bit between
+    _tag_to_relpath (engine) and the oracle's WHERE clause — including
+    path-hostile tags with '/', backslash, and grammar near-misses."""
+    import duckdb
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources import rawlog
+
+    tools = [
+        "var.log.containers.pod-0_ns-5_app-" + "0" * 64 + ".log",
+        "var.log.pods.ns-4_pod-1_abc.app.0.log",
+        "var.log.containers.evil/../../etc/passwd.log",  # traversal
+        "var.log.containers.back\\slash.log",
+        "var.log.containers.log",          # empty name (grammar near-miss)
+        "var.log.pods.a.b.c.log",          # non-numeric index
+        "not.a.kube.tag",
+        "",
+        None,
+    ]
+    py = [rawlog._tag_to_relpath(t) is not None for t in tools]
+    where = rawlog.transcripts_rawlog_oracle_sql().split("WHERE", 1)[1]
+    con = duckdb.connect()
+    sql = [
+        bool(con.execute(f"SELECT ({where.replace('tool', '?::VARCHAR')})"
+                         .replace("?::VARCHAR", "$1::VARCHAR"), [t]).fetchone()[0] or False)
+        if t is not None else False
+        for t in tools
+    ]
+    assert py == sql, (py, sql)
+    # the traversal tag is rejected, not written outside the sink
+    assert rawlog._tag_to_relpath(tools[2]) is None
