@@ -107,9 +107,13 @@ def run_bench() -> dict:
     # regressions are self-explaining); heavy entries (>15 s) run once.
     n_trials = int(os.environ.get("KMETA_BENCH_TRIALS", "3"))
 
-    def timed(name: str, fn, trials: int = 0, shuffle: bool = False):
+    def timed(name: str, fn, trials: int = 0, shuffle: bool = False, pre=None):
         walls = []
         for i in range(trials or n_trials):
+            if pre is not None:
+                pre()  # per-trial setup (e.g. clearing the prior sink) stays
+                # OUTSIDE the measured wall — rmtree of a 600 MB dirty sink
+                # costs >1 s of writeback otherwise
             t0 = time.perf_counter()
             r = fn()
             walls.append(time.perf_counter() - t0)
@@ -319,11 +323,14 @@ def run_bench() -> dict:
 
     counts_box = []
 
-    def run_e2e():
+    def clear_sink():
         shutil.rmtree(out_dir, ignore_errors=True)
+        subprocess.run(["sync"], check=False)  # don't bill trial N for N-1's writeback
+
+    def run_e2e():
         counts_box.append(flagship.run_flagship(SF_DIR, out_dir=out_dir, rep=REP).to_pandas())
 
-    timed("flagship_e2e", run_e2e, trials=1 if e2e_only else 2)
+    timed("flagship_e2e", run_e2e, trials=1 if e2e_only else 2, pre=clear_sink)
     headline = queries["flagship_e2e"]
     counts = counts_box[-1]
     if n_rows is None:

@@ -107,3 +107,40 @@ def test_join_tier_blank_corpus(ray_session, tmp_path, monkeypatch, op):
         out = textstats.q_doc_lm_score(d).to_pandas().sort_values("doc_id")
         assert out["n_tokens"].tolist() == [0, 0, 0]
         assert not out["lm_keep"].any()
+
+
+@pytest.mark.parametrize("seed", [3, 41, 77])
+def test_tiers_agree_on_random_corpora(ray_session, tmp_path, monkeypatch, seed):
+    """Randomized corpora (unicode tokens, heavy duplication, blank/null
+    rows, multi-shard): broadcast tier and forced-join tier must be
+    bit-identical for BOTH ops — the cap must never change results."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import curation, textstats
+
+    rng = np.random.default_rng(seed)
+    vocab = ["the", "naïve", "Ω", "x1", "zz", "a-b", "répète", "q"]
+    texts = []
+    for _ in range(60):
+        k = rng.integers(0, 12)
+        texts.append(" ".join(rng.choice(vocab, k)) if k else rng.choice(["", "  ", None]))
+    d = str(tmp_path / f"rand-{seed}")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["w"] * 60, pa.string()),
+        }
+    )
+    # one file (the corpus readers take documents.parquet); multi-block
+    # comes from the reader's block splitting
+    pq.write_table(t, f"{d}/documents.parquet")
+
+    for q, env, keys in (
+        (curation.q_doc_tfidf, "KMETA_TFIDF_BROADCAST_MAX", ["doc_id", "rnk"]),
+        (textstats.q_doc_lm_score, "KMETA_LM_BROADCAST_MAX", ["doc_id"]),
+    ):
+        monkeypatch.delenv(env, raising=False)
+        bc = q(d).to_pandas()
+        monkeypatch.setenv(env, "0")
+        jn = q(d).to_pandas()
+        _cmp_exact(bc, jn, keys)
