@@ -230,6 +230,38 @@ def jpeg_payload(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof + b"\xff\xd9"
 
 
+_GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def parse_gif_header(b: bytes):
+    """(width, height, channels) from a GIF's logical screen descriptor,
+    or None if not GIF.  Dims are little-endian uint16 at offsets 6/8
+    (GIF89a spec §18); pixels index an RGB palette → 3 channels."""
+    if len(b) < 13 or b[:6] not in _GIF_SIGS:
+        return None
+    w = b[6] | (b[7] << 8)
+    h = b[8] | (b[9] << 8)
+    if w == 0 or h == 0:
+        return None
+    return w, h, 3
+
+
+def gif_payload(width: int, height: int) -> bytes:
+    """A real GIF89a container: signature + logical screen descriptor +
+    2-entry global color table + image descriptor + minimal LZW stream
+    (clear, end) + trailer.  Header-complete and marker-valid; the pixel
+    stream is intentionally empty (the header parsers never decode
+    pixels — same contract as jpeg_payload's missing scan data)."""
+    import struct
+
+    lsd = struct.pack("<HH", width, height) + b"\x80\x00\x00"  # GCT, 2 entries
+    gct = b"\x00\x00\x00\xff\xff\xff"
+    img = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    # LZW min code size 2; one sub-block holding CLEAR(4) then END(5)
+    lzw = b"\x02\x02\x44\x01\x00"
+    return _GIF_SIGS[1] + lsd + gct + img + lzw + b"\x3b"
+
+
 # dims derive from doc_id so the SQL twin can state the expectation
 def _dims_for(doc_id: int) -> tuple[int, int]:
     return 1 + doc_id % 64, 1 + (doc_id * 7) % 64
@@ -239,11 +271,12 @@ CORRUPT_MOD = 13  # doc_id % 13 == 0 → garbage payload (parser failure path)
 
 
 def media_bytes_from_documents(batch: pa.Table) -> pa.Table:
-    """documents → (doc_id, payload binary): REAL container bytes — even
-    doc_id PNG, odd JPEG, doc_id % CORRUPT_MOD == 0 garbage (the text's
-    utf8 bytes, which parse as neither)."""
+    """documents → (doc_id, payload binary): REAL container bytes —
+    doc_id % 3 picks PNG / JPEG / GIF; doc_id % CORRUPT_MOD == 0 garbage
+    (the text's utf8 bytes, which parse as none of the three)."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     text = batch.column("text").to_pylist()
+    makers = (png_payload, jpeg_payload, gif_payload)
     payloads = []
     for i, d in enumerate(ids):
         d = int(d)
@@ -251,7 +284,7 @@ def media_bytes_from_documents(batch: pa.Table) -> pa.Table:
             payloads.append((text[i] or "").encode())
         else:
             w, h = _dims_for(d)
-            payloads.append(png_payload(w, h) if d % 2 == 0 else jpeg_payload(w, h))
+            payloads.append(makers[d % 3](w, h))
     return pa.table(
         {"doc_id": batch.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
     )
@@ -271,13 +304,17 @@ class HeaderDecoder:
         ch = np.zeros(n, dtype=np.int64)
         bad = np.zeros(n, dtype=bool)
         for i, b in enumerate(pl):
-            parsed = None if b is None else parse_png_header(b)
-            if parsed is not None:
-                fmt[i] = "png"
-            else:
-                parsed = None if b is None else parse_jpeg_header(b)
-                if parsed is not None:
-                    fmt[i] = "jpeg"
+            parsed = None
+            if b is not None:
+                for name, parse in (
+                    ("png", parse_png_header),
+                    ("jpeg", parse_jpeg_header),
+                    ("gif", parse_gif_header),
+                ):
+                    parsed = parse(b)
+                    if parsed is not None:
+                        fmt[i] = name
+                        break
             if parsed is None:
                 fmt[i] = "raw"
                 bad[i] = True
@@ -314,7 +351,8 @@ def media_dims_oracle_sql() -> str:
     return f"""
 SELECT doc_id,
   CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN 'raw'
-       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       WHEN doc_id % 3 = 0 THEN 'png'
+       WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'gif' END AS fmt,
   CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN NULL
        ELSE (1 + doc_id % 64) END::BIGINT AS width,
   CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN NULL

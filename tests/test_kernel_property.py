@@ -272,19 +272,25 @@ def test_watermark_delay_matches_bruteforce(ts, late):
 @settings(max_examples=200, deadline=None)
 @given(data=st.data())
 def test_image_header_parsers_reject_truncation(data):
-    """Any PREFIX of a valid PNG/JPEG container either parses to the full
-    dims or returns None — truncation can never crash or mis-parse."""
+    """Any PREFIX of a valid PNG/JPEG/GIF container either parses to the
+    full dims or returns None — truncation can never crash or mis-parse."""
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import multimodal as mm
 
     w = data.draw(st.integers(1, 64))
     h = data.draw(st.integers(1, 64))
-    is_png = data.draw(st.booleans())
-    b = mm.png_payload(w, h) if is_png else mm.jpeg_payload(w, h)
+    fmts = {
+        "png": (mm.png_payload, mm.parse_png_header),
+        "jpeg": (mm.jpeg_payload, mm.parse_jpeg_header),
+        "gif": (mm.gif_payload, mm.parse_gif_header),
+    }
+    fmt = data.draw(st.sampled_from(sorted(fmts)))
+    make, parse = fmts[fmt]
+    b = make(w, h)
     cut = data.draw(st.integers(0, len(b)))
-    parse = mm.parse_png_header if is_png else mm.parse_jpeg_header
     got = parse(b[:cut])
     assert got in (None, (w, h, 3))
     assert parse(b) == (w, h, 3)  # the untruncated container always parses
-    # cross-parser rejection: a PNG is never JPEG and vice versa
-    other = mm.parse_jpeg_header if is_png else mm.parse_png_header
-    assert other(b) is None
+    # cross-parser rejection: each container parses as exactly one format
+    for other_fmt, (_, other_parse) in fmts.items():
+        if other_fmt != fmt:
+            assert other_parse(b) is None
