@@ -500,6 +500,11 @@ def q_doc_pack(sf_dir: str):
     thin = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
         _token_count_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+    # materialize pins batch tiling between the heads and assign passes
+    # (sample-based sort boundaries differ per execution — see q_doc_rank,
+    # which replaces this pin with a streaming parquet checkpoint; the same
+    # rewrite applies here if the 2-column payload's object-store residency
+    # ever matters before spill handles it)
     sorted_ds = _mask_null_key(thin, "source").sort(["source", "doc_id"]).materialize()
 
     def run_heads(t: pa.Table) -> pa.Table:
