@@ -124,20 +124,32 @@ def read_container_logs(log_dir: str):
             ],
             pa.string(),
         )
-        tm = t.column("time")
-        if pa.types.is_timestamp(tm.type):
-            ts = tm.cast(pa.timestamp("us"))
+
+        def col(name, typ):
+            """Bare docker lines carry only log/stream/time — any merged
+            record key (conv_id, turn_idx, role) is OPTIONAL and nulls
+            when absent, like a fluentd record with no such field."""
+            if name not in t.column_names:
+                return pa.nulls(len(t), typ)
+            return t.column(name).cast(typ)
+
+        if "time" not in t.column_names:
+            ts = pa.nulls(len(t), pa.timestamp("us"))
         else:
-            # docker RFC3339 'Z' suffix: strip, then Arrow's native ISO cast
-            # (Arrow strptime lacks %f — a plain cast handles fractions)
-            ts = pc.replace_substring_regex(
-                tm.cast(pa.string()), "Z$", ""
-            ).cast(pa.timestamp("us"))
+            tm = t.column("time")
+            if pa.types.is_timestamp(tm.type):
+                ts = tm.cast(pa.timestamp("us"))
+            else:
+                # docker RFC3339 'Z' suffix: strip, then Arrow's native ISO
+                # cast (Arrow strptime lacks %f — the cast handles fractions)
+                ts = pc.replace_substring_regex(
+                    tm.cast(pa.string()), "Z$", ""
+                ).cast(pa.timestamp("us"))
         cols = {
-            "conv_id": t.column("conv_id").cast(pa.string()),
-            "turn_idx": t.column("turn_idx").cast(pa.int32()),
-            "role": t.column("role").cast(pa.string()),
-            "text": t.column("log").cast(pa.string()),
+            "conv_id": col("conv_id", pa.string()),
+            "turn_idx": col("turn_idx", pa.int32()),
+            "role": col("role", pa.string()),
+            "text": col("log", pa.string()),
             "tool": tool,
             "ts": ts,
         }

@@ -455,3 +455,44 @@ def test_rawlog_tag_mappability_python_sql_parity():
     assert py == sql, (py, sql)
     # the traversal tag is rejected, not written outside the sink
     assert rawlog._tag_to_relpath(tools[2]) is None
+
+
+def test_rawlog_bare_docker_lines(ray_session, tmp_path):
+    """REAL docker logs carry only log/stream/time — the merged transcript
+    keys are optional.  Bare lines must flow through (tag from path, null
+    conv_id/turn_idx/role) and enrich off the path-derived tag; an empty
+    log file must not crash the read."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.config import DEFAULT_CONFIG
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.rawlog import read_container_logs
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages import enrich as en
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
+    d = str(tmp_path / "bare")
+    os.makedirs(d + "/var/log/containers", exist_ok=True)
+    tag_file = d + "/var/log/containers/pod-0_ns-0_app-" + "0" * 64 + ".log"
+    with open(tag_file, "w") as f:
+        f.write('{"log": "hello", "stream": "stdout", "time": "2024-01-01T00:00:00.5Z"}\n')
+        f.write('{"log": "no time here", "stream": "stderr"}\n')
+    open(d + "/var/log/containers/pod-1_ns-0_app-" + "1" * 64 + ".log", "w").close()
+
+    ds = read_container_logs(d)
+    out = ds.to_pandas().sort_values("text").reset_index(drop=True)
+    assert len(out) == 2
+    assert out["conv_id"].isna().all() and out["role"].isna().all()
+    assert out["text"].tolist() == ["hello", "no time here"]
+    assert out["ts"].notna().tolist() == [True, False]
+    assert (out["tool"].str.startswith("var.log.containers.pod-0_ns-0_app-")).all()
+
+    # the path-derived tag enriches like any other record
+    enriched = en.decode_stage(
+        en.enrich_stage(
+            parse_stage(read_container_logs(d), DEFAULT_CONFIG),
+            DEFAULT_CONFIG,
+            dg.metadata_snapshot_dir(),
+        )
+    ).to_pandas()
+    assert len(enriched) == 2
+    assert (enriched["k8s_pod_name"] == "pod-0").all()
