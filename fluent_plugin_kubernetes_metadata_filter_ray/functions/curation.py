@@ -483,29 +483,71 @@ def q_doc_pack(sf_dir: str):
     its first token falls in.
 
     Shape — the distributed prefix-sum / zipWithIndex pattern (same as
-    q_doc_rank): thin token counts → ``sort(source, doc_id)`` →
-    materialize (pins the block tiling for both passes) → pass 1 emits ONE
-    (source, first_doc, sum_tokens) row per source-RUN per block; the
-    driver prefix-sums that tiny table (≈ blocks + sources rows) in key
-    order and broadcasts run → base offset; pass 2 assigns base + the
-    exclusive cumsum inside the run.  The earlier
-    ``groupby(source).map_groups`` shape (kept below as
-    q_doc_pack_mapgroups for the property tests) required one SOURCE's
+    q_doc_rank): thin token counts → ``sort(source, doc_id)`` → STREAMING
+    parquet checkpoint (write-task filenames tile the sort order; the
+    object store never holds the full sorted table — see q_doc_rank for
+    why a lazy sort cannot be consumed twice and why materialize() was the
+    old, 2×-residency pin) → pass 1 reads the checkpoint one block per
+    file and emits ONE (source, first_doc, sum_tokens) row per source-RUN
+    per block; the driver prefix-sums that tiny table (≈ files + sources
+    rows) in key order and broadcasts (source, run-first-doc) → base
+    offset; pass 2 re-reads the same files (identical tiling by
+    construction, guarded) and assigns base + the exclusive cumsum inside
+    the run.  The earlier ``groupby(source).map_groups`` shape (kept below
+    as q_doc_pack_mapgroups for the property tests) required one SOURCE's
     whole doc list to fit a worker — with a handful of sources each group
     is corpus/|sources|, which cannot hold at 10^12 docs."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq_
     import ray
+    import ray.data
 
     from ..stages.aggregate import _mask_null_key, _unmask_col
 
     thin = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
         _token_count_batch, batch_format="pyarrow", zero_copy_batch=True
     )
-    # materialize pins batch tiling between the heads and assign passes
-    # (sample-based sort boundaries differ per execution — see q_doc_rank,
-    # which replaces this pin with a streaming parquet checkpoint; the same
-    # rewrite applies here if the 2-column payload's object-store residency
-    # ever matters before spill handles it)
-    sorted_ds = _mask_null_key(thin, "source").sort(["source", "doc_id"]).materialize()
+    ckpt = "/tmp/kmeta_cache/pack_sorted_{}".format(
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    os.makedirs(ckpt, exist_ok=True)
+    _mask_null_key(thin, "source").sort(["source", "doc_id"]).write_parquet(ckpt)
+    files = [
+        f
+        for f in sorted(glob.glob(f"{ckpt}/*.parquet"))
+        if pq_.ParquetFile(f).metadata.num_rows > 0
+    ]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+            "pack_offset": pa.array([], pa.int64()),
+            "pack_chunk": pa.array([], pa.int64()),
+        }
+    )
+    if not files:  # empty corpus → typed empty result
+        return ray.data.from_arrow(empty)
+    n_per_file = {f: pq_.ParquetFile(f).metadata.num_rows for f in files}
+
+    def read_ckpt():
+        return ray.data.read_parquet(
+            files, include_paths=True, override_num_blocks=len(files)
+        )
+
+    def _guard(t: pa.Table) -> None:
+        path = t.column("path")[0].as_py()
+        if len(t) != n_per_file[path]:
+            raise RuntimeError(
+                f"doc_pack: file {path} arrived as a {len(t)}-row batch, "
+                f"footer says {n_per_file[path]} — one-block-per-file "
+                "contract broken"
+            )
 
     def run_heads(t: pa.Table) -> pa.Table:
         if not len(t):
@@ -516,6 +558,7 @@ def q_doc_pack(sf_dir: str):
                     "sum_tokens": pa.array([], pa.int64()),
                 }
             )
+        _guard(t)
         src_heads, ids, ntk, starts, _ = _pack_runs(t)
         return pa.table(
             {
@@ -525,7 +568,7 @@ def q_doc_pack(sf_dir: str):
             }
         )
 
-    heads = sorted_ds.map_batches(
+    heads = read_ckpt().map_batches(
         run_heads, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
     offsets: dict = {}
@@ -539,15 +582,8 @@ def q_doc_pack(sf_dir: str):
 
     def assign(t: pa.Table) -> pa.Table:
         if not len(t):
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "source": pa.array([], pa.string()),
-                    "n_tokens": pa.array([], pa.int64()),
-                    "pack_offset": pa.array([], pa.int64()),
-                    "pack_chunk": pa.array([], pa.int64()),
-                }
-            )
+            return empty
+        _guard(t)
         off = ray.get(off_ref)
         src_heads, ids, ntk, starts, ends = _pack_runs(t)
         out = np.empty(len(t), dtype=np.int64)
@@ -564,7 +600,7 @@ def q_doc_pack(sf_dir: str):
             }
         )
 
-    return sorted_ds.map_batches(
+    return read_ckpt().map_batches(
         assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
 
