@@ -772,6 +772,48 @@ def turn_late(ds):
     )
 
 
+def turn_late_mapgroups(ds):
+    """Reference ``groupby(conv_id).map_groups`` implementation (see
+    conv_sessions_mapgroups) — kept as the semantic baseline the property
+    tests compare the sorted-block kernel against on randomized
+    multi-block layouts, including null ts/turn_idx rows."""
+    from .aggregate import _int_key, _mask_null_key, _unmask_null_key
+
+    need = ["conv_id", "turn_idx", "ts"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+
+    def per_conv(g: pa.Table) -> pa.Table:
+        ti, _ = _int_key(g.column("turn_idx"))
+        ts, v = _int_key(g.column("ts"))
+        order = np.lexsort((ts, ti))
+        ts_s, v_s = ts[order], v[order]
+        n = len(g)
+        delay = np.zeros(n, dtype=np.int64)
+        late = np.zeros(n, dtype=bool)
+        no_prev = np.int64(-(2**62))
+        if n > 1:
+            work = np.where(v_s, ts_s, no_prev)
+            cm = np.maximum.accumulate(work[:-1])
+            ok = v_s[1:] & (cm != no_prev)
+            lag = np.where(ok, cm - ts_s[1:], 0)
+            delay[1:] = np.maximum(0, lag)
+            late[1:] = lag > _LATE_US
+        take = pa.array(order)
+        return pa.table(
+            {
+                "conv_id": _unmask_null_key(g.column("conv_id")),
+                "turn_idx": g.column("turn_idx").take(take),
+                "ts": g.column("ts").take(take),
+                "delay_us": pa.array(delay, pa.int64()),
+                "is_late": pa.array(late),
+            }
+        )
+
+    ds = _mask_null_key(ds, "conv_id")
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pyarrow")
+
+
 def turn_late_oracle_sql() -> str:
     from .. import datagen as dg
 

@@ -71,6 +71,7 @@ PAIRS = [
     ("turn_rolling", ["conv_id", "turn_idx", "ts"]),
     ("conv_concat", ["conv_id"]),
     ("role_transitions", ["from_role", "to_role"]),
+    ("turn_late", ["conv_id", "turn_idx", "ts"]),
 ]
 
 
