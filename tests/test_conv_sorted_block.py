@@ -30,17 +30,23 @@ def _random_transcripts_dir(tmp_path, seed: int, n_rows: int, n_shards: int) -> 
 
     conv_id = rng.choice(len(convs), n_rows)
     # ts from a SMALL value set so (turn_idx, ts) ties are common; gaps of
-    # 0s / 1h / 7h exercise the 6h session boundary
+    # 0s / 1h / 7h exercise the 6h session boundary; ~12% null ts and ~8%
+    # null turn_idx exercise the NULLS-LAST / skip-null window semantics
+    # (ADVICE r3) in every kernel pair
     ts_off = rng.choice([0, 1, 3600, 3601, 7 * 3600, 14 * 3600], n_rows)
+    ts_mask = rng.random(n_rows) < 0.12
+    ti_mask = rng.random(n_rows) < 0.08
     t = pa.table(
         {
             "conv_id": pa.array([convs[i] for i in conv_id], pa.string()),
-            "turn_idx": pa.array(rng.integers(0, 4, n_rows), pa.int32()),
+            "turn_idx": pa.array(
+                rng.integers(0, 4, n_rows), mask=ti_mask
+            ).cast(pa.int32()),
             "role": pa.array([roles[i] for i in rng.choice(len(roles), n_rows)], pa.string()),
             "text": pa.array([texts[i] for i in rng.choice(len(texts), n_rows)], pa.string()),
-            "ts": pa.array(base + ts_off.astype(np.int64) * 1_000_000, pa.int64()).cast(
-                pa.timestamp("us")
-            ),
+            "ts": pa.array(
+                base + ts_off.astype(np.int64) * 1_000_000, mask=ts_mask
+            ).cast(pa.timestamp("us")),
         }
     )
     d = str(tmp_path / f"rt-{seed}")
