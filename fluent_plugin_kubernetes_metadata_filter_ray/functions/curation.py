@@ -1343,3 +1343,157 @@ SELECT chunk_hash, count(*)::BIGINT AS n_copies,
   (min(doc_id * {_PACK_MOD} + chunk_idx) % {_PACK_MOD})::BIGINT AS keeper_chunk_idx
 FROM chunks GROUP BY chunk_hash
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup with per-doc reconstruction (C4 / RefinedWeb style)
+
+
+_PARA_EMPTY = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "n_chunks": pa.array([], pa.int64()),
+        "n_kept": pa.array([], pa.int64()),
+        "clean_hash": pa.array([], pa.int64()),
+    }
+)
+
+
+def q_para_dedup(sf_dir: str):
+    """Remove globally-duplicated paragraphs from every document and emit a
+    per-doc reconstruction witness — the C4/RefinedWeb "deduplicate at the
+    paragraph level" curation pass (only the FIRST occurrence of a repeated
+    paragraph, in global (doc_id, chunk_idx) order, survives; boilerplate
+    headers / license blocks vanish from every later doc).
+
+    "Paragraph" = a content-defined chunk (T33's rolling-hash CDC split),
+    so the pass is robust to edits — the synthetic corpus has no newline
+    paragraphs, and CDC boundaries are the scale-honest generalisation.
+
+    Output: one row per doc that has ≥1 chunk —
+      (doc_id, n_chunks, n_kept, clean_hash) where clean_hash = w63 of the
+      kept chunks' hashes joined by ' ' in chunk order (the md5 witness of
+      the reconstructed document, same trick as conv_concat's doc_hash);
+      NULL when every chunk of the doc was seen earlier elsewhere.
+
+    Ray shape (10^12 docs): the corpus text never shuffles.  Thin
+    (doc_id, chunk_idx, chunk_hash, packed) rows → per-batch Min combiner →
+    ``groupby(chunk_hash)`` Min(packed) keeper table → hash join stamps the
+    keeper back onto the thin chunk rows (both sides sentinel-threaded for
+    the empty-corpus hash-shuffle race, dedup.py pattern) → ``sort(doc_id)``
+    + whole-block kernel reassembles per-doc summaries (the sorted-block
+    contract of stages/aggregate._sorted_by_conv: fixed-boundary range
+    partitioning never splits equal keys across blocks).  Two thin-row
+    shuffles total; per-chunk md5 is bounded by oracle parity exactly as in
+    q_doc_chunks."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .dedup import SENTINEL_ID, _join_partitions
+
+    def thin(batch: pa.Table) -> pa.Table:
+        ch = chunk_batch(batch)
+        ids = ch.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = ch.column("chunk_idx").to_numpy(zero_copy_only=False)
+        assert len(idx) == 0 or int(idx.max()) < _PACK_MOD  # packing bound
+        return pa.table(
+            {
+                "doc_id": ch.column("doc_id"),
+                "chunk_idx": ch.column("chunk_idx"),
+                "chunk_hash": ch.column("chunk_hash"),
+                "packed": pa.array(ids * _PACK_MOD + idx, pa.int64()),
+            }
+        )
+
+    chunks = cp.read_documents(sf_dir).map_batches(
+        thin, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def keeper_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["chunk_hash", "packed"]).group_by(["chunk_hash"]).aggregate(
+            [("packed", "min")]
+        )
+        return pa.table(
+            {"chunk_hash": g.column("chunk_hash"), "kp": g.column("packed_min")}
+        )
+
+    keeper = (
+        chunks.map_batches(keeper_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("chunk_hash")
+        .aggregate(Min("kp", alias_name="kp"))
+    ).union(rd.from_arrow(pa.table(
+        {"chunk_hash": pa.array([SENTINEL_ID], pa.int64()),
+         "kp": pa.array([0], pa.int64())}
+    )))
+
+    left = chunks.union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "chunk_idx": pa.array([0], pa.int64()),
+         "chunk_hash": pa.array([SENTINEL_ID], pa.int64()),
+         "packed": pa.array([0], pa.int64())}
+    )))
+    joined = left.join(
+        keeper, join_type="inner", num_partitions=_join_partitions(),
+        on=("chunk_hash",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _PARA_EMPTY
+        df = pd.DataFrame(
+            {
+                "doc": t.column("doc_id").to_numpy(zero_copy_only=False),
+                "idx": t.column("chunk_idx").to_numpy(zero_copy_only=False),
+                "hs": t.column("chunk_hash").to_numpy(zero_copy_only=False).astype(str),
+                "keep": (
+                    t.column("packed").to_numpy(zero_copy_only=False)
+                    == t.column("kp").to_numpy(zero_copy_only=False)
+                ),
+            }
+        )
+        df = df[df["doc"] != SENTINEL_ID]
+        if not len(df):
+            return _PARA_EMPTY
+        df = df.sort_values(["doc", "idx"], kind="stable")
+        g = df.groupby("doc", sort=True)
+        n_chunks = g.size()
+        n_kept = g["keep"].sum().astype(np.int64)
+        joined_hs = df[df["keep"]].groupby("doc", sort=True)["hs"].agg(" ".join)
+        clean = joined_hs.reindex(n_chunks.index)
+        return pa.table(
+            {
+                "doc_id": pa.array(n_chunks.index.to_numpy(dtype=np.int64)),
+                "n_chunks": pa.array(n_chunks.to_numpy(dtype=np.int64)),
+                "n_kept": pa.array(n_kept.to_numpy()),
+                "clean_hash": pa.array(
+                    [cp.w63(x) if isinstance(x, str) else None for x in clean],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return joined.sort("doc_id").map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def para_dedup_oracle_sql() -> str:
+    w63 = cp.SQL_W63.format(
+        s="string_agg(CASE WHEN keep THEN chunk_hash::VARCHAR END, ' ' ORDER BY chunk_idx)"
+    )
+    return f"""
+WITH chunks AS ({doc_chunks_oracle_sql()}),
+keeper AS (
+  SELECT chunk_hash, min(doc_id * {_PACK_MOD} + chunk_idx) AS kp
+  FROM chunks GROUP BY chunk_hash
+),
+fl AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk_hash,
+         (c.doc_id * {_PACK_MOD} + c.chunk_idx) = k.kp AS keep
+  FROM chunks c JOIN keeper k USING (chunk_hash)
+)
+SELECT doc_id, count(*)::BIGINT AS n_chunks,
+  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+  {w63} AS clean_hash
+FROM fl GROUP BY doc_id
+""".strip()

@@ -387,3 +387,54 @@ SELECT d.doc_id, d.source
 FROM documents d JOIN th ON th.source IS NOT DISTINCT FROM d.source
 WHERE ({w32} % {_MIX_RES})::HUGEINT < th.theta
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/valid/test split
+
+SPLIT_TRAIN_PCT = 90  # [0, 90) train
+SPLIT_VALID_PCT = 95  # [90, 95) valid, [95, 100) test
+
+
+def _split_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    bucket = np.fromiter(
+        (cp.w32(f"split:{i}") % 100 for i in ids), dtype=np.int64, count=len(ids)
+    )
+    split = np.where(
+        bucket < SPLIT_TRAIN_PCT, "train",
+        np.where(bucket < SPLIT_VALID_PCT, "valid", "test"),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "bucket": pa.array(bucket),
+            "split": pa.array(split, pa.string()),
+        }
+    )
+
+
+def q_doc_split(sf_dir: str):
+    """Deterministic train/valid/test assignment (90/5/5 by md5 bucket of
+    doc_id) — the reproducible holdout split every training pipeline
+    stamps before packing.  Hash-based, so membership is stable across
+    runs, engines and corpus growth (a re-crawl never flips an existing
+    doc between splits — unlike rank-quantile splits), and auditable in
+    SQL.  Stateless ``map_batches``: no shuffle at any scale; the
+    ``bucket`` column is emitted so downstream audits can re-check the
+    threshold arithmetic."""
+    return cp.read_documents(sf_dir, columns=("doc_id", "source")).map_batches(
+        _split_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_split_oracle_sql() -> str:
+    w32 = cp.SQL_W32.format(s="('split:' || doc_id)")
+    return f"""
+SELECT doc_id, source, ({w32} % 100)::BIGINT AS bucket,
+  CASE WHEN ({w32} % 100) < {SPLIT_TRAIN_PCT} THEN 'train'
+       WHEN ({w32} % 100) < {SPLIT_VALID_PCT} THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+""".strip()

@@ -697,3 +697,154 @@ SELECT
   (count(*)::BIGINT - count(DISTINCT md5(text))::BIGINT)::DOUBLE / count(*)::BIGINT AS dup_rate
 FROM st
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PMI bigram collocations
+
+
+PMI_TOPK = 20
+PMI_Q = 1e9  # floor(pmi·1e9) — same quantization contract as LM_Q
+
+_PMI_EMPTY = pa.table(
+    {
+        "bigram": pa.array([], pa.string()),
+        "n": pa.array([], pa.int64()),
+    }
+)
+
+
+def _bigram_freq_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch adjacent-bigram counts (explode + shifted join, C kernels);
+    ≤ distinct-bigrams-per-batch rows cross the wire."""
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.split().explode()
+    if not len(ex):
+        return _PMI_EMPTY
+    bi = (ex + " " + ex.groupby(level=0).shift(-1)).dropna()
+    if not len(bi):
+        return _PMI_EMPTY
+    vc = bi.value_counts()
+    return pa.table(
+        {
+            "bigram": pa.array(vc.index.to_numpy(dtype=object), pa.string()),
+            "n": pa.array(vc.to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def _pmi_topk_block(t: pa.Table) -> pa.Table:
+    """Per-block top-PMI_TOPK by (n DESC, bigram ASC) — any global winner is
+    its block's winner (pigeonhole), so the final one-block pass is exact."""
+    if len(t) == 0:
+        return _PMI_EMPTY
+    df = t.to_pandas().sort_values(
+        ["n", "bigram"], ascending=[False, True], kind="mergesort"
+    ).head(PMI_TOPK)
+    return pa.Table.from_pandas(df, preserve_index=False).cast(_PMI_EMPTY.schema)
+
+
+def q_token_pmi(sf_dir: str):
+    """Top-PMI_TOPK bigram collocations by corpus count, scored with
+    pointwise mutual information — the phrase-mining / tokenizer-merge
+    diagnostic (which adjacent pairs co-occur far above chance).
+
+    pmi = ln( (c_xy/N_bi) / ((c_x/N_uni)·(c_y/N_uni)) ), emitted quantized
+    as pmi_q = floor(pmi·1e9): every operation is a correctly-rounded IEEE
+    double op in the same order on both sides (libm ln, exact int→double
+    below 2^53), so the twin is bit-exact — the LM_Q contract.
+
+    Ray shape (web-scale vocab): bigram + unigram tables stay distributed
+    (combiner-pushed partials → groupby Sum); the top-k prune is a
+    per-block partial (any global winner is its block's winner) so only
+    ≤ PMI_TOPK rows per block reach the one-block final; the driver then
+    touches exactly PMI_TOPK bigrams + ≤ 2·PMI_TOPK unigram count rows and
+    two scalar totals — nothing corpus- or vocab-sized."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    docs = cp.read_documents(sf_dir)
+    bi_agg = (
+        docs.map_batches(_bigram_freq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # two consumers: total + top-k (vocab-sized, ≪ corpus)
+    )
+    uni_agg = (
+        docs.map_batches(token_freq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()  # two consumers: total + membership filter
+    )
+
+    empty = pd.DataFrame(
+        {
+            "bigram": pd.Series([], dtype=object),
+            "n_pair": pd.Series([], dtype=np.int64),
+            "n_left": pd.Series([], dtype=np.int64),
+            "n_right": pd.Series([], dtype=np.int64),
+            "pmi_q": pd.Series([], dtype=np.int64),
+        }
+    )
+    n_bi = int(bi_agg.sum("n") or 0)
+    n_uni = int(uni_agg.sum("n") or 0)
+    if n_bi == 0 or n_uni == 0:
+        return empty
+
+    top = (
+        bi_agg.map_batches(_pmi_topk_block, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(_pmi_topk_block, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    if not len(top) or "bigram" not in top.columns:  # empty-Dataset column guard
+        return empty
+
+    members = set()
+    for b in top["bigram"]:
+        left, right = b.split(" ", 1)
+        members.update((left, right))
+
+    def member_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.filter(pc_.is_in(t.column("token"), pa.array(sorted(members), pa.string())))
+
+    cnt = uni_agg.map_batches(
+        member_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cmap = dict(zip(cnt["token"], cnt["n"])) if len(cnt) else {}
+
+    rows = []
+    for b, c_xy in zip(top["bigram"], top["n"]):
+        left, right = b.split(" ", 1)
+        c_x, c_y = int(cmap[left]), int(cmap[right])
+        arg = (int(c_xy) / n_bi) / ((c_x / n_uni) * (c_y / n_uni))
+        rows.append((b, int(c_xy), c_x, c_y, math.floor(math.log(arg) * PMI_Q)))
+    return pd.DataFrame(
+        rows, columns=["bigram", "n_pair", "n_left", "n_right", "pmi_q"]
+    ).astype({"n_pair": np.int64, "n_left": np.int64, "n_right": np.int64, "pmi_q": np.int64})
+
+
+def token_pmi_oracle_sql() -> str:
+    toks = cp.SQL_TOKS.format(t="text")
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS toks FROM documents),
+tk AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM tok),
+uni AS (SELECT toks[i] AS token FROM tk),
+unic AS (SELECT token, count(*)::BIGINT AS n FROM uni GROUP BY token),
+bi AS (SELECT toks[i] || ' ' || toks[i + 1] AS bigram FROM tk WHERE i < len(toks)),
+bic AS (SELECT bigram, count(*)::BIGINT AS n FROM bi GROUP BY bigram),
+params AS (SELECT (SELECT sum(n) FROM unic)::BIGINT AS n_uni,
+                  (SELECT sum(n) FROM bic)::BIGINT AS n_bi),
+topk AS (SELECT bigram, n FROM bic ORDER BY n DESC, bigram LIMIT {PMI_TOPK})
+SELECT t.bigram, t.n AS n_pair, lx.n AS n_left, rx.n AS n_right,
+  floor(ln((t.n::DOUBLE / p.n_bi) /
+           ((lx.n::DOUBLE / p.n_uni) * (rx.n::DOUBLE / p.n_uni))) * {PMI_Q:.0f}e0
+  )::BIGINT AS pmi_q
+FROM topk t
+CROSS JOIN params p
+JOIN unic lx ON lx.token = split_part(t.bigram, ' ', 1)
+JOIN unic rx ON rx.token = split_part(t.bigram, ' ', 2)
+""".strip()

@@ -156,6 +156,9 @@ def _rawlog_oracle() -> str:
 # tail.
 _DRIVER_PRIORITY = [
     # round-4 additions (never driver-witnessed)
+    "q_para_dedup",
+    "q_doc_split",
+    "q_token_pmi",
     "q_transcripts_rawlog",
     # round-3 additions that fell outside the r3 window
     "q_ann_range",

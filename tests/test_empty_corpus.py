@@ -58,6 +58,9 @@ NEW_QUERIES = [
     "q_doc_tfidf",
     "q_token_heavy",
     "q_doc_lm_score",
+    "q_para_dedup",
+    "q_doc_split",
+    "q_token_pmi",
 ]
 
 

@@ -42,6 +42,9 @@ SORT_KEYS = {
     "q_doc_pack": ["doc_id"],
     "q_doc_tfidf": ["doc_id", "rnk"],
     "q_doc_rank": ["doc_rank"],
+    "q_para_dedup": ["doc_id"],
+    "q_doc_split": ["doc_id"],
+    "q_token_pmi": ["bigram"],
 }
 
 
@@ -50,7 +53,9 @@ def test_function_matches_oracle(ray_session, sf_dir, duck, qname):
     from fluent_plugin_kubernetes_metadata_filter_ray.functions import registry
 
     key = SORT_KEYS[qname]
-    a = registry.queries()[qname](sf_dir).to_pandas()
+    a = registry.queries()[qname](sf_dir)
+    if not isinstance(a, pd.DataFrame):  # Dataset / pyarrow.Table
+        a = a.to_pandas()
     a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
     b = duck.execute(registry.oracle_sql()[qname]).fetchdf()
     b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
@@ -274,3 +279,36 @@ def test_decontaminate_semijoin_matches_broadcast(ray_session, sf_dir, duck, mon
         assert (
             semijoin[c].fillna("@").astype(str) == oracle[c].fillna("@").astype(str)
         ).all(), c
+
+
+def test_para_dedup_removes_repeated_paragraphs(ray_session, tmp_path):
+    """A doc whose text is an exact copy of an earlier doc keeps ZERO
+    paragraphs (clean_hash NULL); the first occurrence keeps everything;
+    an unrelated doc is untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import curation
+
+    d = str(tmp_path)
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([text, text, "unrelated words only here"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([len(text), len(text), 25], pa.int64()),
+        }
+    )
+    pq.write_table(docs, f"{d}/documents.parquet")
+    out = (
+        curation.q_para_dedup(d)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_kept"] == out.loc[1, "n_chunks"]
+    assert out.loc[2, "n_kept"] == 0 and pd.isna(out.loc[2, "clean_hash"])
+    assert out.loc[3, "n_kept"] == out.loc[3, "n_chunks"]
+    assert out.loc[1, "n_chunks"] == out.loc[2, "n_chunks"]
