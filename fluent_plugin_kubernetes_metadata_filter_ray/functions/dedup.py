@@ -977,3 +977,132 @@ cand AS (
 SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= {cp.SIMHASH_HAMMING_THRESHOLD}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup (sketch-based membership)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 17  # filter bits: 16 KiB bitset broadcast once per worker
+BLOOM_K = 4        # hash functions (double hashing: p_i = h1 + i·h2 mod M)
+
+
+def _bloom_positions(h64: np.ndarray):
+    """(n,) uint64 text hashes → (n, BLOOM_K) int64 bit positions via double
+    hashing; h2 forced odd so the stride covers every residue mod the
+    power-of-two BLOOM_M.  Twin: same arithmetic in dedup_bloom_oracle_sql."""
+    m = np.uint64(BLOOM_M)
+    h1 = (h64 % m).astype(np.int64)
+    h2 = (((h64 // m) % m).astype(np.int64)) | 1
+    i = np.arange(BLOOM_K, dtype=np.int64)[None, :]
+    return (h1[:, None] + i * h2[:, None]) % BLOOM_M
+
+
+def _batch_w64(batch: pa.Table):
+    """(text column → uint64 md5-prefix hashes, null-text mask).  Per-doc
+    md5 is the oracle-parity cost every hash op here pays (q_doc_fingerprint
+    note); nulls map to 0 with the mask excluded by callers."""
+    texts = batch.column("text").to_pylist()
+    h = np.fromiter(
+        (0 if t is None else cp.w64(t) for t in texts), dtype=np.uint64, count=len(texts)
+    )
+    valid = np.fromiter((t is not None for t in texts), dtype=bool, count=len(texts))
+    return h, valid
+
+
+def q_dedup_bloom(sf_dir: str):
+    """Incremental dedup via a Bloom filter — the sketch that replaces the
+    exact reference-hash join when even the DISTINCT-hash table is too big
+    to shuffle per increment (crawl-N vs an all-prior-crawls filter).  A
+    new doc is flagged ``bloom_hit`` when ALL of its BLOOM_K bit positions
+    are set by the reference split; false positives are inherent to the
+    sketch (rate ≈ (1-e^{-kn/m})^k) and the oracle twin replicates the
+    exact same bit arithmetic, so the flag is deterministic and
+    SQL-checkable, not fuzzy.
+
+    Ray shape (10^12 docs): the reference split streams through a per-batch
+    DISTINCT-positions combiner (≤ BLOOM_K rows per doc, ≤ BLOOM_M per
+    batch) → ``groupby(pos)`` → a ≤BLOOM_M-row collect packed into a 16 KiB
+    bitset and ``ray.put`` ONCE — driver memory is bounded by the
+    configured filter size, never by corpus content (the capped-broadcast
+    contract).  The new split then streams one stateless probe
+    ``map_batches`` (task closure over the broadcast ref — no actor pool
+    needed for read-only state).  Neither corpus ever shuffles."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    def ref_pos_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % INCR_REF_MOD == 0))
+        h, valid = _batch_w64(sub)
+        if not valid.any():
+            return pa.table({"pos": pa.array([], pa.int64())})
+        pos = np.unique(_bloom_positions(h[valid]))
+        return pa.table({"pos": pa.array(pos, pa.int64())})
+
+    ds = cp.read_augmented(sf_dir)
+    pos_t = (
+        ds.map_batches(ref_pos_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pos")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    if len(pos_t) and "pos" in pos_t.columns:  # empty-Dataset column guard
+        bits[pos_t["pos"].to_numpy(dtype=np.int64)] = True
+    bits_ref = ray.put(bits)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)  # local-store hit after first task on a node
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % INCR_REF_MOD != 0))
+        h, valid = _batch_w64(sub)
+        hit = np.zeros(len(h), dtype=bool)
+        if valid.any():
+            hit[valid] = b[_bloom_positions(h[valid])].all(axis=1)
+        return pa.table(
+            {
+                "doc_id": sub.column("doc_id"),
+                "bloom_hit": pa.array(hit),
+            }
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_bloom_oracle_sql() -> str:
+    m = BLOOM_M
+    h = cp.SQL_W64.format(s="text")
+    pos = (
+        f"(((({h} % {m}::UBIGINT)::BIGINT) + "
+        f"i * (((({h} // {m}::UBIGINT) % {m}::UBIGINT)::BIGINT) | 1)) % {m})"
+    )
+    return f"""
+WITH {cp.AUG_DOCS_CTE},
+ks AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i),
+refpos AS (
+  SELECT DISTINCT {pos} AS pos
+  FROM docs_aug CROSS JOIN ks
+  WHERE doc_id % {INCR_REF_MOD} = 0 AND text IS NOT NULL
+),
+newdocs AS (
+  SELECT doc_id, text FROM docs_aug WHERE doc_id % {INCR_REF_MOD} != 0
+),
+newpos AS (
+  SELECT DISTINCT doc_id, {pos} AS pos
+  FROM newdocs CROSS JOIN ks
+  WHERE text IS NOT NULL
+),
+need AS (SELECT doc_id, count(*)::BIGINT AS n_need FROM newpos GROUP BY doc_id),
+hits AS (
+  SELECT p.doc_id, count(*)::BIGINT AS n_hit
+  FROM newpos p JOIN refpos r USING (pos) GROUP BY p.doc_id
+)
+SELECT n.doc_id,
+  CASE WHEN n.text IS NULL THEN FALSE
+       ELSE coalesce(h.n_hit, 0) = nd.n_need END AS bloom_hit
+FROM newdocs n
+LEFT JOIN need nd USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+""".strip()

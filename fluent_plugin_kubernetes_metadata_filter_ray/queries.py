@@ -159,6 +159,7 @@ _DRIVER_PRIORITY = [
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",
+    "q_dedup_bloom",
     "q_transcripts_rawlog",
     # round-3 additions that fell outside the r3 window
     "q_ann_range",

@@ -61,6 +61,7 @@ NEW_QUERIES = [
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",
+    "q_dedup_bloom",
 ]
 
 

@@ -45,6 +45,7 @@ SORT_KEYS = {
     "q_para_dedup": ["doc_id"],
     "q_doc_split": ["doc_id"],
     "q_token_pmi": ["bigram"],
+    "q_dedup_bloom": ["doc_id"],
 }
 
 
@@ -312,3 +313,20 @@ def test_para_dedup_removes_repeated_paragraphs(ray_session, tmp_path):
     assert out.loc[2, "n_kept"] == 0 and pd.isna(out.loc[2, "clean_hash"])
     assert out.loc[3, "n_kept"] == out.loc[3, "n_chunks"]
     assert out.loc[1, "n_chunks"] == out.loc[2, "n_chunks"]
+
+
+def test_bloom_never_misses_true_duplicates(ray_session, sf_dir, duck):
+    """Bloom membership has NO false negatives: every new-split doc whose
+    exact text hash exists in the reference split must be bloom_hit; the
+    false-positive rate of the 16 KiB filter stays small on this corpus."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup as dd
+
+    bloom = dd.q_dedup_bloom(sf_dir).to_pandas()
+    exact = duck.execute(dd.dedup_incremental_oracle_sql()).fetchdf()
+    merged = bloom.merge(exact[["doc_id", "is_novel"]], on="doc_id")
+    assert len(merged) == len(bloom)
+    true_dups = merged[~merged["is_novel"]]
+    assert len(true_dups) > 0  # augmented corpus plants cross-split copies
+    assert true_dups["bloom_hit"].all()
+    novel = merged[merged["is_novel"]]
+    assert novel["bloom_hit"].mean() < 0.05
