@@ -1147,3 +1147,199 @@ SELECT v AS vec_id, min(lbl) AS canonical_id,
   CAST(min(lbl) = v AS BIGINT) AS is_kept
 FROM reach GROUP BY v
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (Lloyd iterations over the embedding corpus)
+
+
+KM_K = 8        # clusters
+KM_UPDATES = 2  # centroid recomputations (then one final assignment pass)
+
+_KM_EMPTY_PARTIAL = pa.table(
+    {
+        "cluster": pa.array([], pa.int64()),
+        "dim": pa.array([], pa.int64()),
+        "qsum": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    }
+)
+
+_KM_EMPTY_ASSIGN = pa.table(
+    {
+        "vec_id": pa.array([], pa.int64()),
+        "cluster": pa.array([], pa.int64()),
+    }
+)
+
+
+def _km_assign(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Euclidean Lloyd assignment: argmin integer-quantized squared
+    distance — sum_d floor((x_d − c_d)²·1e9) — exact under any summation
+    order (every term is an integer-valued double far below 2^53, the
+    _qdots contract).  np.argmin takes the FIRST min, matching the
+    oracle's ORDER BY qd ASC, cluster ASC tie-break."""
+    n = m.shape[0]
+    out = np.empty((n, cents.shape[0]), dtype=np.int64)
+    tmp = np.empty_like(m)
+    for p in range(cents.shape[0]):
+        np.subtract(m, cents[p], out=tmp)
+        np.multiply(tmp, tmp, out=tmp)
+        tmp *= QUANT
+        np.floor(tmp, out=tmp)
+        out[:, p] = tmp.sum(axis=1)
+    return np.argmin(out, axis=1)
+
+
+def _km_dim(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    for b in f.iter_batches(batch_size=1, columns=["embedding"]):
+        if b.num_rows:
+            return len(b.column(0)[0])
+    return 0
+
+
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus — the iterative
+    clustering pass (data cartography, IVF codebook training's online twin)
+    that Ray Data has no native operator for.  KM_UPDATES centroid
+    recomputations from a deterministic md5-grid init, then a final
+    assignment; output is the corpus-wide (vec_id, cluster) table.
+
+    Exactness contract (the reason this is oracle-checkable at all): every
+    assignment is an argmin over integer-quantized squared distances
+    (exact under any summation order), and every centroid update is
+    (sum(floor(x·1e9))::DOUBLE / n) / 1e9 — int64 sums then two IEEE double
+    ops in the same order on both sides.  Empty clusters keep their
+    previous centroid (coalesce in the twin).
+
+    Ray shape (10^12 vectors): per iteration the corpus streams ONE
+    stateless ``map_batches`` emitting ≤ K·dim long-format partial rows per
+    batch (the embed_centroids combiner), a tiny ``groupby(cluster, dim)``
+    Sum, and a ≤K·dim driver collect; centroids (K×dim, a few KiB) are
+    ``ray.put`` broadcast per pass.  Vectors never shuffle; driver memory
+    is bounded by K·dim, never corpus size.  Iterations are sequential by
+    nature (Lloyd's data dependency), so the pipeline re-reads the corpus
+    KM_UPDATES+1 times — the standard k-means I/O shape."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    dim = _km_dim(sf_dir)
+    if dim == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_KM_EMPTY_ASSIGN)
+    cents = _md5_grid(KM_K, dim, "kmeans")
+    ds = cp.read_embeddings(sf_dir)
+
+    for _ in range(KM_UPDATES):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, cref=cref) -> pa.Table:
+            ids, m = _matrix(batch)
+            if not len(ids):
+                return _KM_EMPTY_PARTIAL
+            c = _deref(cref)
+            a = _km_assign(m, c)
+            k, d = c.shape
+            q = np.floor(m * CENTROID_Q)  # integer-valued doubles < 2^53
+            flat = (a[:, None] * d + np.arange(d)[None, :]).ravel()
+            qsum = np.bincount(flat, weights=q.ravel(), minlength=k * d)
+            n = np.bincount(a, minlength=k)
+            live = n > 0
+            cl = np.repeat(np.arange(k, dtype=np.int64)[live], d)
+            return pa.table(
+                {
+                    "cluster": pa.array(cl),
+                    "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), int(live.sum()))),
+                    "qsum": pa.array(qsum.reshape(k, d)[live].ravel().astype(np.int64)),
+                    "n": pa.array(np.repeat(n[live], d)),
+                }
+            )
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        new = cents.copy()
+        if len(agg) and "cluster" in agg.columns:  # empty-Dataset column guard
+            c_i = agg["cluster"].to_numpy(dtype=np.int64)
+            d_i = agg["dim"].to_numpy(dtype=np.int64) - 1
+            new[c_i, d_i] = (
+                agg["qsum"].to_numpy(dtype=np.float64) / agg["n"].to_numpy(dtype=np.float64)
+            ) / CENTROID_Q
+        cents = new
+
+    cref = ray.put(cents)
+
+    def assign(batch: pa.Table, cref=cref) -> pa.Table:
+        ids, m = _matrix(batch)
+        if not len(ids):
+            return _KM_EMPTY_ASSIGN
+        a = _km_assign(m, _deref(cref))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embed_kmeans_oracle_sql() -> str:
+    grid = _sql_grid_w("kmeans", row_expr="c0g.p")
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""
+{name} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY sum(CAST(floor(((e.x - c.c) * (e.x - c.c)) * 1e9) AS BIGINT)) ASC,
+                 c.cluster ASC
+      ) AS rn
+    FROM el e JOIN {cents} c ON c.dim = e.dim
+    GROUP BY e.vec_id, c.cluster
+  ) WHERE rn = 1
+)""".strip()
+
+    def update_cte(raw: str, prev: str, out: str, asg: str) -> str:
+        return f"""
+{raw} AS (
+  SELECT a.cluster, e.dim, sum(CAST(floor(e.x * 1e9) AS BIGINT)) AS qsum,
+         count(*)::BIGINT AS n
+  FROM el e JOIN {asg} a USING (vec_id)
+  GROUP BY a.cluster, e.dim
+),
+{out} AS (
+  SELECT p.cluster, p.dim,
+    coalesce((r.qsum::DOUBLE / r.n::DOUBLE) / 1e9, p.c) AS c
+  FROM {prev} p LEFT JOIN {raw} r USING (cluster, dim)
+)""".strip()
+
+    return f"""
+WITH dims AS (SELECT unnest(generate_series(1, (SELECT max(len(embedding))
+                                                FROM embeddings))) AS dim),
+el AS (
+  SELECT vec_id, d.dim::BIGINT AS dim, embedding[d.dim]::DOUBLE AS x
+  FROM embeddings CROSS JOIN dims d
+),
+c0 AS (
+  SELECT c0g.p::BIGINT AS cluster, i::BIGINT AS dim, {grid} AS c
+  FROM generate_series(0, {KM_K - 1}) c0g(p)
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(len(embedding))
+                                                FROM embeddings))) AS i)
+),
+{assign_cte("a0", "c0")},
+{update_cte("u1", "c0", "c1", "a0")},
+{assign_cte("a1", "c1")},
+{update_cte("u2", "c1", "c2", "a1")},
+{assign_cte("a2", "c2")}
+SELECT vec_id, cluster FROM a2
+""".strip()

@@ -160,6 +160,7 @@ _DRIVER_PRIORITY = [
     "q_doc_split",
     "q_token_pmi",
     "q_dedup_bloom",
+    "q_embed_kmeans",
     "q_transcripts_rawlog",
     # round-3 additions that fell outside the r3 window
     "q_ann_range",

@@ -62,6 +62,7 @@ NEW_QUERIES = [
     "q_doc_split",
     "q_token_pmi",
     "q_dedup_bloom",
+    "q_embed_kmeans",
 ]
 
 

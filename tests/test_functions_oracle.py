@@ -46,6 +46,7 @@ SORT_KEYS = {
     "q_doc_split": ["doc_id"],
     "q_token_pmi": ["bigram"],
     "q_dedup_bloom": ["doc_id"],
+    "q_embed_kmeans": ["vec_id"],
 }
 
 
@@ -330,3 +331,42 @@ def test_bloom_never_misses_true_duplicates(ray_session, sf_dir, duck):
     assert true_dups["bloom_hit"].all()
     novel = merged[merged["is_novel"]]
     assert novel["bloom_hit"].mean() < 0.05
+
+
+def test_kmeans_lloyd_monotone_and_deterministic(ray_session, sf_dir):
+    """Lloyd monotonicity: within-cluster sum of squares after the learned
+    updates is no worse than under the md5-grid init; the final assignment
+    is deterministic across runs and in range."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import simsearch as ss
+
+    a1 = ss.q_embed_kmeans(sf_dir).to_pandas().sort_values("vec_id")
+    a2 = ss.q_embed_kmeans(sf_dir).to_pandas().sort_values("vec_id")
+    pd.testing.assert_frame_equal(a1.reset_index(drop=True), a2.reset_index(drop=True))
+    assert a1["cluster"].between(0, ss.KM_K - 1).all()
+    assert a1["cluster"].nunique() >= 2  # the grid init never collapses here
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    _, m = ss._matrix(t)
+    init = ss._md5_grid(ss.KM_K, m.shape[1], "kmeans")
+
+    def wcss(c, a):
+        return float(((m - c[a]) ** 2).sum())
+
+    c = init.copy()
+    a0 = ss._km_assign(m, c)
+    w0 = wcss(c, a0)
+    for _ in range(ss.KM_UPDATES):  # reproduce the distributed updates
+        a = ss._km_assign(m, c)
+        q = np.floor(m * ss.CENTROID_Q)
+        for k in np.unique(a):
+            sel = q[a == k]
+            c[k] = (sel.sum(axis=0) / len(sel)) / ss.CENTROID_Q
+    af = ss._km_assign(m, c)
+    assert wcss(c, af) <= w0 * (1 + 1e-9)
+    # and the distributed pipeline produced exactly this assignment
+    got = dict(zip(a1["vec_id"], a1["cluster"]))
+    ids = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).column("vec_id").to_pylist()
+    assert all(got[i] == af[j] for j, i in enumerate(ids))
