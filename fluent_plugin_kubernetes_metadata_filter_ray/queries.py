@@ -143,6 +143,12 @@ def _q_transcripts_rawlog(sf_dir: str):
     return rawlog.q_transcripts_rawlog(sf_dir)
 
 
+def _q_transcripts_csv(sf_dir: str):
+    from .sources import csvsrc
+
+    return csvsrc.q_transcripts_csv(sf_dir)
+
+
 def _rawlog_oracle() -> str:
     from .sources import rawlog
 
@@ -161,6 +167,7 @@ _DRIVER_PRIORITY = [
     "q_token_pmi",
     "q_dedup_bloom",
     "q_embed_kmeans",
+    "q_transcripts_csv",
     "q_transcripts_rawlog",
     # round-3 additions that fell outside the r3 window
     "q_ann_range",
@@ -207,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conv_cardinality": _q_conv_cardinality,
         "q_turn_late": _q_turn_late,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
+        "q_transcripts_csv": _q_transcripts_csv,
     }
     from .functions import registry
     q.update(registry.queries())
@@ -237,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "q_conv_cardinality": _la.conv_cardinality_oracle_sql(),
         "q_turn_late": _la.turn_late_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
+        "q_transcripts_csv": dg.transcripts_sql(),
     }
     from .functions import registry
     o.update(registry.oracle_sql())

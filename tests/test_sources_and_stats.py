@@ -496,3 +496,84 @@ def test_rawlog_bare_docker_lines(ray_session, tmp_path):
     ).to_pandas()
     assert len(enriched) == 2
     assert (enriched["k8s_pod_name"] == "pod-0").all()
+
+
+def test_csv_source_matches_parquet_path(ray_session, sf_dir, tmp_path):
+    """CSV feed parity: transcript shards written as RFC-4180 CSV read back
+    bit-identical through the full parse→enrich path (same contract as the
+    JSONL/msgpack feeds)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.csvsrc import (
+        read_transcripts_csv,
+        write_transcripts_csv,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import (
+        decode_stage,
+        enrich_stage,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
+    tdir = dg.transcripts_path(sf_dir)
+    first = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))[0]
+    tbl = pq.read_table(os.path.join(tdir, first)).slice(0, 300)
+    cdir = str(tmp_path / "csv")
+    write_transcripts_csv(tbl, cdir, shard_rows=128)  # >1 shard
+    assert len(os.listdir(cdir)) >= 2
+
+    cfg = PipelineConfig()
+    store = dg.metadata_snapshot_dir()
+
+    def run(ds):
+        out = decode_stage(enrich_stage(parse_stage(ds, cfg), cfg, store))
+        return (
+            out.to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    via_csv = run(read_transcripts_csv(cdir))
+    via_parquet = run(ray.data.from_arrow(tbl))
+    assert via_csv.equals(via_parquet)
+    assert len(via_csv) == 300
+
+
+def test_csv_roundtrip_null_vs_empty_and_quoting(ray_session, tmp_path):
+    """The two classic CSV traps, pinned: null vs '' survive distinctly
+    (unquoted empty vs quoted \"\"), and embedded commas/quotes/newlines
+    round-trip via RFC-4180 quoting."""
+    import datetime as _dt
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.csvsrc import (
+        TRANSCRIPT_TYPES,
+        read_transcripts_csv,
+        write_transcripts_csv,
+    )
+
+    ts = _dt.datetime(2026, 1, 2, 3, 4, 5, 123456)
+    tbl = pa.table(
+        {
+            "conv_id": ["c1", "c2", "c3", "00042"],
+            "turn_idx": pa.array([0, 1, None, 3], pa.int32()),
+            "role": ["user", None, "", "assistant"],
+            "text": ['a,"b"\nc', "", None, "plain"],
+            "tool": [None, "", "x", None],
+            "ts": pa.array([ts, None, ts, ts], pa.timestamp("us")),
+        }
+    )
+    cdir = str(tmp_path / "csv_edge")
+    write_transcripts_csv(tbl, cdir)
+    back = (
+        read_transcripts_csv(cdir)
+        .to_pandas()
+        .sort_values("conv_id", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    exp = (
+        tbl.to_pandas().sort_values("conv_id", kind="mergesort").reset_index(drop=True)
+    )
+    assert back.equals(exp)
+    # the all-digit conv_id stayed a string (schema pin beats inference)
+    assert back["conv_id"].iloc[0] == "00042"
+    assert set(TRANSCRIPT_TYPES) == set(tbl.column_names)
