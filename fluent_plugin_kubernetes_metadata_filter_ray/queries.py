@@ -162,6 +162,7 @@ def _rawlog_oracle() -> str:
 # tail.
 _DRIVER_PRIORITY = [
     # round-4 additions (never driver-witnessed)
+    "q_token_postings",
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",

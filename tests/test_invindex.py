@@ -1,0 +1,132 @@
+"""Blocked inverted index (q_token_postings): oracle parity on hostile
+corpora, file-straddling block reassembly, empty corpus, and the
+boundary-table boundedness contract (driver state = O(files), not
+O(vocab))."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fluent_plugin_kubernetes_metadata_filter_ray.functions import invindex
+
+
+def _docs_dir(tmp_path, name, texts):
+    d = str(tmp_path / name)
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, len(texts) + 1), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "source": pa.array(["web"] * len(texts), pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+    return d
+
+
+def _oracle(d):
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{d}/documents.parquet')"
+    )
+    try:
+        return con.execute(invindex.token_postings_oracle_sql()).fetchdf()
+    finally:
+        con.close()
+
+
+def _run(d):
+    df = invindex.q_token_postings(d).to_pandas()
+    if "token" not in df.columns:  # fully-empty Dataset → zero columns
+        return pd.DataFrame(
+            {"token": [], "block_idx": [], "n_docs": [], "postings": []}
+        )
+    return df
+
+
+def _cmp(a: pd.DataFrame, b: pd.DataFrame):
+    keys = ["token", "block_idx"]
+    a = a.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(keys, kind="mergesort").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["token", "block_idx", "n_docs", "postings"]:
+        assert a[c].astype(str).tolist() == b[c].astype(str).tolist(), c
+
+
+def test_postings_oracle_hostile(ray_session, tmp_path, monkeypatch):
+    """Nulls / empty / whitespace-only / duplicate tokens, with a block
+    size small enough that several tokens span multiple blocks."""
+    monkeypatch.setenv("KMETA_POSTINGS_BLOCK", "4")
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the the the repeated the",
+        None,
+        "",
+        "   ",
+        "zeta alpha the brown",
+    ] + [f"the shared w{i % 3}" for i in range(30)]
+    d = _docs_dir(tmp_path, "hostile", texts)
+    _cmp(_run(d), _oracle(d))
+
+
+def test_postings_hot_token_straddles_files(ray_session, tmp_path, monkeypatch):
+    """One dominant token across hundreds of docs: its postings run spans
+    every checkpoint file, so block reassembly (complete stream + straddler
+    merge) must still produce exactly ceil(df/B) rows with B ids each."""
+    monkeypatch.setenv("KMETA_POSTINGS_BLOCK", "16")
+    texts = [f"hot filler{i % 7}" for i in range(400)]
+    d = _docs_dir(tmp_path, "hot", texts)
+    res = _run(d)
+    _cmp(res, _oracle(d))
+    hot = res[res["token"] == "hot"].sort_values("block_idx")
+    assert len(hot) == 25  # 400 / 16
+    assert hot["n_docs"].tolist() == [16] * 25
+    joined = ",".join(hot["postings"])
+    assert joined.split(",") == [str(i) for i in range(1, 401)]
+
+
+def test_postings_empty_and_all_null(ray_session, tmp_path):
+    d = _docs_dir(tmp_path, "nulls", [None, "", "   "])
+    res = _run(d)
+    assert len(res) == 0
+    d2 = str(tmp_path / "empty")
+    os.makedirs(d2, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        ),
+        f"{d2}/documents.parquet",
+    )
+    assert len(_run(d2)) == 0
+
+
+def test_postings_block_invariants(ray_session, tmp_path, monkeypatch):
+    """Every non-final block of a token holds exactly B ids; ids are
+    strictly ascending across the concatenated blocks; block_idx is dense
+    from 0."""
+    monkeypatch.setenv("KMETA_POSTINGS_BLOCK", "8")
+    rng = np.random.default_rng(7)
+    vocab = [f"t{i}" for i in range(12)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 6), replace=True))
+        for _ in range(150)
+    ]
+    d = _docs_dir(tmp_path, "inv", texts)
+    res = _run(d)
+    _cmp(res, _oracle(d))
+    for tok, grp in res.groupby("token"):
+        grp = grp.sort_values("block_idx")
+        assert grp["block_idx"].tolist() == list(range(len(grp)))
+        assert (grp["n_docs"].iloc[:-1] == 8).all()
+        ids = [int(x) for x in ",".join(grp["postings"]).split(",")]
+        assert ids == sorted(set(ids))
+        assert grp["n_docs"].sum() == len(ids)
