@@ -848,3 +848,140 @@ CROSS JOIN params p
 JOIN unic lx ON lx.token = split_part(t.bigram, ' ', 1)
 JOIN unic rx ON rx.token = split_part(t.bigram, ' ', 2)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# corpus rollup (OLAP GROUP BY ROLLUP(lang, source) in one distributed pass)
+# ---------------------------------------------------------------------------
+
+def _rollup_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (lang, source) partials: a batch collapses to ≤
+    |langs × sources| rows before the shuffle (the token_freq combiner
+    shape).  Null keys ride the _NULL_KEY sentinel through the groupby."""
+    from ..stages.aggregate import _NULL_KEY
+
+    s = pd.Series(batch.column("text").to_pandas())
+    ntok = s.str.strip().str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+    f = pd.DataFrame(
+        {
+            "lang": pd.Series(batch.column("lang").to_pandas()).fillna(_NULL_KEY),
+            "source": pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY),
+            "n_docs": np.ones(len(batch), dtype=np.int64),
+            "n_tokens": ntok,
+            "n_chars": pd.Series(batch.column("n_chars").to_pandas())
+            .fillna(0)
+            .to_numpy(dtype=np.int64),
+        }
+    )
+    g = f.groupby(["lang", "source"], sort=False, dropna=False).sum().reset_index()
+    return pa.table(
+        {
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "source": pa.array(g["source"].to_numpy(dtype=object), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(g["n_tokens"].to_numpy(dtype=np.int64)),
+            "n_chars": pa.array(g["n_chars"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def _rollup_expand(t: pa.Table) -> pa.Table:
+    """Aggregated detail rows (≤ |langs × sources|, coalesced to one block)
+    → the three ROLLUP levels.  lvl = GROUPING(lang)·2 + GROUPING(source)
+    disambiguates rolled-up NULLs from genuinely-null key values."""
+    from ..stages.aggregate import _NULL_KEY
+
+    df = t.to_pandas()
+    df["lang"] = df["lang"].map(lambda v: None if v == _NULL_KEY else v)
+    df["source"] = df["source"].map(lambda v: None if v == _NULL_KEY else v)
+    detail = df.assign(lvl=np.int64(0))
+    by_lang = (
+        df.groupby("lang", dropna=False, sort=False)[["n_docs", "n_tokens", "n_chars"]]
+        .sum()
+        .reset_index()
+        .assign(source=None, lvl=np.int64(1))
+    )
+    total = pd.DataFrame(
+        {
+            "lang": [None],
+            "source": [None],
+            "n_docs": [df["n_docs"].sum()],
+            "n_tokens": [df["n_tokens"].sum()],
+            "n_chars": [df["n_chars"].sum()],
+            "lvl": [np.int64(3)],
+        }
+    )
+    out = pd.concat([detail, by_lang, total], ignore_index=True)
+    out = out.astype({"n_docs": np.int64, "n_tokens": np.int64, "n_chars": np.int64})
+    # int-derived double division, same operand order as the SQL twin;
+    # empty-corpus total row (n_docs = 0) → NULL avg like the oracle's CASE
+    nd = out["n_docs"].to_numpy(dtype=np.float64)
+    out["avg_tokens"] = np.where(
+        nd > 0,
+        out["n_tokens"].to_numpy(dtype=np.float64) / np.where(nd > 0, nd, 1.0),
+        np.nan,
+    )
+    # pandas groupby/concat turn None keys into float NaN in object
+    # columns — restore real nulls before the Arrow build
+    for kc in ("lang", "source"):
+        out[kc] = out[kc].astype(object).where(pd.notna(out[kc]), None)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].to_numpy(dtype=object), pa.string()),
+            "source": pa.array(out["source"].to_numpy(dtype=object), pa.string()),
+            "lvl": pa.array(out["lvl"].to_numpy(dtype=np.int64)),
+            "n_docs": pa.array(out["n_docs"].to_numpy(dtype=np.int64)),
+            "n_tokens": pa.array(out["n_tokens"].to_numpy(dtype=np.int64)),
+            "n_chars": pa.array(out["n_chars"].to_numpy(dtype=np.int64)),
+            "avg_tokens": pa.array(out["avg_tokens"].to_numpy(dtype=np.float64)),
+        }
+    )
+
+
+def q_corpus_rollup(sf_dir: str):
+    """OLAP rollup report: (lang, source) detail + per-lang + grand total
+    in ONE pass over the corpus.
+
+    Ray shape (10^12 docs): the per-batch combiner collapses each batch to
+    ≤ |langs × sources| partial rows, the groupby shuffles only those, and
+    the rollup expansion runs over the aggregated table (≤ a few hundred
+    rows) coalesced to one block — the route_counts repartition(1) pattern.
+    All measures are int64 sums (exact under any order); avg_tokens is one
+    double division per OUTPUT row, identical operand order both sides."""
+    from ray.data.aggregate import Sum
+
+    ds = cp.read_documents(sf_dir, columns=("doc_id", "text", "lang", "source", "n_chars"))
+    agg = (
+        ds.map_batches(_rollup_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "source"])
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_chars", alias_name="n_chars"),
+        )
+        .repartition(1)
+    )
+    return agg.map_batches(
+        _rollup_expand, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def corpus_rollup_oracle_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT lang, source,
+    coalesce(len({cp.SQL_TOKS.format(t='text')}), 0)::BIGINT AS ntok,
+    coalesce(n_chars, 0)::BIGINT AS nch
+  FROM documents
+)
+SELECT lang, source,
+  (GROUPING(lang) * 2 + GROUPING(source))::BIGINT AS lvl,
+  count(*)::BIGINT AS n_docs,
+  coalesce(sum(ntok), 0)::BIGINT AS n_tokens,
+  coalesce(sum(nch), 0)::BIGINT AS n_chars,
+  CASE WHEN count(*) = 0 THEN NULL
+       ELSE (coalesce(sum(ntok), 0)::BIGINT)::DOUBLE / (count(*)::BIGINT)::DOUBLE
+  END AS avg_tokens
+FROM base
+GROUP BY ROLLUP(lang, source)
+""".strip()

@@ -163,6 +163,7 @@ def _rawlog_oracle() -> str:
 _DRIVER_PRIORITY = [
     # round-4 additions (never driver-witnessed)
     "q_token_postings",
+    "q_corpus_rollup",
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",

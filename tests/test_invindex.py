@@ -130,3 +130,39 @@ def test_postings_block_invariants(ray_session, tmp_path, monkeypatch):
         ids = [int(x) for x in ",".join(grp["postings"]).split(",")]
         assert ids == sorted(set(ids))
         assert grp["n_docs"].sum() == len(ids)
+
+
+def test_corpus_rollup_null_keys_oracle(ray_session, tmp_path):
+    """ROLLUP with genuinely-null lang/source values: the lvl column
+    (GROUPING bits) must keep rolled-up NULLs distinct from real ones."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import textstats
+
+    d = str(tmp_path / "roll")
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1, 9), pa.int64()),
+            "text": ["a b", "a", None, "", "x y z", "x", "a b c d", "q"],
+            "lang": ["en", "en", None, "de", "de", None, "en", "de"],
+            "source": ["s1", None, "s1", "s2", None, None, "s1", "s2"],
+            "n_chars": pa.array([3, 1, None, 0, 5, 1, 7, 1], pa.int64()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(textstats.corpus_rollup_oracle_sql()).fetchdf()
+    con.close()
+    res = textstats.q_corpus_rollup(d).to_pandas()
+    keys = ["lvl", "lang", "source"]
+    a = res.sort_values(keys, kind="mergesort", na_position="last").reset_index(drop=True)
+    b = ora.sort_values(keys, kind="mergesort", na_position="last").reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in ["lang", "source", "lvl", "n_docs", "n_tokens", "n_chars"]:
+        assert a[c].astype(str).tolist() == b[c].astype(str).tolist(), c
+    assert np.allclose(a["avg_tokens"], b["avg_tokens"], equal_nan=True)
+    # grand total row present exactly once
+    assert (a["lvl"] == 3).sum() == 1
+    assert int(a.loc[a["lvl"] == 3, "n_docs"].iloc[0]) == 8
