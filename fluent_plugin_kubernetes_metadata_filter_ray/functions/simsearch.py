@@ -1343,3 +1343,368 @@ c0 AS (
 {assign_cte("a2", "c2")}
 SELECT vec_id, cluster FROM a2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou et al.: subspace codebooks → M small codes)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8   # subspaces
+PQ_K = 32  # codes per subspace (uint8-class codebook)
+
+_PQ_EMPTY = pa.table(
+    {
+        "vec_id": pa.array([], pa.int64()),
+        **{f"code_{m}": pa.array([], pa.int64()) for m in range(PQ_M)},
+        "qerr_q": pa.array([], pa.int64()),
+    }
+)
+
+
+def _pq_bounds(dim: int) -> list[tuple[int, int]]:
+    """[start, end) global-dim bounds per subspace; the first dim % PQ_M
+    subspaces take the extra dimension (same arithmetic as the SQL twin)."""
+    base, rem = divmod(dim, PQ_M)
+    out, s = [], 0
+    for m in range(PQ_M):
+        w = base + 1 if m < rem else base
+        out.append((s, s + w))
+        s += w
+    return out
+
+
+def _pq_dist(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """(N × w) × (K × w) → (N × K) integer-quantized squared distances
+    (the _km_assign kernel, distances kept for the qerr sum)."""
+    n = m.shape[0]
+    out = np.empty((n, cents.shape[0]), dtype=np.int64)
+    tmp = np.empty_like(m)
+    for p in range(cents.shape[0]):
+        np.subtract(m, cents[p], out=tmp)
+        np.multiply(tmp, tmp, out=tmp)
+        tmp *= QUANT
+        np.floor(tmp, out=tmp)
+        out[:, p] = tmp.sum(axis=1)
+    return out
+
+
+def _pq_train(sf_dir: str):
+    """One-Lloyd-refined md5-grid codebooks for all PQ_M subspaces, trained
+    in a SINGLE corpus pass (the partial emits long rows for every
+    subspace): returns (bounds, [K×w codebook per subspace]) or None on an
+    empty corpus.  Combiner shape identical to q_embed_kmeans — ≤
+    PQ_M·PQ_K·dim partial rows per batch, tiny groupby Sum, ≤K·dim driver
+    collect; vectors never shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    dim = _km_dim(sf_dir)
+    if dim == 0:
+        return None
+    bounds = _pq_bounds(dim)
+    cents = [
+        _md5_grid(PQ_K, e - s, f"pq{m}") for m, (s, e) in enumerate(bounds)
+    ]
+    ds = cp.read_embeddings(sf_dir)
+    cref = ray.put(cents)
+
+    def partial(batch: pa.Table, cref=cref) -> pa.Table:
+        ids, mat = _matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {
+                    "sub": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "qsum": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cs = _deref(cref)
+        subs, cls, dms, qs, ns = [], [], [], [], []
+        for m, (s, e) in enumerate(bounds):
+            sm = mat[:, s:e]
+            a = np.argmin(_pq_dist(sm, cs[m]), axis=1)
+            w = e - s
+            q = np.floor(sm * CENTROID_Q)  # integer-valued doubles < 2^53
+            flat = (a[:, None] * w + np.arange(w)[None, :]).ravel()
+            qsum = np.bincount(flat, weights=q.ravel(), minlength=PQ_K * w)
+            n = np.bincount(a, minlength=PQ_K)
+            live = n > 0
+            nlive = int(live.sum())
+            subs.append(np.full(nlive * w, m, dtype=np.int64))
+            cls.append(np.repeat(np.arange(PQ_K, dtype=np.int64)[live], w))
+            dms.append(np.tile(np.arange(1, w + 1, dtype=np.int64), nlive))
+            qs.append(qsum.reshape(PQ_K, w)[live].ravel().astype(np.int64))
+            ns.append(np.repeat(n[live], w))
+        return pa.table(
+            {
+                "sub": pa.array(np.concatenate(subs)),
+                "cluster": pa.array(np.concatenate(cls)),
+                "dim": pa.array(np.concatenate(dms)),
+                "qsum": pa.array(np.concatenate(qs)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["sub", "cluster", "dim"])
+        .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ PQ_M·PQ_K·dim rows — independent of corpus size
+    )
+    new = [c.copy() for c in cents]
+    if len(agg) and "sub" in agg.columns:
+        s_i = agg["sub"].to_numpy(dtype=np.int64)
+        c_i = agg["cluster"].to_numpy(dtype=np.int64)
+        d_i = agg["dim"].to_numpy(dtype=np.int64) - 1
+        vals = (
+            agg["qsum"].to_numpy(dtype=np.float64) / agg["n"].to_numpy(dtype=np.float64)
+        ) / CENTROID_Q
+        for m in range(PQ_M):
+            sel = s_i == m
+            new[m][c_i[sel], d_i[sel]] = vals[sel]
+    return bounds, new
+
+
+def q_embed_pq(sf_dir: str):
+    """PQ encode (Jégou et al.): per-subspace code (argmin integer-
+    quantized squared distance against the trained codebook, first-min
+    tie-break) plus the total quantized reconstruction error.  One
+    training pass (_pq_train) + one stateless encode pass; nothing
+    shuffles."""
+    import ray
+
+    trained = _pq_train(sf_dir)
+    if trained is None:
+        import ray.data as rd
+
+        return rd.from_arrow(_PQ_EMPTY)
+    bounds, cents = trained
+    ds = cp.read_embeddings(sf_dir)
+    cref2 = ray.put(cents)
+
+    def encode(batch: pa.Table, cref=cref2) -> pa.Table:
+        ids, mat = _matrix(batch)
+        if not len(ids):
+            return _PQ_EMPTY
+        cs = _deref(cref)
+        codes, err = [], np.zeros(len(ids), dtype=np.int64)
+        for m, (s, e) in enumerate(bounds):
+            d = _pq_dist(mat[:, s:e], cs[m])
+            a = np.argmin(d, axis=1)
+            codes.append(a.astype(np.int64))
+            err += d[np.arange(len(ids)), a]
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                **{f"code_{m}": pa.array(codes[m]) for m in range(PQ_M)},
+                "qerr_q": pa.array(err),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pq_sql_ctes() -> str:
+    """Shared PQ oracle CTE chain: subspace long table (el) → md5-grid
+    codebooks (c0) → assign (a0) → Lloyd update (c1) → final assign with
+    min distance (a1).  Bare s/p/i in the grid expression resolve to the
+    t1(s)/t2(p)/t3(i) FROM aliases."""
+    qd = "CAST(floor(((e.x - c.c) * (e.x - c.c)) * 1e9) AS BIGINT)"
+    grid = (
+        "((('0x' || substr(md5('pq' || s || ':' || p || ':' || ((i-1)//4)*4), "
+        "25 - 8*((i-1)%4), 8))::UBIGINT / 4294967296.0) * 2.0 - 1.0)"
+    )
+    return f"""
+WITH p0 AS (
+  SELECT (SELECT max(len(embedding)) FROM embeddings)::BIGINT AS d
+),
+p2 AS (SELECT d, d // {PQ_M} AS base, d % {PQ_M} AS rem FROM p0),
+el AS (
+  SELECT e.vec_id,
+    CASE WHEN (dm.dim - 1) < p.rem * (p.base + 1)
+         THEN (dm.dim - 1) // (p.base + 1)
+         ELSE p.rem + ((dm.dim - 1) - p.rem * (p.base + 1)) // p.base
+    END::BIGINT AS sub,
+    (dm.dim - 1
+     - CASE WHEN (dm.dim - 1) < p.rem * (p.base + 1)
+            THEN ((dm.dim - 1) // (p.base + 1)) * (p.base + 1)
+            ELSE p.rem * (p.base + 1)
+                 + (((dm.dim - 1) - p.rem * (p.base + 1)) // p.base) * p.base
+       END + 1)::BIGINT AS ldim,
+    e.embedding[dm.dim]::DOUBLE AS x
+  FROM embeddings e
+  CROSS JOIN p2 p
+  CROSS JOIN (SELECT unnest(generate_series(1,
+                (SELECT max(len(embedding)) FROM embeddings))) AS dim) dm
+),
+c0 AS (
+  SELECT t1.s::BIGINT AS sub, t2.p::BIGINT AS cluster, t3.i::BIGINT AS ldim,
+         {grid} AS c
+  FROM generate_series(0, {PQ_M - 1}) t1(s)
+  CROSS JOIN generate_series(0, {PQ_K - 1}) t2(p)
+  CROSS JOIN (SELECT unnest(generate_series(1,
+                (SELECT base + 1 FROM p2))) AS i) t3
+  CROSS JOIN p2
+  WHERE t3.i <= CASE WHEN t1.s < p2.rem THEN p2.base + 1 ELSE p2.base END
+),
+a0 AS (
+  SELECT vec_id, sub, cluster FROM (
+    SELECT e.vec_id, e.sub, c.cluster,
+      row_number() OVER (PARTITION BY e.vec_id, e.sub
+        ORDER BY sum({qd}) ASC, c.cluster ASC) AS rn
+    FROM el e JOIN c0 c ON c.sub = e.sub AND c.ldim = e.ldim
+    GROUP BY e.vec_id, e.sub, c.cluster
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT a.sub, a.cluster, e.ldim,
+         sum(CAST(floor(e.x * 1e9) AS BIGINT)) AS qsum, count(*)::BIGINT AS n
+  FROM el e JOIN a0 a ON a.vec_id = e.vec_id AND a.sub = e.sub
+  GROUP BY a.sub, a.cluster, e.ldim
+),
+c1 AS (
+  SELECT p.sub, p.cluster, p.ldim,
+         coalesce((u.qsum::DOUBLE / u.n::DOUBLE) / 1e9, p.c) AS c
+  FROM c0 p LEFT JOIN u1 u
+    ON u.sub = p.sub AND u.cluster = p.cluster AND u.ldim = p.ldim
+),
+a1 AS (
+  SELECT vec_id, sub, cluster, qd AS mind FROM (
+    SELECT e.vec_id, e.sub, c.cluster, sum({qd}) AS qd,
+      row_number() OVER (PARTITION BY e.vec_id, e.sub
+        ORDER BY sum({qd}) ASC, c.cluster ASC) AS rn
+    FROM el e JOIN c1 c ON c.sub = e.sub AND c.ldim = e.ldim
+    GROUP BY e.vec_id, e.sub, c.cluster
+  ) WHERE rn = 1
+)""".strip()
+
+
+def embed_pq_oracle_sql() -> str:
+    code_cols = ",\n  ".join(
+        f"max(CASE WHEN a.sub = {m} THEN a.cluster END)::BIGINT AS code_{m}"
+        for m in range(PQ_M)
+    )
+    return f"""
+{_pq_sql_ctes()}
+SELECT a.vec_id,
+  {code_cols},
+  sum(a.mind)::BIGINT AS qerr_q
+FROM a1 a
+GROUP BY a.vec_id
+""".strip()
+
+
+def q_ann_pq(sf_dir: str):
+    """ADC top-k search over PQ codes: per query, one PQ_M × PQ_K table of
+    integer-quantized subspace distances to the trained codebook; each
+    corpus vector's score is the table-lookup sum over its codes (the
+    classic asymmetric-distance computation).  Deterministic end to end —
+    codes and tables are integer-exact, ties break adc ASC then vec_id
+    ASC.
+
+    Ray shape (10^12 vectors): one training pass (shared _pq_train
+    combiner), then ONE stateless scoring pass — the broadcast state is
+    the codebooks + the 8×PQ_M×PQ_K int tables (a few KiB); each batch
+    encodes itself, scores all queries via table gathers (no float math in
+    the hot loop), keeps a per-batch top-k, and a ≤ queries·k·batches
+    groupby reduces.  Vectors never shuffle; this is the memory-bound ANN
+    tier (codes are PQ_M bytes per vector vs dim·8 for raw floats)."""
+    import ray
+
+    trained = _pq_train(sf_dir)
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "adc_q": pa.array([], pa.int64()),
+        }
+    )
+    if trained is None:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    bounds, cents = trained
+    q_ids, qm = _load_queries(sf_dir)
+    # per-query subspace distance tables: (Q × PQ_K) int64 per subspace
+    tables = [
+        _pq_dist(qm[:, s:e], cents[m]) for m, (s, e) in enumerate(bounds)
+    ]
+    side_ref = ray.put((q_ids, cents, tables))
+
+    def score(batch: pa.Table, side=side_ref) -> pa.Table:
+        ids, mat = _matrix(batch)
+        if not len(ids):
+            return empty.drop_columns(["rank"])
+        qids, cs, tbls = _deref(side)
+        if not len(qids):
+            return empty.drop_columns(["rank"])
+        nq = len(qids)
+        adc = np.zeros((nq, len(ids)), dtype=np.int64)
+        for m, (s, e) in enumerate(bounds):
+            codes = np.argmin(_pq_dist(mat[:, s:e], cs[m]), axis=1)
+            adc += tbls[m][:, codes]  # (Q × B) gather, no float math
+        k = min(TOPK_K, adc.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(nq):
+            row = adc[qi]
+            # ADC ties are rampant (vectors share codes): the per-batch
+            # cut must honor the GLOBAL total order (adc ASC, vec_id ASC)
+            # or a tied lower vec_id gets pruned that the reduce needed
+            top = np.lexsort((ids, row))[:k]
+            for j in top:
+                out_q.append(int(qids[qi]))
+                out_v.append(int(ids[j]))
+                out_s.append(int(row[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "adc_q": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        adc = group.column("adc_q").to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, adc))[:TOPK_K]
+        return pa.table(
+            {
+                "query_id": pa.array(qid[order], pa.int64()),
+                "vec_id": pa.array(vid[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                "adc_q": pa.array(adc[order], pa.int64()),
+            }
+        )
+
+    partials = cp.read_embeddings(sf_dir).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def ann_pq_oracle_sql() -> str:
+    return f"""
+{_pq_sql_ctes()},
+tbl AS (
+  SELECT q.vec_id AS query_id, q.sub, c.cluster,
+         sum(CAST(floor(((q.x - c.c) * (q.x - c.c)) * 1e9) AS BIGINT)) AS qd
+  FROM (SELECT * FROM el WHERE vec_id < {N_QUERIES}) q
+  JOIN c1 c ON c.sub = q.sub AND c.ldim = q.ldim
+  GROUP BY 1, 2, 3
+),
+scores AS (
+  SELECT t.query_id, a.vec_id, sum(t.qd)::BIGINT AS adc_q
+  FROM a1 a JOIN tbl t ON t.sub = a.sub AND t.cluster = a.cluster
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, rank, adc_q FROM (
+  SELECT query_id, vec_id, adc_q,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY adc_q ASC, vec_id ASC) AS rank
+  FROM scores
+) WHERE rank <= {TOPK_K}
+""".strip()

@@ -164,6 +164,8 @@ _DRIVER_PRIORITY = [
     # round-4 additions (never driver-witnessed)
     "q_token_postings",
     "q_corpus_rollup",
+    "q_embed_pq",
+    "q_ann_pq",
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",
