@@ -438,3 +438,113 @@ SELECT doc_id, source, ({w32} % 100)::BIGINT AS bucket,
        ELSE 'test' END AS split
 FROM documents
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# adaptive quantile filter (threshold learned from the corpus, not fixed)
+# ---------------------------------------------------------------------------
+
+QUALITY_BUCKETS = 10_000   # quality_score ∈ [0,1] → ≤ 10_001 histogram rows
+QUANTILE_KEEP = 0.25       # keep the top quarter by quality bucket
+
+
+def _quality_hist_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch bucket histogram: the batch collapses to ≤ 10_001 rows
+    before the shuffle, and the aggregated histogram is BOUNDED (bucket
+    count, not corpus or vocab size) — the driver-side threshold scan can
+    never grow with the data."""
+    st = doc_stats_batch(batch)
+    q = st.column("quality_score").to_numpy(zero_copy_only=False)
+    qb = np.floor(q * QUALITY_BUCKETS).astype(np.int64)
+    vals, counts = np.unique(qb, return_counts=True)
+    return pa.table(
+        {
+            "qb": pa.array(vals.astype(np.int64)),
+            "c": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
+def q_doc_quality_quantile(sf_dir: str):
+    """Keep the top QUANTILE_KEEP fraction of docs by quality score, with
+    the threshold LEARNED from the corpus (the C4/CCNet-style adaptive
+    cut, vs q_doc_quality_filter's fixed gates).
+
+    Contract (exactly twinned in SQL): bucket = floor(score·10⁴); T = the
+    largest bucket whose tail count (docs with bucket ≥ T) reaches
+    max(1, floor(N·0.25)); keep every doc with bucket ≥ T (ties at the
+    threshold bucket all survive — deterministic, no RNG).
+
+    Ray shape (10^12 docs): pass 1 = per-batch bucket histogram partials →
+    tiny groupby Sum → ≤ 10_001-row driver collect (bounded by the bucket
+    count, NOT the corpus); pass 2 = one stateless filter against the
+    broadcast threshold.  Same two-pass shape as q_embed_quantize."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "quality_score": pa.array([], pa.float64()),
+            "qb": pa.array([], pa.int64()),
+        }
+    )
+    hist = (
+        cp.read_documents(sf_dir)
+        .map_batches(_quality_hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("qb")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # ≤ 10_001 rows by construction
+    )
+    if "qb" not in hist.columns or not len(hist):
+        return rd.from_arrow(empty)
+    hist = hist.sort_values("qb", ascending=False)
+    n = int(hist["c"].sum())
+    # floor(N·0.25) is exact in float64 for any feasible N (< 2^52):
+    # identical to the SQL twin's floor(count(*) * 0.25)
+    target = max(1, int(np.floor(n * QUANTILE_KEEP)))
+    cum = hist["c"].cumsum().to_numpy()
+    thr = int(hist["qb"].to_numpy()[np.argmax(cum >= target)])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        st = doc_stats_batch(batch)
+        q = st.column("quality_score").to_numpy(zero_copy_only=False)
+        qb = np.floor(q * QUALITY_BUCKETS).astype(np.int64)
+        mask = pa.array(qb >= thr)
+        return pa.table(
+            {
+                "doc_id": st.column("doc_id"),
+                "n_tokens": st.column("n_tokens"),
+                "quality_score": st.column("quality_score"),
+                "qb": pa.array(qb),
+            }
+        ).filter(mask)
+
+    return cp.read_documents(sf_dir).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_quality_quantile_oracle_sql() -> str:
+    from .textstats import doc_stats_oracle_sql
+
+    return f"""
+WITH st AS ({doc_stats_oracle_sql()}),
+b AS (
+  SELECT doc_id, n_tokens, quality_score,
+         floor(quality_score * {QUALITY_BUCKETS})::BIGINT AS qb
+  FROM st
+),
+hist AS (SELECT qb, count(*)::BIGINT AS c FROM b GROUP BY qb),
+thr AS (
+  -- first bucket (scanning downward) whose tail count reaches the target
+  -- = the LARGEST qb among qualifying rows
+  SELECT max(qb) AS t FROM (
+    SELECT qb, sum(c) OVER (ORDER BY qb DESC) AS cum FROM hist
+  ) WHERE cum >= greatest(1, floor((SELECT count(*) FROM b) * {QUANTILE_KEEP}))
+)
+SELECT doc_id, n_tokens, quality_score, qb
+FROM b WHERE qb >= (SELECT t FROM thr)
+""".strip()

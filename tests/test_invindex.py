@@ -166,3 +166,42 @@ def test_corpus_rollup_null_keys_oracle(ray_session, tmp_path):
     # grand total row present exactly once
     assert (a["lvl"] == 3).sum() == 1
     assert int(a.loc[a["lvl"] == 3, "n_docs"].iloc[0]) == 8
+
+
+def test_quality_quantile_adaptive_threshold(ray_session, tmp_path):
+    """Keep-set = all docs at-or-above the learned bucket threshold:
+    at least floor(N·0.25) docs survive, everything kept scores ≥
+    everything dropped (bucket-wise), ties at the threshold all survive."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import sampling
+
+    rng = np.random.default_rng(3)
+    texts = [
+        " ".join(rng.choice(["alpha", "beta", "the", "of", "gamma"], size=int(n)))
+        for n in rng.integers(1, 300, size=120)
+    ] + [None, "", "dup dup", "dup dup"]
+    d = _docs_dir(tmp_path, "qq", texts)
+    res = sampling.q_doc_quality_quantile(d).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{d}/documents.parquet')"
+    )
+    ora = con.execute(sampling.doc_quality_quantile_oracle_sql()).fetchdf()
+    con.close()
+    assert sorted(res["doc_id"]) == sorted(ora["doc_id"])
+    n = len(texts)
+    assert len(res) >= n * 0.25 - 1
+    thr = res["qb"].min()
+    # every excluded doc sits strictly below the threshold bucket
+    all_ids = set(range(1, n + 1))
+    dropped = all_ids - set(res["doc_id"])
+    if dropped:
+        full = sampling.q_doc_quality_quantile  # noqa: F841 (doc anchor)
+        from fluent_plugin_kubernetes_metadata_filter_ray.functions.textstats import (
+            doc_stats_batch,
+        )
+
+        t = pq.read_table(f"{d}/documents.parquet")
+        st = doc_stats_batch(t).to_pandas()
+        qb = np.floor(st["quality_score"].to_numpy() * sampling.QUALITY_BUCKETS)
+        below = st.loc[[i - 1 for i in sorted(dropped)]]
+        assert (qb[below.index] < thr).all()
