@@ -318,6 +318,17 @@ def run_bench() -> dict:
                 else:
                     os.environ[env] = prior
 
+        # round-4 ops at scale: the blocked inverted index (sort-checkpoint
+        # + two tiled passes — postings dominated by the pair sort), PQ
+        # codebook training + encode, and ADC top-k over the big vectors
+        timed("token_postings_big",
+              lambda: fq["q_token_postings"](big).materialize(),
+              trials=2, shuffle=True)
+        timed("embed_pq_big", lambda: fq["q_embed_pq"](big).materialize(),
+              shuffle=True)
+        timed("ann_pq_big", lambda: fq["q_ann_pq"](big).materialize(),
+              shuffle=True)
+
     # q3 (headline): parse+enrich+route write+per-sink counts (median of 2
     # trials: each writes ~600 MB, so keep the disk churn bounded)
     out_dir = f"/tmp/kmeta_bench_out/cpus{NUM_CPUS}"

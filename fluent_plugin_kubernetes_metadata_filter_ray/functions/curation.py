@@ -1497,3 +1497,161 @@ SELECT doc_id, count(*)::BIGINT AS n_chunks,
   {w63} AS clean_hash
 FROM fl GROUP BY doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated n-gram fraction (substring-dup diagnostic)
+# ---------------------------------------------------------------------------
+
+def _distinct_shingle_pairs(batch: pa.Table) -> pa.Table:
+    """DISTINCT (doc_id, shingle-hash) pairs of one batch — docs are unique
+    to one batch, so per-batch distinct IS the global distinct."""
+    f = _shingle_hash_frame(batch)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    if not len(f):
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+        )
+    g = f.drop_duplicates()
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[g["row"].to_numpy()], pa.int64()),
+            "h": pa.array(g["h"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_doc_dup_ngrams(sf_dir: str):
+    """Per-document duplicated-n-gram fraction: of a doc's DISTINCT word
+    3-grams, how many also occur in at least one OTHER document (the
+    corpus-level boilerplate / near-dup diagnostic that substring-dedup
+    pipelines threshold on).
+
+    Ray shape (10^12 docs): nothing ever reaches the driver —
+    1. distinct (doc_id, h) pairs per batch (shared factorized shingle
+       kernel, each distinct shingle hashed once);
+    2. shingle document-frequency as a combiner-pushed ``groupby(h)`` Sum
+       (vocabulary-sized, stays distributed);
+    3. pairs ⋈ df hash join (both sides partitioned on h, sentinel-
+       threaded for the Ray 2.49 empty-first-block race), per-batch
+       partial (n_distinct, n_dup) counts, tiny ``groupby(doc_id)`` Sum;
+    4. left join back to the full doc_id list so shingle-less docs emit
+       (0, 0, 0.0) like the oracle's LEFT JOIN."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .dedup import SENTINEL_ID, _join_partitions
+
+    sent_h = -(2**62)
+    nparts = _join_partitions()
+    docs = cp.read_documents(sf_dir)
+
+    pairs = docs.map_batches(
+        _distinct_shingle_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "h": pa.array([sent_h], pa.int64())}
+    )))
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["h"]).group_by(["h"]).aggregate([("h", "count")])
+        return pa.table(
+            {"h": g.column("h"), "c": g.column("h_count").cast(pa.int64())}
+        )
+
+    dfs = (
+        pairs.map_batches(df_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    joined = pairs.join(dfs, join_type="inner", num_partitions=nparts, on=("h",))
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        # the sentinel pair joins the sentinel df row (c = 1+) — drop it
+        keep = ids != SENTINEL_ID
+        ids = ids[keep]
+        c = t.column("c").to_numpy(zero_copy_only=False)[keep]
+        if not len(ids):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_distinct": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        uids, inv = np.unique(ids, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        nd = np.bincount(inv, weights=(c >= 2)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, pa.int64()),
+                "n_distinct": pa.array(n),
+                "n_dup": pa.array(nd),
+            }
+        )
+
+    per = (
+        joined.map_batches(per_doc_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+             "n_distinct": pa.array([0], pa.int64()),
+             "n_dup": pa.array([0], pa.int64())}
+        )))
+        .groupby("doc_id")
+        .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                   Sum("n_dup", alias_name="n_dup"))
+    )
+
+    def id_only(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id"])
+
+    all_ids = docs.map_batches(
+        id_only, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table({"doc_id": pa.array([SENTINEL_ID], pa.int64())})))
+    out = all_ids.join(per, join_type="left_outer", num_partitions=nparts,
+                       on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("doc_id"), SENTINEL_ID))
+        n = pc_.fill_null(t.column("n_distinct"), 0).to_numpy(zero_copy_only=False)
+        nd = pc_.fill_null(t.column("n_dup"), 0).to_numpy(zero_copy_only=False)
+        frac = np.where(n > 0, nd.astype(np.float64) / np.where(n > 0, n, 1).astype(np.float64), 0.0)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_distinct": pa.array(n.astype(np.int64)),
+                "n_dup": pa.array(nd.astype(np.int64)),
+                "dup_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_dup_ngrams_oracle_sql() -> str:
+    w63 = cp.SQL_W63.format(s="s")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {cp.SQL_TOKS.format(t='text')} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+  FROM tok
+),
+shh AS (SELECT DISTINCT doc_id, {w63} AS h FROM sh),
+df AS (SELECT h, count(*)::BIGINT AS c FROM shh GROUP BY h),
+per AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n_distinct,
+         sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+  FROM shh s JOIN df d USING (h) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(p.n_distinct, 0) AS n_distinct,
+       coalesce(p.n_dup, 0) AS n_dup,
+       CASE WHEN coalesce(p.n_distinct, 0) > 0
+            THEN coalesce(p.n_dup, 0)::DOUBLE / p.n_distinct::DOUBLE
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+""".strip()

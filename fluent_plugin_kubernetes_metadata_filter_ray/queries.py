@@ -167,6 +167,7 @@ _DRIVER_PRIORITY = [
     "q_embed_pq",
     "q_ann_pq",
     "q_doc_quality_quantile",
+    "q_doc_dup_ngrams",
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",

@@ -205,3 +205,37 @@ def test_quality_quantile_adaptive_threshold(ray_session, tmp_path):
         qb = np.floor(st["quality_score"].to_numpy() * sampling.QUALITY_BUCKETS)
         below = st.loc[[i - 1 for i in sorted(dropped)]]
         assert (qb[below.index] < thr).all()
+
+
+def test_dup_ngrams_hostile_and_empty(ray_session, tmp_path):
+    """Sentinel threading keeps the two joins alive on an all-null corpus;
+    a known dup/unique split is scored exactly."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import curation
+
+    d = _docs_dir(
+        tmp_path,
+        "dng",
+        [
+            "a b c d e",      # shares 'a b c'/'b c d'/'c d e' with doc 2
+            "a b c d e",      # exact dup
+            "x y z w q v",    # unique
+            None,
+            "",
+            "one two",        # too short for a 3-gram
+        ],
+    )
+    res = (
+        curation.q_doc_dup_ngrams(d)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert res["doc_id"].tolist() == [1, 2, 3, 4, 5, 6]
+    assert res["n_distinct"].tolist() == [3, 3, 4, 0, 0, 0]
+    assert res["n_dup"].tolist() == [3, 3, 0, 0, 0, 0]
+    assert res["dup_frac"].tolist() == [1.0, 1.0, 0.0, 0.0, 0.0, 0.0]
+
+    d2 = _docs_dir(tmp_path, "dng_null", [None, "", "   "])
+    res2 = curation.q_doc_dup_ngrams(d2).to_pandas()
+    assert len(res2) == 3
+    assert (res2["n_distinct"] == 0).all() and (res2["dup_frac"] == 0.0).all()
