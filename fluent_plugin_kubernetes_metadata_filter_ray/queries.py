@@ -149,6 +149,12 @@ def _q_transcripts_csv(sf_dir: str):
     return csvsrc.q_transcripts_csv(sf_dir)
 
 
+def _q_transcripts_orc(sf_dir: str):
+    from .sources import orcsrc
+
+    return orcsrc.q_transcripts_orc(sf_dir)
+
+
 def _rawlog_oracle() -> str:
     from .sources import rawlog
 
@@ -174,6 +180,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_bloom",
     "q_embed_kmeans",
     "q_transcripts_csv",
+    "q_transcripts_orc",
     "q_transcripts_rawlog",
     # round-3 additions that fell outside the r3 window
     "q_ann_range",
@@ -221,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_late": _q_turn_late,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
+        "q_transcripts_orc": _q_transcripts_orc,
     }
     from .functions import registry
     q.update(registry.queries())
@@ -252,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_late": _la.turn_late_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
+        "q_transcripts_orc": dg.transcripts_sql(),
     }
     from .functions import registry
     o.update(registry.oracle_sql())

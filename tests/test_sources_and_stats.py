@@ -577,3 +577,48 @@ def test_csv_roundtrip_null_vs_empty_and_quoting(ray_session, tmp_path):
     # the all-digit conv_id stayed a string (schema pin beats inference)
     assert back["conv_id"].iloc[0] == "00042"
     assert set(TRANSCRIPT_TYPES) == set(tbl.column_names)
+
+
+def test_orc_source_matches_parquet_path(ray_session, sf_dir, tmp_path):
+    """ORC feed parity: shards decoded via pyarrow.orc inside the binary
+    fan-out must run the full parse→enrich path bit-identical to parquet,
+    including null-vs-'' and the µs timestamp unit."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.orcsrc import (
+        read_transcripts_orc,
+        write_transcripts_orc,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.enrich import (
+        decode_stage,
+        enrich_stage,
+    )
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.parse import parse_stage
+
+    tdir = dg.transcripts_path(sf_dir)
+    first = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))[0]
+    tbl = pq.read_table(os.path.join(tdir, first)).slice(0, 300)
+    odir = str(tmp_path / "orc")
+    write_transcripts_orc(tbl, odir, shard_rows=128)  # >1 shard
+    assert len(os.listdir(odir)) >= 2
+
+    back = read_transcripts_orc(odir)
+    sch = back.schema()  # ray Schema wrapper: names + arrow types
+    assert dict(zip(sch.names, sch.types))["ts"] == pa.timestamp("us")
+
+    cfg = PipelineConfig()
+    store = dg.metadata_snapshot_dir()
+
+    def run(ds):
+        out = decode_stage(enrich_stage(parse_stage(ds, cfg), cfg, store))
+        return (
+            out.to_pandas()
+            .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    via_orc = run(read_transcripts_orc(odir))
+    via_parquet = run(ray.data.from_arrow(tbl))
+    assert via_orc.equals(via_parquet)
+    assert len(via_orc) == 300
