@@ -263,3 +263,37 @@ def read_embeddings(sf_dir: str, columns=("vec_id", "embedding")):
         path, columns=list(columns),
         override_num_blocks=_right_sized_blocks(path, rows_per_block=8192) or None,
     )
+
+
+def per_file_map(files, kernel):
+    """One Ray task per checkpoint parquet file, with the file's COMPLETE
+    table read INSIDE the task before the kernel runs.
+
+    The sort-checkpoint pattern (doc_rank / doc_pack / token_postings)
+    needs per-FILE kernels: offsets and run boundaries are keyed by file.
+    ``read_parquet(files, override_num_blocks=len(files))`` does NOT
+    guarantee that — Ray re-splits a file into row-group-sized blocks once
+    it outgrows one (observed: a 58k-row checkpoint file arriving as
+    10k-row batches at the 20M-pair bench scale, caught by the contract
+    guards).  Fusing the read into the task is the only layout Ray cannot
+    re-split.
+
+    ``kernel(table, path) -> table`` must return a typed table; it is
+    called once per file.  Empty path-blocks (repartition slack) yield the
+    kernel's ``(None, None)`` response, which must be its typed empty."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def run(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq_
+
+        paths = b.column("path").to_pylist() if b.num_columns else []
+        outs = [kernel(pq_.read_table(p), p) for p in paths]
+        return pa.concat_tables(outs) if outs else kernel(None, None)
+
+    paths_t = pa.table({"path": pa.array(list(files), pa.string())})
+    return (
+        rd.from_arrow(paths_t)
+        .repartition(len(files))
+        .map_batches(run, batch_format="pyarrow", batch_size=None)
+    )

@@ -533,24 +533,8 @@ def q_doc_pack(sf_dir: str):
     )
     if not files:  # empty corpus → typed empty result
         return ray.data.from_arrow(empty)
-    n_per_file = {f: pq_.ParquetFile(f).metadata.num_rows for f in files}
-
-    def read_ckpt():
-        return ray.data.read_parquet(
-            files, include_paths=True, override_num_blocks=len(files)
-        )
-
-    def _guard(t: pa.Table) -> None:
-        path = t.column("path")[0].as_py()
-        if len(t) != n_per_file[path]:
-            raise RuntimeError(
-                f"doc_pack: file {path} arrived as a {len(t)}-row batch, "
-                f"footer says {n_per_file[path]} — one-block-per-file "
-                "contract broken"
-            )
-
-    def run_heads(t: pa.Table) -> pa.Table:
-        if not len(t):
+    def run_heads(t, _path) -> pa.Table:
+        if t is None or not len(t):
             return pa.table(
                 {
                     "source": pa.array([], pa.string()),
@@ -558,7 +542,6 @@ def q_doc_pack(sf_dir: str):
                     "sum_tokens": pa.array([], pa.int64()),
                 }
             )
-        _guard(t)
         src_heads, ids, ntk, starts, _ = _pack_runs(t)
         return pa.table(
             {
@@ -568,9 +551,10 @@ def q_doc_pack(sf_dir: str):
             }
         )
 
-    heads = read_ckpt().map_batches(
-        run_heads, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).to_pandas()
+    # per-file tasks, read fused into the kernel (cp.per_file_map): the
+    # override_num_blocks=len(files) read is NOT one-block-per-file once a
+    # file outgrows a row group — observed at 20M-pair bench scale
+    heads = cp.per_file_map(files, run_heads).to_pandas()
     offsets: dict = {}
     if "source" in heads.columns and len(heads):
         heads = heads.sort_values(["source", "first_doc"], kind="mergesort")
@@ -580,10 +564,9 @@ def q_doc_pack(sf_dir: str):
                 offsets[(srcv, int(fd))] = int(off)
     off_ref = ray.put(offsets)
 
-    def assign(t: pa.Table) -> pa.Table:
-        if not len(t):
+    def assign(t, _path) -> pa.Table:
+        if t is None or not len(t):
             return empty
-        _guard(t)
         off = ray.get(off_ref)
         src_heads, ids, ntk, starts, ends = _pack_runs(t)
         out = np.empty(len(t), dtype=np.int64)
@@ -600,9 +583,7 @@ def q_doc_pack(sf_dir: str):
             }
         )
 
-    return read_ckpt().map_batches(
-        assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    return cp.per_file_map(files, assign)
 
 
 def q_doc_pack_mapgroups(sf_dir: str):
@@ -983,8 +964,8 @@ def q_doc_rank(sf_dir: str):
     meta = {f: (int(o), int(c)) for f, o, c in zip(files, offs, counts)}
     meta_ref = ray.put(meta)
 
-    def assign(t: pa.Table) -> pa.Table:
-        if not len(t):
+    def assign(t, path) -> pa.Table:
+        if t is None or not len(t):
             return pa.table(
                 {
                     "doc_id": pa.array([], pa.int64()),
@@ -992,12 +973,11 @@ def q_doc_rank(sf_dir: str):
                     "doc_rank": pa.array([], pa.int64()),
                 }
             )
-        path = t.column("path")[0].as_py()
         off, n_file = ray.get(meta_ref)[path]
         if len(t) != n_file:
             raise RuntimeError(
-                f"doc_rank: file {path} arrived as a {len(t)}-row batch, "
-                f"footer says {n_file} — one-block-per-file contract broken"
+                f"doc_rank: file {path} read as {len(t)} rows, footer says "
+                f"{n_file} — checkpoint mutated between passes"
             )
         return pa.table(
             {
@@ -1007,10 +987,8 @@ def q_doc_rank(sf_dir: str):
             }
         )
 
-    ds = ray.data.read_parquet(
-        files, include_paths=True, override_num_blocks=len(files)
-    )
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    # per-file tasks, read fused into the kernel (cp.per_file_map)
+    return cp.per_file_map(files, assign)
 
 
 def doc_rank_oracle_sql() -> str:

@@ -134,22 +134,8 @@ def q_token_postings(sf_dir: str):
     ]
     if not files:  # empty / all-null corpus → typed empty index
         return rd.from_arrow(_EMPTY_OUT)
-    n_per_file = {f: pq_.ParquetFile(f).metadata.num_rows for f in files}
-
-    def read_ckpt():
-        return rd.read_parquet(files, include_paths=True, override_num_blocks=len(files))
-
-    def _guard(t: pa.Table) -> None:
-        path = t.column("path")[0].as_py()
-        if len(t) != n_per_file[path]:
-            raise RuntimeError(
-                f"token_postings: file {path} arrived as a {len(t)}-row "
-                f"batch, footer says {n_per_file[path]} — one-block-per-"
-                "file contract broken"
-            )
-
-    def boundary_heads(t: pa.Table) -> pa.Table:
-        if not len(t):
+    def boundary_heads(t, _path) -> pa.Table:
+        if t is None or not len(t):
             return pa.table(
                 {
                     "token": pa.array([], pa.string()),
@@ -157,7 +143,6 @@ def q_token_postings(sf_dir: str):
                     "n": pa.array([], pa.int64()),
                 }
             )
-        _guard(t)
         toks, ids, starts, ends = _runs(t)
         sel = [0] if len(starts) == 1 else [0, len(starts) - 1]
         return pa.table(
@@ -168,13 +153,9 @@ def q_token_postings(sf_dir: str):
             }
         )
 
-    heads = (
-        read_ckpt()
-        .map_batches(
-            boundary_heads, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-        )
-        .to_pandas()  # O(files) rows — bounded by cluster width, not vocab
-    )
+    # per-file tasks (fused read+kernel): Ray cannot re-split the block
+    heads = cp.per_file_map(files, boundary_heads).to_pandas()
+    # O(files) rows — bounded by cluster width, not vocab
     offsets: dict = {}
     if "token" in heads.columns and len(heads):
         heads = heads.sort_values(["token", "first_doc"], kind="mergesort")
@@ -195,10 +176,9 @@ def q_token_postings(sf_dir: str):
         }
     )
 
-    def emit_segments(t: pa.Table) -> pa.Table:
-        if not len(t):
+    def emit_segments(t, _path) -> pa.Table:
+        if t is None or not len(t):
             return _empty_seg
-        _guard(t)
         off = ray.get(off_ref)
         toks, ids, starts, ends = _runs(t)
         ids_str = ids.astype("U20")
@@ -236,9 +216,7 @@ def q_token_postings(sf_dir: str):
             }
         )
 
-    segs = read_ckpt().map_batches(
-        emit_segments, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    )
+    segs = cp.per_file_map(files, emit_segments)
 
     def keep_complete(t: pa.Table) -> pa.Table:
         return t.filter(t.column("complete")).drop_columns(["start_rank", "complete"])

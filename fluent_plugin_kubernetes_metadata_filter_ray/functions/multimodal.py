@@ -379,3 +379,142 @@ SELECT doc_id, media_type, n_bytes,
   {w32}::DOUBLE / 4294967296 AS feat
 FROM m
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# REAL audio path: WAV/RIFF header parsing — byte arithmetic only (no codec
+# library), same contract as the PNG/JPEG/GIF parsers above: payloads are
+# real spec-valid RIFF containers generated from doc_id, the engine must
+# genuinely walk the chunk list to agree with the SQL twin's generation
+# formula, and malformed bytes degrade to nulls.
+# ---------------------------------------------------------------------------
+
+WAV_RATES = (8000, 16000, 22050, 44100)
+
+
+def wav_payload(sample_rate: int, channels: int, n_samples: int) -> bytes:
+    """A real 16-bit PCM WAV container (RIFF + fmt + data, silence)."""
+    import struct
+
+    bits = 16
+    block_align = channels * bits // 8
+    data = b"\x00" * (n_samples * block_align)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, bits,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(b: bytes):
+    """(sample_rate, channels, bits, n_samples) from a RIFF/WAVE chunk walk,
+    or None if the bytes are not a parseable PCM WAV."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i = 12
+    sr = ch = bits = block_align = None
+    n_samples = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and clen >= 16 and i + 8 + 16 <= len(b):
+            _fmt, ch, sr, _br, block_align, bits = struct.unpack(
+                "<HHIIHH", b[i + 8 : i + 24]
+            )
+        elif cid == b"data":
+            if block_align in (None, 0):
+                return None  # data before fmt, or degenerate fmt
+            n_samples = clen // block_align
+        i += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if sr in (None, 0) or ch in (None, 0) or n_samples is None:
+        return None
+    return sr, ch, bits, n_samples
+
+
+def audio_bytes_from_documents(batch: pa.Table) -> pa.Table:
+    """documents → (doc_id, payload): REAL WAV bytes with doc_id-derived
+    params; doc_id % CORRUPT_MOD == 0 → garbage (the text's utf8 bytes)."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    text = batch.column("text").to_pylist()
+    payloads = []
+    for i, d in enumerate(ids):
+        d = int(d)
+        if d % CORRUPT_MOD == 0:
+            payloads.append((text[i] or "").encode())
+        else:
+            payloads.append(
+                wav_payload(WAV_RATES[d % 4], 1 + d % 2, 1 + (d * 13) % 256)
+            )
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+class WavDecoder:
+    """Actor-pool stage: parse REAL WAV containers; hostile bytes → nulls."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pl = batch.column("payload").to_pylist()
+        n = len(pl)
+        sr = np.zeros(n, dtype=np.int64)
+        ch = np.zeros(n, dtype=np.int64)
+        bits = np.zeros(n, dtype=np.int64)
+        ns = np.zeros(n, dtype=np.int64)
+        bad = np.zeros(n, dtype=bool)
+        for i, b in enumerate(pl):
+            parsed = parse_wav_header(b) if b is not None else None
+            if parsed is None:
+                bad[i] = True
+            else:
+                sr[i], ch[i], bits[i], ns[i] = parsed
+        dur = np.where(sr > 0, ns * 1000 // np.where(sr > 0, sr, 1), 0)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sample_rate": pa.array(sr, mask=bad),
+                "channels": pa.array(ch, mask=bad),
+                "bits": pa.array(bits, mask=bad),
+                "n_samples": pa.array(ns, mask=bad),
+                "duration_ms": pa.array(dur.astype(np.int64), mask=bad),
+            }
+        )
+
+
+def q_media_audio(sf_dir: str):
+    """Real audio decode plumbing: generate actual WAV containers, parse
+    their headers in an actor-pool stage (binary payloads → small batches
+    → callable class — the q_media_dims shape for the audio modality)."""
+    media = cp.read_documents(sf_dir).map_batches(
+        audio_bytes_from_documents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return media.map_batches(
+        WavDecoder,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=2,
+        zero_copy_batch=True,
+    )
+
+
+def media_audio_oracle_sql() -> str:
+    rates = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {i} THEN {r}" for i, r in enumerate(WAV_RATES)
+    ) + " END"
+    return f"""
+SELECT doc_id,
+  CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN NULL
+       ELSE ({rates}) END::BIGINT AS sample_rate,
+  CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN NULL
+       ELSE (1 + doc_id % 2) END::BIGINT AS channels,
+  CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN NULL ELSE 16 END::BIGINT AS bits,
+  CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN NULL
+       ELSE (1 + (doc_id * 13) % 256) END::BIGINT AS n_samples,
+  CASE WHEN doc_id % {CORRUPT_MOD} = 0 THEN NULL
+       ELSE ((1 + (doc_id * 13) % 256) * 1000) // ({rates}) END::BIGINT
+    AS duration_ms
+FROM documents
+""".strip()
