@@ -174,6 +174,7 @@ _DRIVER_PRIORITY = [
     "q_ann_pq",
     "q_doc_quality_quantile",
     "q_doc_dup_ngrams",
+    "q_media_audio",
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",

@@ -294,3 +294,30 @@ def test_image_header_parsers_reject_truncation(data):
     for other_fmt, (_, other_parse) in fmts.items():
         if other_fmt != fmt:
             assert other_parse(b) is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_wav_header_parser_truncation_and_fuzz(data):
+    """Any PREFIX of a valid WAV either parses to the full params or
+    returns None; random bytes never crash; the image parsers reject WAV
+    containers and vice versa."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import multimodal as mm
+
+    sr = data.draw(st.sampled_from(mm.WAV_RATES))
+    ch = data.draw(st.integers(1, 2))
+    ns = data.draw(st.integers(0, 512))
+    b = mm.wav_payload(sr, ch, ns)
+    assert mm.parse_wav_header(b) == (sr, ch, 16, ns)
+    cut = data.draw(st.integers(0, len(b)))
+    got = mm.parse_wav_header(b[:cut])
+    # a prefix may lose the data chunk tail: n_samples can only shrink
+    assert got is None or (got[0], got[1], got[2]) == (sr, ch, 16) and got[3] <= ns
+    # cross-format rejection
+    assert mm.parse_png_header(b) is None
+    assert mm.parse_jpeg_header(b) is None
+    assert mm.parse_gif_header(b) is None
+    assert mm.parse_wav_header(mm.png_payload(4, 4)) is None
+    # arbitrary garbage never crashes
+    junk = data.draw(st.binary(max_size=64))
+    mm.parse_wav_header(junk)
