@@ -548,3 +548,68 @@ thr AS (
 SELECT doc_id, n_tokens, quality_score, qb
 FROM b WHERE qb >= (SELECT t FROM thr)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# exact-k uniform sample (without replacement, deterministic)
+# ---------------------------------------------------------------------------
+
+EXACT_K = 200
+
+
+def _ksample_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch top-k by hash rank — the combiner: any global top-k doc is
+    in its own batch's top-k, so the shuffle carries ≤ k thin rows per
+    batch, never the corpus."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    src = batch.column("source")
+    rk = np.fromiter(
+        (cp.w63(f"ksample:{i}") for i in ids), dtype=np.int64, count=len(ids)
+    )
+    order = np.lexsort((ids, rk))[:EXACT_K]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[order], pa.int64()),
+            "source": src.take(pa.array(order)),
+            "rk": pa.array(rk[order]),
+        }
+    )
+
+
+def q_doc_sample_exact_k(sf_dir: str):
+    """EXACTLY k docs, uniformly without replacement, deterministic: the k
+    smallest md5-hash ranks (Bernoulli sampling can't hit an exact count;
+    ORDER BY random() isn't reproducible).  Distributed reservoir
+    equivalent: per-batch top-k combiner → ≤ k·batches thin rows →
+    one-block final cut.  Corpus never shuffles; re-runs and engines agree
+    bit-for-bit (auditable membership, like q_doc_sample)."""
+    ds = cp.read_documents(sf_dir, columns=("doc_id", "source"))
+    partials = ds.map_batches(
+        _ksample_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(1)
+
+    def final_cut(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        rk = t.column("rk").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, rk))[:EXACT_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "source": t.column("source").take(pa.array(order)),
+                "rk": pa.array(rk[order]),
+            }
+        )
+
+    return partials.map_batches(
+        final_cut, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+
+def doc_sample_exact_k_oracle_sql() -> str:
+    w63 = cp.SQL_W63.format(s="'ksample:' || doc_id")
+    return f"""
+SELECT doc_id, source, {w63} AS rk
+FROM documents
+ORDER BY rk, doc_id
+LIMIT {EXACT_K}
+""".strip()

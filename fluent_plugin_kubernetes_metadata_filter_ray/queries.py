@@ -175,6 +175,7 @@ _DRIVER_PRIORITY = [
     "q_doc_quality_quantile",
     "q_doc_dup_ngrams",
     "q_media_audio",
+    "q_doc_sample_exact_k",
     "q_para_dedup",
     "q_doc_split",
     "q_token_pmi",
