@@ -137,6 +137,10 @@ def _q_turn_late(sf_dir: str):
     return _la.turn_late(flagship.read_transcripts(sf_dir))
 
 
+def _q_turn_dedup_window(sf_dir: str):
+    return _la.turn_dedup_window(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -168,6 +172,8 @@ def _rawlog_oracle() -> str:
 # tail.
 _DRIVER_PRIORITY = [
     # round-4 additions (never driver-witnessed)
+    "q_turn_dedup_window",
+    "q_token_cms",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -228,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_rate_anomaly": _q_rate_anomaly,
         "q_conv_cardinality": _q_conv_cardinality,
         "q_turn_late": _q_turn_late,
+        "q_turn_dedup_window": _q_turn_dedup_window,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
@@ -260,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "q_rate_anomaly": _la.rate_anomaly_oracle_sql(),
         "q_conv_cardinality": _la.conv_cardinality_oracle_sql(),
         "q_turn_late": _la.turn_late_oracle_sql(),
+        "q_turn_dedup_window": _la.turn_dedup_window_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),

@@ -830,3 +830,146 @@ SELECT conv_id, turn_idx, ts,
   coalesce(date_diff('microsecond', ts, prevmax) > {_LATE_US}, false) AS is_late
 FROM w
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Windowed exact dedup (log-throttle): suppress a turn when an IDENTICAL
+# text was emitted ANYWHERE in the corpus within the preceding
+# DEDUP_WINDOW_S seconds.  The reference's deployments run this class of
+# suppression next to the metadata filter (fluentd's dedup/throttle
+# filters); at 10^12 turns it is the "collapse repeated log storms"
+# operator.  Lag semantics (vs the PREVIOUS occurrence, kept or not) so
+# the op has an exact window-function twin.
+#
+# Shape: one stateless map_batches hashes text → md5 and drops the text
+# payload, so only 4 thin columns ride the text_hash sort; the flags come
+# from ONE vectorized lag scan per sorted block (the _sorted_by_conv
+# physical contract: fixed-boundary range partitioning never splits equal
+# hashes across blocks).  Total order within a hash is (ts NULLS LAST,
+# w63(conv_id), turn_idx NULLS LAST) — int-only tie keys, replicated in
+# the oracle, so ties never diverge.
+# --------------------------------------------------------------------------
+
+DEDUP_WINDOW_S = 600
+_DW_US = DEDUP_WINDOW_S * 1_000_000
+# tie-break hash input for a null conv_id (both sides coalesce before w63)
+_TIE_NULL_CONV = "\x01"
+
+
+def _window_hash_batch(t: pa.Table) -> pa.Table:
+    """text → md5 content hash (null text → null, like DuckDB md5(NULL))
+    + int64 conv tie-break hash; drops the text payload before the sort."""
+    from ..functions import corpus as cp_
+
+    texts = t.column("text").to_pylist()
+    convs = t.column("conv_id").to_pylist()
+    h = pa.array(
+        [None if x is None else cp_.md5_hex(x) for x in texts], pa.string()
+    )
+    ch = pa.array(
+        [cp_.w63(c if c is not None else _TIE_NULL_CONV) for c in convs],
+        pa.int64(),
+    )
+    return pa.table(
+        {
+            "conv_id": t.column("conv_id"),
+            "turn_idx": t.column("turn_idx"),
+            "ts": t.column("ts"),
+            "text_hash": h,
+            "conv_h": ch,
+        }
+    )
+
+
+def _window_dedup_sorted_block(t: pa.Table) -> pa.Table:
+    """One lag scan over a text_hash-sorted block: consecutive rows of the
+    same hash (in (ts, conv_h, turn_idx) order) are the lag pairs — fully
+    vectorized, no per-group machinery (cf. _sorted_by_conv's rationale)."""
+    from .aggregate import _int_key
+
+    out_types = {
+        "conv_id": pa.string(),
+        "turn_idx": t.schema.field("turn_idx").type if t.num_columns else pa.int32(),
+        "text_hash": pa.string(),
+        "ts": t.schema.field("ts").type if t.num_columns else pa.timestamp("us"),
+        "gap_us": pa.int64(),
+        "is_suppressed": pa.bool_(),
+    }
+    n = len(t)
+    if n == 0:
+        return pa.table({k: pa.array([], v) for k, v in out_types.items()})
+    th = t.column("text_hash")
+    if isinstance(th, pa.ChunkedArray):
+        th = th.combine_chunks()
+    codes = th.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    ti, _ = _int_key(t.column("turn_idx"))
+    ts_f, v = _int_key(t.column("ts"))
+    ch = t.column("conv_h").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((ti, ch, ts_f, codes))
+    c_s, ts_s, v_s = codes[order], ts_f[order], v[order]
+    # null-text rows ride the sort under the masked sentinel but never
+    # participate in suppression (SQL twin coalesces them to false/0)
+    sent = pc.equal(th, _NULL_KEY).to_numpy(zero_copy_only=False)[order]
+    gap = np.zeros(n, dtype=np.int64)
+    sup = np.zeros(n, dtype=bool)
+    if n > 1:
+        same = c_s[1:] == c_s[:-1]
+        ok = same & v_s[1:] & v_s[:-1] & ~sent[1:]
+        d = ts_s[1:] - ts_s[:-1]  # ≥ 0: ts ascends within a hash segment
+        gap[1:] = np.where(ok, d, 0)
+        sup[1:] = ok & (d <= _DW_US)
+    take = pa.array(order)
+    out_hash = pc.if_else(
+        pc.equal(th, _NULL_KEY), pa.scalar(None, pa.string()), th
+    ).take(take)
+    return pa.table(
+        {
+            "conv_id": t.column("conv_id").take(take),
+            "turn_idx": t.column("turn_idx").take(take),
+            "text_hash": out_hash,
+            "ts": t.column("ts").take(take),
+            "gap_us": pa.array(gap, pa.int64()),
+            "is_suppressed": pa.array(sup),
+        }
+    )
+
+
+def turn_dedup_window(ds):
+    """Per-turn windowed-dedup flags: ``is_suppressed`` when an identical
+    text occurred within the preceding DEDUP_WINDOW_S seconds; ``gap_us``
+    = distance to that previous occurrence (0 for firsts/nulls)."""
+    need = ["conv_id", "turn_idx", "text", "ts"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+    ds = ds.map_batches(
+        _window_hash_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _mask_null_key(ds, "text_hash").sort("text_hash").map_batches(
+        _window_dedup_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def turn_dedup_window_oracle_sql() -> str:
+    from .. import datagen as dg
+    from ..functions import corpus as cp_
+
+    conv_h = cp_.SQL_W63.format(s="coalesce(conv_id, chr(1))")
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+h AS (
+  SELECT conv_id, turn_idx, ts, md5(text) AS text_hash, {conv_h} AS conv_h
+  FROM transcripts_t
+),
+l AS (
+  SELECT conv_id, turn_idx, ts, text_hash,
+    lag(ts) OVER (PARTITION BY text_hash ORDER BY ts, conv_h, turn_idx) AS prev_ts
+  FROM h
+)
+SELECT conv_id, turn_idx, text_hash, ts,
+  (CASE WHEN text_hash IS NOT NULL AND ts IS NOT NULL AND prev_ts IS NOT NULL
+        THEN date_diff('microsecond', prev_ts, ts) ELSE 0 END)::BIGINT AS gap_us,
+  coalesce(text_hash IS NOT NULL
+           AND date_diff('microsecond', prev_ts, ts) <= {_DW_US}, false)
+    AS is_suppressed
+FROM l
+""".strip()

@@ -243,3 +243,75 @@ def test_random_null_ts_property(ray_session, tmp_path):
     assert len(tl) == n and (tl["delay_us"] >= 0).all()
     assert tl.loc[tl["ts"].isna(), "delay_us"].eq(0).all()
     assert not tl.loc[tl["ts"].isna(), "is_late"].any()
+
+
+def test_turn_dedup_window_null_matches_duckdb(ray_session, tmp_path):
+    """Windowed dedup on hostile rows: null text (never suppressed), null
+    ts (can't be lagged against), duplicate texts straddling shards, and
+    identical (text, ts) pairs whose order only the int tie keys decide."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        DEDUP_WINDOW_S,
+        turn_dedup_window,
+    )
+
+    ts0 = pd.Timestamp("2024-01-01").value // 1000
+
+    def t(s):
+        return None if s is None else ts0 + int(s * 1_000_000)
+
+    win = DEDUP_WINDOW_S
+    rows = [
+        # same text inside / outside the window, across conversations
+        ("a", 0, "dup", t(0)),
+        ("b", 0, "dup", t(win - 1)),      # suppressed (gap < window)
+        ("c", 0, "dup", t(2 * win + 5)),  # kept (gap > window vs previous)
+        # identical (text, ts) tie pair → exactly one suppressed
+        ("x", 1, "tie", t(10)),
+        ("y", 1, "tie", t(10)),
+        # null text rows: never suppressed, even when adjacent
+        ("a", 1, None, t(1)),
+        ("a", 2, None, t(2)),
+        # null ts rows of a duplicated text: kept with gap 0
+        ("a", 3, "dup", None),
+        (None, 0, "dup", None),
+        # unique text
+        ("a", 4, "solo", t(5)),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "wdedup")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl.slice(0, 5), f"{d}/part-0.parquet")
+    pq.write_table(tbl.slice(5), f"{d}/part-1.parquet")
+
+    got = turn_dedup_window(ray.data.read_parquet(d)).to_pandas()
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        turn_dedup_window_oracle_sql,
+    )
+
+    sql = turn_dedup_window_oracle_sql()
+    # swap the derived-transcripts CTE for the hostile table (CTE name kept)
+    head, tail = sql.split("),\nh AS", 1)
+    sql = (
+        f"WITH transcripts_t AS (SELECT * FROM read_parquet('{d}/*.parquet')),\n"
+        "h AS" + tail
+    )
+    want = _oracle(d, sql)
+    _cmp(got, want, ["conv_id", "turn_idx", "ts", "text_hash"])
+    # semantic spot checks
+    byconv = got.set_index(["conv_id", "turn_idx"], drop=False)
+    assert bool(byconv.loc[("b", 0), "is_suppressed"]) is True
+    assert bool(byconv.loc[("c", 0), "is_suppressed"]) is False
+    assert not got.loc[got["text_hash"].isna(), "is_suppressed"].any()
+    assert not got.loc[got["ts"].isna(), "is_suppressed"].any()
+    tie = got[(got["turn_idx"] == 1) & got["conv_id"].isin(["x", "y"])]
+    assert tie["is_suppressed"].sum() == 1
