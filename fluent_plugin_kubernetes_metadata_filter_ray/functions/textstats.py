@@ -985,3 +985,167 @@ SELECT lang, source,
 FROM base
 GROUP BY ROLLUP(lang, source)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Count–min sketch token counts (Cormode & Muthukrishnan 2005) — the third
+# sketch next to HLL (conv_cardinality) and Bloom (dedup_bloom).  The
+# sketch is a FIXED d×w int64 matrix (256 KB here), so the only state that
+# ever reaches the driver is corpus-size-independent: per-batch partial
+# sketches collapse locally (np.add.at), cross the wire as nonzero
+# (slot, c) rows, Sum-combine in a ≤ d·w-group aggregate, and broadcast
+# once.  Estimates are probed for the eval split's vocabulary (the
+# decontaminate-style doc_id % CMS_PROBE_MOD subset) and reported next to
+# the exact counts so the one-sided overestimate is a measured, driver-
+# checkable invariant: true ≤ est, exact integer arithmetic on both sides.
+# All d bucket hashes come from ONE md5 per token (four 32-bit digest
+# slices), twinned in SQL as substr(md5(token), 1+8i, 8).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 8192
+CMS_PROBE_MOD = 17
+
+
+def _cms_buckets(tok: str) -> list[int]:
+    h = cp.md5_hex(tok)
+    return [int(h[8 * i : 8 * i + 8], 16) % CMS_W for i in range(CMS_D)]
+
+
+def _cms_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch partial sketch → nonzero (slot, c) rows (slot = i·w + b)."""
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.strip().str.split().explode()
+    vc = ex.value_counts()  # drops the null-text NaNs
+    vec = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    counts = vc.to_numpy(dtype=np.int64)
+    for j, tok in enumerate(vc.index):
+        for i, b in enumerate(_cms_buckets(tok)):
+            vec[i * CMS_W + b] += counts[j]
+    nz = np.flatnonzero(vec)
+    return pa.table(
+        {
+            "slot": pa.array(nz.astype(np.int64)),
+            "c": pa.array(vec[nz]),
+        }
+    )
+
+
+def q_token_cms(sf_dir: str):
+    """CMS estimates vs exact counts for the eval split's vocabulary:
+    (token, est_count, true_count) with true ≤ est guaranteed.
+
+    Scale shape: the sketch build is a combiner-pushed ≤ d·w-row
+    aggregate + one bounded driver collect (fixed 256 KB, regardless of
+    corpus size); the probe pass is a task closure over the broadcast
+    sketch; exact counts ride the token_freq combiner and meet the probe
+    vocabulary in a sentinel-threaded hash join (no unbounded broadcast)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _join_partitions
+
+    ds = cp.read_documents(sf_dir)
+
+    # 1. distributed sketch build (sentinel slot keeps the aggregate's
+    #    shuffle non-empty on an empty corpus; filtered on the driver)
+    sk = (
+        ds.map_batches(_cms_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"slot": pa.array([-1], pa.int64()), "c": pa.array([0], pa.int64())}
+        )))
+        .groupby("slot")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    vec = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+    if len(sk) and "slot" in sk:
+        sk = sk[sk["slot"] >= 0]
+        vec[sk["slot"].to_numpy(dtype=np.int64)] = sk["c"].to_numpy(dtype=np.int64)
+    ref = ray.put(vec)
+
+    # 2. probe vocabulary: distinct tokens of the eval split
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % CMS_PROBE_MOD == 0))
+        s = pd.Series(t.column("text").to_pandas())
+        toks = s.str.strip().str.split().explode().dropna().unique()
+        return pa.table({"token": pa.array(toks.astype(object), pa.string())})
+
+    probe = (
+        ds.map_batches(probe_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table({"token": pa.array([_SENT_TOKEN], pa.string())})))
+        .groupby("token")
+        .aggregate(Count(alias_name="_drop"))
+        .select_columns(["token"])
+    )
+
+    # 3. exact counts (token_freq combiner) ⋈ probe vocabulary
+    cnt = (
+        ds.map_batches(token_freq_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"token": pa.array([_SENT_TOKEN], pa.string()),
+             "n": pa.array([0], pa.int64())}
+        )))
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="true_count"))
+    )
+    joined = probe.join(
+        cnt, join_type="inner", num_partitions=_join_partitions(), on=("token",)
+    )
+
+    # 4. estimate from the broadcast sketch (task closure: per-task
+    #    ray.get is a local-store hit — no actor pool needed)
+    def estimate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("token"), _SENT_TOKEN))
+        v = ray.get(ref)
+        toks = t.column("token").to_pylist()
+        est = np.empty(len(toks), dtype=np.int64)
+        for j, tok in enumerate(toks):
+            est[j] = min(v[i * CMS_W + b] for i, b in enumerate(_cms_buckets(tok)))
+        return pa.table(
+            {
+                "token": t.column("token"),
+                "est_count": pa.array(est),
+                "true_count": t.column("true_count").cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_cms_oracle_sql() -> str:
+    def bucket(tok_expr: str) -> str:
+        return (
+            f"(('0x' || substr(md5({tok_expr}), 1 + 8 * r.i, 8))::UBIGINT"
+            f" % {CMS_W})::BIGINT"
+        )
+
+    toks = cp.SQL_TOKS.format(t="text")
+    return f"""
+WITH occ AS (
+  SELECT unnest({toks}) AS token FROM documents
+),
+cnt AS (SELECT token, count(*)::BIGINT AS n FROM occ GROUP BY token),
+sums AS (
+  SELECT r.i AS ri, {bucket('token')} AS bucket, sum(n)::BIGINT AS c
+  FROM cnt CROSS JOIN range({CMS_D}) r(i)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT DISTINCT unnest({toks}) AS token
+  FROM documents WHERE doc_id % {CMS_PROBE_MOD} = 0
+),
+pb AS (
+  SELECT p.token AS token, r.i AS ri, {bucket('p.token')} AS bucket
+  FROM probe p CROSS JOIN range({CMS_D}) r(i)
+),
+est AS (
+  SELECT pb.token AS token, min(s.c)::BIGINT AS est_count
+  FROM pb JOIN sums s ON s.ri = pb.ri AND s.bucket = pb.bucket
+  GROUP BY pb.token
+)
+SELECT e.token, e.est_count, c.n AS true_count
+FROM est e JOIN cnt c ON c.token = e.token
+""".strip()

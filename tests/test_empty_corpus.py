@@ -63,6 +63,7 @@ NEW_QUERIES = [
     "q_token_pmi",
     "q_dedup_bloom",
     "q_embed_kmeans",
+    "q_token_cms",
 ]
 
 

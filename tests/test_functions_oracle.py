@@ -47,6 +47,7 @@ SORT_KEYS = {
     "q_token_pmi": ["bigram"],
     "q_dedup_bloom": ["doc_id"],
     "q_embed_kmeans": ["vec_id"],
+    "q_token_cms": ["token"],
 }
 
 
@@ -370,3 +371,16 @@ def test_kmeans_lloyd_monotone_and_deterministic(ray_session, sf_dir):
     got = dict(zip(a1["vec_id"], a1["cluster"]))
     ids = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).column("vec_id").to_pylist()
     assert all(got[i] == af[j] for j, i in enumerate(ids))
+
+
+def test_cms_overestimates_one_sided(ray_session, sf_dir):
+    """CMS invariant: est ≥ true for every probe token (the sketch only
+    ever ADDS colliding mass), with equality for most tokens at this
+    width (w=8192 ≫ sf vocab)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import textstats as ts
+
+    got = ts.q_token_cms(sf_dir).to_pandas()
+    assert len(got) > 0
+    assert (got["est_count"] >= got["true_count"]).all()
+    # sketch width ≫ vocab at sf scale → the vast majority probe exact
+    assert (got["est_count"] == got["true_count"]).mean() > 0.9
