@@ -159,6 +159,12 @@ def _q_transcripts_orc(sf_dir: str):
     return orcsrc.q_transcripts_orc(sf_dir)
 
 
+def _q_transcripts_jsonl_gz(sf_dir: str):
+    from .sources import jsonl
+
+    return jsonl.q_transcripts_jsonl_gz(sf_dir)
+
+
 def _rawlog_oracle() -> str:
     from .sources import rawlog
 
@@ -174,6 +180,7 @@ _DRIVER_PRIORITY = [
     # round-4 additions (never driver-witnessed)
     "q_turn_dedup_window",
     "q_token_cms",
+    "q_transcripts_jsonl_gz",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -238,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
+        "q_transcripts_jsonl_gz": _q_transcripts_jsonl_gz,
     }
     from .functions import registry
     q.update(registry.queries())
@@ -271,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),
+        "q_transcripts_jsonl_gz": dg.transcripts_sql(),
     }
     from .functions import registry
     o.update(registry.oracle_sql())

@@ -622,3 +622,52 @@ def test_orc_source_matches_parquet_path(ray_session, sf_dir, tmp_path):
     via_parquet = run(ray.data.from_arrow(tbl))
     assert via_orc.equals(via_parquet)
     assert len(via_orc) == 300
+
+
+def test_jsonl_gz_source_round_trip(ray_session, sf_dir, tmp_path):
+    """Gzip JSONL shards round-trip the canonical transcript table exactly
+    (null vs empty string, µs timestamps, embedded newlines escape in
+    JSON), and the read fans out one task per shard."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.jsonl import (
+        read_transcripts_jsonl_gz,
+        write_transcripts_jsonl_gz,
+    )
+
+    tdir = dg.transcripts_path(sf_dir)
+    first = sorted(f for f in os.listdir(tdir) if f.endswith(".parquet"))[0]
+    tbl = pq.read_table(os.path.join(tdir, first)).slice(0, 199)
+    # hostile rows: null text, EMPTY text (must stay distinct from null),
+    # newline in text, null ts
+    extra = pa.table(
+        {
+            "conv_id": pa.array(["z", "z", "z", None], pa.string()),
+            "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+            "role": pa.array(["user", "user", "", None], pa.string()),
+            "text": pa.array([None, "", "a\nb\tc", "x"], pa.string()),
+            "tool": pa.array([None, "", None, ""], pa.string()),
+            "ts": pa.array([None, 0, 1, None], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    tbl = pa.concat_tables([tbl.select(extra.column_names), extra])
+
+    out = str(tmp_path / "gz")
+    n = write_transcripts_jsonl_gz(tbl, out, shard_rows=64)  # several shards
+    assert n == tbl.num_rows
+    assert len([f for f in os.listdir(out) if f.endswith(".jsonl.gz")]) >= 4
+
+    back = read_transcripts_jsonl_gz(out).to_pandas()
+    want = tbl.to_pandas()
+    key = ["conv_id", "turn_idx"]
+    back = back.sort_values(key, kind="mergesort", na_position="last").reset_index(drop=True)
+    want = want.sort_values(key, kind="mergesort", na_position="last").reset_index(drop=True)
+    for c in want.columns:
+        am, bm = back[c].fillna("@").astype(str), want[c].fillna("@").astype(str)
+        assert (am == bm).all(), f"{c}: {back[c].tolist()[:5]} vs {want[c].tolist()[:5]}"
+    # null and empty string survived as DIFFERENT values
+    z = back[back["conv_id"] == "z"].sort_values("turn_idx")
+    assert z["text"].tolist()[1] == "" and pd.isna(z["text"].tolist()[0])
