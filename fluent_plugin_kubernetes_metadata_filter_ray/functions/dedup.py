@@ -1106,3 +1106,142 @@ FROM newdocs n
 LEFT JOIN need nd USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Suffix→prefix overlap detection: flags documents whose LAST K tokens
+# reappear as another document's FIRST K tokens — the crawl-boundary /
+# pagination artifact (one logical page split across fetches, boilerplate
+# "continued on..." chains) that near-dup LSH misses because the bodies
+# share almost nothing.  Counts, not pairs: each doc reports how many
+# OTHER docs continue it (n_continuations = head-key matches of its tail
+# key), so a hot boilerplate key produces a big integer instead of a
+# quadratic pair blowup — the shape that survives 100 TB skew with zero
+# caps.  Shuffle: one combiner-pushed ≤|distinct-head-key| aggregate and
+# one sentinel-threaded hash join of thin int64 keys.
+# ---------------------------------------------------------------------------
+
+OVERLAP_K = 5  # boundary n-gram width (word tokens)
+_OV_NO_KEY = -2  # join-side fill for docs shorter than K (matches nothing)
+_OV_SENT_KEY = -3  # sentinel head-count key (threads the empty corpus)
+
+
+def _overlap_keys_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    hk = np.full(len(texts), -1, dtype=np.int64)
+    tk = np.full(len(texts), -1, dtype=np.int64)
+    valid = np.zeros(len(texts), dtype=bool)
+    for i, t in enumerate(texts):
+        toks = t.split() if t is not None else []
+        if len(toks) >= OVERLAP_K:
+            hk[i] = cp.w63(" ".join(toks[:OVERLAP_K]))
+            tk[i] = cp.w63(" ".join(toks[-OVERLAP_K:]))
+            valid[i] = True
+    vmask = pa.array(valid)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "head_key": pc.if_else(vmask, pa.array(hk), pa.scalar(None, pa.int64())),
+            "tail_key": pc.if_else(vmask, pa.array(tk), pa.scalar(None, pa.int64())),
+        }
+    )
+
+
+def q_doc_overlap(sf_dir: str):
+    """Per-doc boundary-overlap report: (doc_id, head_key, tail_key,
+    n_continuations) where n_continuations counts the OTHER documents
+    whose first K tokens equal this document's last K tokens."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    keys = cp.read_documents(sf_dir).map_batches(
+        _overlap_keys_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def head_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("head_key")))
+        return pa.table({"tail_key_j": t.column("head_key")})
+
+    heads = (
+        keys.map_batches(head_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"tail_key_j": pa.array([_OV_SENT_KEY], pa.int64())}
+        )))
+        .groupby("tail_key_j")
+        .aggregate(Count(alias_name="n_heads"))
+    )
+
+    def join_side(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "head_key": t.column("head_key"),
+                "tail_key": t.column("tail_key"),
+                "tail_key_j": pc.fill_null(t.column("tail_key"), _OV_NO_KEY),
+            }
+        )
+
+    left = keys.map_batches(
+        join_side, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {
+            "doc_id": pa.array([SENTINEL_ID], pa.int64()),
+            "head_key": pa.array([None], pa.int64()),
+            "tail_key": pa.array([None], pa.int64()),
+            "tail_key_j": pa.array([_OV_NO_KEY], pa.int64()),
+        }
+    )))
+    joined = left.join(
+        heads, join_type="left_outer", num_partitions=_join_partitions(),
+        on=("tail_key_j",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("doc_id"), SENTINEL_ID))
+        n = pc.fill_null(t.column("n_heads"), 0).to_numpy(zero_copy_only=False)
+        hk = t.column("head_key")
+        tk = t.column("tail_key")
+        self_hit = pc.fill_null(pc.equal(hk, tk), False).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "head_key": hk,
+                "tail_key": tk,
+                "n_continuations": pa.array(
+                    n.astype(np.int64) - self_hit.astype(np.int64)
+                ),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_overlap_oracle_sql() -> str:
+    k = OVERLAP_K
+    head = cp.SQL_W63.format(
+        s=f"list_aggregate(toks[1:{k}], 'string_agg', ' ')"
+    )
+    tail = cp.SQL_W63.format(
+        s=f"list_aggregate(toks[len(toks) - {k - 1}:len(toks)], 'string_agg', ' ')"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {cp.SQL_TOKS.format(t='text')} AS toks FROM documents
+),
+k AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= {k} THEN {head} END AS head_key,
+    CASE WHEN len(toks) >= {k} THEN {tail} END AS tail_key
+  FROM t
+),
+hc AS (
+  SELECT head_key AS hk, count(*)::BIGINT AS n FROM k
+  WHERE head_key IS NOT NULL GROUP BY 1
+)
+SELECT k.doc_id, k.head_key, k.tail_key,
+  (coalesce(hc.n, 0)
+   - CASE WHEN k.head_key = k.tail_key THEN 1 ELSE 0 END)::BIGINT
+    AS n_continuations
+FROM k LEFT JOIN hc ON hc.hk = k.tail_key
+""".strip()

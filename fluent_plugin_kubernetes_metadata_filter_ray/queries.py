@@ -181,6 +181,7 @@ _DRIVER_PRIORITY = [
     "q_turn_dedup_window",
     "q_token_cms",
     "q_transcripts_jsonl_gz",
+    "q_doc_overlap",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

@@ -64,6 +64,7 @@ NEW_QUERIES = [
     "q_dedup_bloom",
     "q_embed_kmeans",
     "q_token_cms",
+    "q_doc_overlap",
 ]
 
 

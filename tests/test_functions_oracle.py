@@ -48,6 +48,7 @@ SORT_KEYS = {
     "q_dedup_bloom": ["doc_id"],
     "q_embed_kmeans": ["vec_id"],
     "q_token_cms": ["token"],
+    "q_doc_overlap": ["doc_id"],
 }
 
 
@@ -384,3 +385,58 @@ def test_cms_overestimates_one_sided(ray_session, sf_dir):
     assert (got["est_count"] >= got["true_count"]).all()
     # sketch width ≫ vocab at sf scale → the vast majority probe exact
     assert (got["est_count"] == got["true_count"]).mean() > 0.9
+
+
+def test_doc_overlap_finds_planted_chain(ray_session, tmp_path):
+    """A split page (doc A's last 5 tokens == docs B and C's first 5)
+    reports n_continuations=2 on A; a doc whose own tail equals its own
+    head does NOT count itself; short docs (<K tokens) get null keys."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup as dd
+
+    boundary = "alpha beta gamma delta epsilon"
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                [
+                    "page one body text ends with " + boundary,   # A
+                    boundary + " continues page two here",        # B
+                    boundary + " another continuation branch",    # C
+                    boundary,                                     # self head==tail
+                    "too short",                                  # < K tokens
+                    None,                                         # null text
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 6, pa.string()),
+            "source": pa.array(["s"] * 6, pa.string()),
+            "n_chars": pa.array([1] * 6, pa.int64()),
+        }
+    )
+    d = str(tmp_path / "ovl")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(docs, f"{d}/documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    got = dd.q_doc_overlap(d).to_pandas().set_index("doc_id").sort_index()
+    # A's tail matches B, C, and doc 4's heads → 3 continuations
+    assert got.loc[1, "n_continuations"] == 3
+    # doc 4: head == tail == boundary; matches B, C and itself-excluded → 3-1... 
+    # boundary heads: B, C, doc4 → count 3, minus self = 2
+    assert got.loc[4, "n_continuations"] == 2
+    assert got.loc[2, "n_continuations"] == 0
+    assert pd.isna(got.loc[5, "head_key"]) and got.loc[5, "n_continuations"] == 0
+    assert pd.isna(got.loc[6, "tail_key"]) and got.loc[6, "n_continuations"] == 0
