@@ -1633,3 +1633,188 @@ SELECT d.doc_id, coalesce(p.n_distinct, 0) AS n_distinct,
             ELSE 0.0 END AS dup_frac
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Per-source distribution divergence: KL(P_source ‖ P_corpus) over unigram
+# token distributions — the data-mixing diagnostic ("how far does each
+# source's language drift from the blend?") that sits next to
+# q_source_mix / q_source_overlap when weighting a 100-TB blend.
+#
+# Exactness: every per-(source, token) term is quantized to int64 —
+# floor((c_st/N_s) · ((ln c_st − ln N_s − ln c_t + ln N) · 1e9)) — with
+# libm logs of exactly-represented integers (math.log per DISTINCT count,
+# never numpy's SIMD log; the simsearch._qdots rule), so the per-source
+# SUM is order-free integer arithmetic and the DuckDB twin matches
+# bit-for-bit.  Scale shape: the corpus collapses to a (source, token)
+# combiner-pushed aggregate; token totals derive from THAT table (no
+# second corpus pass); the only join is vocab-level; driver state is
+# ≤ |sources| rows.
+# ---------------------------------------------------------------------------
+
+KL_Q = 1e9
+_KL_SENT_SRC = "\x00\x00kl-sent"
+_KL_SENT_TOKEN = " "  # whitespace split can never emit it
+
+
+def _src_token_partial(batch: pa.Table) -> pa.Table:
+    from ..stages.aggregate import _NULL_KEY
+
+    s = pd.Series(batch.column("text").to_pandas())
+    src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY)
+    ex = s.str.strip().str.split().explode().dropna()
+    if not len(ex):
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+    g = (
+        pd.DataFrame({"source": src[ex.index].to_numpy(), "token": ex.to_numpy()})
+        .groupby(["source", "token"], sort=False).size().rename("c").reset_index()
+    )
+    return pa.table(
+        {
+            "source": pa.array(g["source"].to_numpy(dtype=object), pa.string()),
+            "token": pa.array(g["token"].to_numpy(dtype=object), pa.string()),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def _libm_log_per_distinct(c: np.ndarray) -> np.ndarray:
+    """ln over int64 counts, libm-exact per DISTINCT value."""
+    uc, inv = np.unique(c, return_inverse=True)
+    ls = np.array([math.log(int(u)) for u in uc], dtype=np.float64)
+    return ls[inv]
+
+
+def q_source_divergence(sf_dir: str):
+    """Per-source unigram KL divergence vs the corpus blend:
+    (source, n_tokens, kl_q, kl) — kl_q is the exact int64 quantized sum,
+    kl = kl_q / 1e9."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import _NULL_KEY, _unmask_col
+    from .dedup import _join_partitions
+
+    st = (
+        cp.read_documents(sf_dir, columns=("text", "source"))
+        .map_batches(_src_token_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {
+                "source": pa.array([_KL_SENT_SRC], pa.string()),
+                "token": pa.array([_KL_SENT_TOKEN], pa.string()),
+                "c": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["source", "token"])
+        .aggregate(Sum("c", alias_name="c_st"))
+        # one bounded materialize: |sources|·|vocab| rows (vocab-level, far
+        # below corpus size) consumed three times below — a lazy Dataset
+        # would re-run the corpus shuffle per consumer
+        .materialize()
+    )
+    tok = st.groupby("token").aggregate(Sum("c_st", alias_name="c_t"))
+    ns_df = st.groupby("source").aggregate(Sum("c_st", alias_name="n_s")).to_pandas()
+    ns: dict = {}
+    if len(ns_df) and "source" in ns_df.columns:
+        ns_df = ns_df[ns_df["source"] != _KL_SENT_SRC]
+        ns = {s_: int(v) for s_, v in zip(ns_df["source"], ns_df["n_s"])}
+    n_total = sum(ns.values())
+    ln_ns = {s_: math.log(v) for s_, v in ns.items() if v > 0}
+    ln_n = math.log(n_total) if n_total > 0 else 0.0
+    ns_ref = ray.put((ns, ln_ns, ln_n))
+
+    joined = st.join(
+        tok, join_type="inner", num_partitions=_join_partitions(), on=("token",)
+    )
+
+    import pyarrow.compute as pc_
+
+    def terms(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("token"), _KL_SENT_TOKEN))
+        if not len(t):
+            return pa.table(
+                {"source": pa.array([], pa.string()), "q": pa.array([], pa.int64())}
+            )
+        ns_, ln_ns_, ln_n_ = ray.get(ns_ref)
+        src = t.column("source").to_pylist()
+        c_st = t.column("c_st").to_numpy(zero_copy_only=False).astype(np.int64)
+        c_t = t.column("c_t").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_s = np.array([ns_[s_] for s_ in src], dtype=np.int64)
+        lns = np.array([ln_ns_[s_] for s_ in src], dtype=np.float64)
+        lc_st = _libm_log_per_distinct(c_st)
+        lc_t = _libm_log_per_distinct(c_t)
+        q = np.floor(
+            (c_st / n_s) * ((lc_st - lns - lc_t + ln_n_) * KL_Q)
+        ).astype(np.int64)
+        return pa.table(
+            {"source": pa.array(src, pa.string()), "q": pa.array(q, pa.int64())}
+        )
+
+    agg = (
+        joined.map_batches(terms, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"source": pa.array([_KL_SENT_SRC], pa.string()),
+             "q": pa.array([0], pa.int64())}
+        )))
+        .groupby("source")
+        .aggregate(Sum("q", alias_name="kl_q"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("source"), _KL_SENT_SRC))
+        ns_, _, _ = ray.get(ns_ref)
+        src = t.column("source").to_pylist()
+        klq = t.column("kl_q").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": _unmask_col(t.column("source")),
+                "n_tokens": pa.array(
+                    np.array([ns_[s_] for s_ in src], dtype=np.int64)
+                ),
+                "kl_q": pa.array(klq),
+                "kl": pa.array(klq.astype(np.float64) / KL_Q),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_divergence_oracle_sql() -> str:
+    toks = cp.SQL_TOKS.format(t="text")
+    # null sources ride an internal chr(1) mask (SQL joins drop NULL keys);
+    # it need not match the engine's internal sentinel — only the final
+    # CASE-restored NULL is compared.
+    return f"""
+WITH occ AS (
+  SELECT coalesce(source, chr(1)) AS source, unnest({toks}) AS token
+  FROM documents
+),
+st AS (SELECT source, token, count(*)::BIGINT AS c_st FROM occ GROUP BY 1, 2),
+tok AS (SELECT token, sum(c_st)::BIGINT AS c_t FROM st GROUP BY 1),
+ns AS (SELECT source, sum(c_st)::BIGINT AS n_s FROM st GROUP BY 1),
+nn AS (SELECT sum(c_t)::BIGINT AS n FROM tok),
+terms AS (
+  SELECT st.source,
+    floor((st.c_st::DOUBLE / ns.n_s)
+          * ((ln(st.c_st) - ln(ns.n_s) - ln(tok.c_t) + ln(nn.n)) * {KL_Q:.1f})
+    )::BIGINT AS q
+  FROM st
+  JOIN tok USING (token)
+  JOIN ns USING (source)
+  CROSS JOIN nn
+)
+SELECT
+  CASE WHEN t.source = chr(1) THEN NULL ELSE t.source END AS source,
+  ns.n_s AS n_tokens,
+  sum(t.q)::BIGINT AS kl_q,
+  (sum(t.q)::BIGINT)::DOUBLE / {KL_Q:.1f} AS kl
+FROM terms t JOIN ns USING (source)
+GROUP BY 1, 2
+""".strip()

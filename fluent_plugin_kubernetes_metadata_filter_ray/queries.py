@@ -182,6 +182,7 @@ _DRIVER_PRIORITY = [
     "q_token_cms",
     "q_transcripts_jsonl_gz",
     "q_doc_overlap",
+    "q_source_divergence",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

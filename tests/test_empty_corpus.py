@@ -65,6 +65,7 @@ NEW_QUERIES = [
     "q_embed_kmeans",
     "q_token_cms",
     "q_doc_overlap",
+    "q_source_divergence",
 ]
 
 

@@ -49,6 +49,7 @@ SORT_KEYS = {
     "q_embed_kmeans": ["vec_id"],
     "q_token_cms": ["token"],
     "q_doc_overlap": ["doc_id"],
+    "q_source_divergence": ["source"],
 }
 
 
@@ -440,3 +441,21 @@ def test_doc_overlap_finds_planted_chain(ray_session, tmp_path):
     assert got.loc[2, "n_continuations"] == 0
     assert pd.isna(got.loc[5, "head_key"]) and got.loc[5, "n_continuations"] == 0
     assert pd.isna(got.loc[6, "tail_key"]) and got.loc[6, "n_continuations"] == 0
+
+
+def test_source_divergence_semantics(ray_session, sf_dir):
+    """KL(P_s ‖ P) is ~non-negative (up to the 1e-9 floor quantization),
+    one row per source, n_tokens sums to the corpus total."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import (
+        curation as cu,
+        textstats as ts,
+    )
+
+    got = cu.q_source_divergence(sf_dir).to_pandas()
+    assert len(got) >= 1
+    assert got["source"].is_unique
+    # Gibbs' inequality, modulo per-term floor() (−1e-9 each)
+    assert (got["kl"] >= -1e-3).all()
+    assert (got["kl"] > 0).any()
+    total = int(ts.q_token_freq(sf_dir).to_pandas()["n"].sum())
+    assert int(got["n_tokens"].sum()) == total
