@@ -329,6 +329,23 @@ def run_bench() -> dict:
         timed("ann_pq_big", lambda: fq["q_ann_pq"](big).materialize(),
               shuffle=True)
 
+        # round-4 session additions: the CMS sketch (fixed-size aggregate +
+        # vocab join), boundary-overlap counts (thin int64-key join), and
+        # the per-source KL diagnostic (vocab-level join) at ~180k docs
+        for name in ("q_token_cms", "q_doc_overlap", "q_source_divergence"):
+            timed(name[2:] + "_big",
+                  lambda name=name: fq[name](big).materialize(), shuffle=True)
+
+        # windowed dedup over the replicated transcript stream (full-corpus
+        # text_hash sort + one lag scan per block)
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+            turn_dedup_window,
+        )
+
+        timed("turn_dedup_window",
+              lambda: turn_dedup_window(
+                  flagship.read_transcripts(SF_DIR, rep=REP)).count())
+
     # q3 (headline): parse+enrich+route write+per-sink counts (median of 2
     # trials: each writes ~600 MB, so keep the disk churn bounded)
     out_dir = f"/tmp/kmeta_bench_out/cpus{NUM_CPUS}"
