@@ -613,3 +613,200 @@ FROM documents
 ORDER BY rk, doc_id
 LIMIT {EXACT_K}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature importance weights (DSIR, Xie et al. 2023): score every
+# raw document by how much more likely its hashed unigram features are
+# under the TARGET distribution (the eval split here) than under the raw
+# corpus — the data-selection weight used to resample web text toward a
+# target domain.
+#
+# Scale shape is the op's whole point: both distributions are BOUNDED
+# B-bucket histograms (B = 4096), so unlike the TF-IDF/LM vocab tables
+# the driver/broadcast state is corpus-independent by construction — two
+# int64[4096] vectors.  The corpus streams twice: one combiner-pushed
+# histogram pass, one stateless scoring pass against the broadcast
+# per-bucket quantized log-ratio table.
+#
+# Exactness: Laplace-smoothed ratios, one int64-quantized term per bucket
+# — floor((ln(c_t+1) − ln(N_t+B) − ln(c_r+1) + ln(N_r+B)) · 1e9), libm
+# logs of exactly-represented ints — then per-doc Σ count_f(doc)·term_q(f)
+# in exact integer arithmetic, mirrored bit-for-bit by the DuckDB twin.
+# ---------------------------------------------------------------------------
+
+DSIR_B = 4096
+DSIR_Q = 1e9
+DSIR_TARGET_MOD = 17  # target domain = the eval split (decontaminate's)
+
+
+def _dsir_bucket_py(tok: str) -> int:
+    return cp.w64(tok) % DSIR_B
+
+
+def _dsir_hist_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (bucket, split) partial counts: split 1 = target docs."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    tgt = ids % DSIR_TARGET_MOD == 0
+    s = pd.Series(batch.column("text").to_pandas())
+    out_b, out_t, out_c = [], [], []
+    for is_tgt in (True, False):
+        ex = s[tgt == is_tgt].str.strip().str.split().explode()
+        vc = ex.value_counts()
+        if not len(vc):
+            continue
+        vec = np.zeros(DSIR_B, dtype=np.int64)
+        counts = vc.to_numpy(dtype=np.int64)
+        for j, tok in enumerate(vc.index):
+            vec[_dsir_bucket_py(tok)] += counts[j]
+        nz = np.flatnonzero(vec)
+        out_b.append(nz.astype(np.int64))
+        out_t.append(np.full(len(nz), 1 if is_tgt else 0, dtype=np.int64))
+        out_c.append(vec[nz])
+    if not out_b:
+        return pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "split": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "bucket": pa.array(np.concatenate(out_b)),
+            "split": pa.array(np.concatenate(out_t)),
+            "c": pa.array(np.concatenate(out_c)),
+        }
+    )
+
+
+def q_doc_importance(sf_dir: str):
+    """DSIR importance weights for every RAW (non-target) doc:
+    (doc_id, n_feats, logratio_q, logratio_avg, dsir_keep) — keep when the
+    doc's average per-feature log-ratio favors the target domain."""
+    import math
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = cp.read_documents(sf_dir)
+
+    hist = (
+        ds.map_batches(_dsir_hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {
+                "bucket": pa.array([-1], pa.int64()),
+                "split": pa.array([0], pa.int64()),
+                "c": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["bucket", "split"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )
+    c_t = np.zeros(DSIR_B, dtype=np.int64)
+    c_r = np.zeros(DSIR_B, dtype=np.int64)
+    if len(hist) and "bucket" in hist.columns:
+        hist = hist[hist["bucket"] >= 0]
+        for _, row in hist.iterrows():
+            (c_t if row["split"] == 1 else c_r)[int(row["bucket"])] = int(row["c"])
+    n_t, n_r = int(c_t.sum()), int(c_r.sum())
+    # per-bucket quantized log-ratio term, libm per distinct count value
+    def _ln_per_distinct(v: np.ndarray, add: int) -> np.ndarray:
+        uv, inv = np.unique(v, return_inverse=True)
+        ls = np.array([math.log(int(u) + add) for u in uv], dtype=np.float64)
+        return ls[inv]
+
+    ln_t = _ln_per_distinct(c_t, 1)
+    ln_r = _ln_per_distinct(c_r, 1)
+    lnn_t = math.log(n_t + DSIR_B)
+    lnn_r = math.log(n_r + DSIR_B)
+    term_q = np.floor(((ln_t - lnn_t - ln_r) + lnn_r) * DSIR_Q).astype(np.int64)
+    ref = ray.put(term_q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        raw = ids % DSIR_TARGET_MOD != 0
+        t = batch.filter(pa.array(raw))
+        tq = ray.get(ref)
+        ids_r = t.column("doc_id").to_numpy(zero_copy_only=False)
+        s = pd.Series(t.column("text").to_pandas()).reset_index(drop=True)
+        sp = s.str.strip().str.split()
+        n_feats = sp.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ex = sp.explode().dropna()
+        lrq = np.zeros(len(t), dtype=np.int64)
+        if len(ex):
+            # one md5 per DISTINCT token per batch; per-doc sums via a
+            # float64 bincount (|term_q| ≲ 2e10 × ~1e3 occurrences per doc
+            # stays far below 2^53 — exact, same rule as the LM scorer)
+            codes, uniq = pd.factorize(ex.to_numpy(), sort=False)
+            w = tq[np.fromiter((_dsir_bucket_py(x) for x in uniq),
+                               dtype=np.int64, count=len(uniq))]
+            lrq = np.bincount(
+                ex.index.to_numpy(dtype=np.int64), weights=w[codes].astype(np.float64),
+                minlength=len(t),
+            ).astype(np.int64)
+        avg = np.where(n_feats > 0, (lrq.astype(np.float64) / np.where(
+            n_feats > 0, n_feats, 1)) / DSIR_Q, 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_r.astype(np.int64)),
+                "n_feats": pa.array(n_feats),
+                "logratio_q": pa.array(lrq),
+                "logratio_avg": pa.array(avg),
+                "dsir_keep": pa.array((n_feats > 0) & (avg > 0.0)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_importance_oracle_sql() -> str:
+    toks = cp.SQL_TOKS.format(t="text")
+    bkt = f"({cp.SQL_W64.format(s='token')} % {DSIR_B})::BIGINT"
+    return f"""
+WITH occ AS (
+  SELECT doc_id, (doc_id % {DSIR_TARGET_MOD} = 0) AS is_tgt,
+         unnest({toks}) AS token
+  FROM documents
+),
+bo AS (SELECT doc_id, is_tgt, {bkt} AS bucket FROM occ),
+hist AS (
+  SELECT bucket,
+    sum(CASE WHEN is_tgt THEN 1 ELSE 0 END)::BIGINT AS c_t,
+    sum(CASE WHEN is_tgt THEN 0 ELSE 1 END)::BIGINT AS c_r
+  FROM bo GROUP BY bucket
+),
+tot AS (
+  SELECT coalesce(sum(c_t), 0)::BIGINT AS n_t,
+         coalesce(sum(c_r), 0)::BIGINT AS n_r
+  FROM hist
+),
+term AS (
+  SELECT b.bucket,
+    floor(((ln(coalesce(h.c_t, 0) + 1) - ln(t.n_t + {DSIR_B})
+            - ln(coalesce(h.c_r, 0) + 1)) + ln(t.n_r + {DSIR_B}))
+          * {DSIR_Q:.1f})::BIGINT AS q
+  FROM (SELECT DISTINCT bucket FROM bo) b
+  LEFT JOIN hist h USING (bucket) CROSS JOIN tot t
+),
+per_doc AS (
+  SELECT bo.doc_id, count(*)::BIGINT AS n_feats, sum(term.q)::BIGINT AS lrq
+  FROM bo JOIN term USING (bucket)
+  WHERE NOT bo.is_tgt
+  GROUP BY bo.doc_id
+)
+SELECT d.doc_id,
+  coalesce(p.n_feats, 0)::BIGINT AS n_feats,
+  coalesce(p.lrq, 0)::BIGINT AS logratio_q,
+  CASE WHEN coalesce(p.n_feats, 0) > 0
+       THEN (p.lrq::DOUBLE / p.n_feats) / {DSIR_Q:.1f} ELSE 0.0 END
+    AS logratio_avg,
+  (coalesce(p.n_feats, 0) > 0 AND
+   CASE WHEN coalesce(p.n_feats, 0) > 0
+        THEN (p.lrq::DOUBLE / p.n_feats) / {DSIR_Q:.1f} ELSE 0.0 END > 0.0)
+    AS dsir_keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+WHERE d.doc_id % {DSIR_TARGET_MOD} != 0
+""".strip()

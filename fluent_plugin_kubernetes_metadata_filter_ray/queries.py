@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = [
     "q_transcripts_jsonl_gz",
     "q_doc_overlap",
     "q_source_divergence",
+    "q_doc_importance",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

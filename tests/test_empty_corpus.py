@@ -66,6 +66,7 @@ NEW_QUERIES = [
     "q_token_cms",
     "q_doc_overlap",
     "q_source_divergence",
+    "q_doc_importance",
 ]
 
 

@@ -50,6 +50,7 @@ SORT_KEYS = {
     "q_token_cms": ["token"],
     "q_doc_overlap": ["doc_id"],
     "q_source_divergence": ["source"],
+    "q_doc_importance": ["doc_id"],
 }
 
 
@@ -459,3 +460,55 @@ def test_source_divergence_semantics(ray_session, sf_dir):
     assert (got["kl"] > 0).any()
     total = int(ts.q_token_freq(sf_dir).to_pandas()["n"].sum())
     assert int(got["n_tokens"].sum()) == total
+
+
+def test_doc_importance_prefers_target_like_docs(ray_session, tmp_path):
+    """DSIR: a raw doc written in the target split's vocabulary scores a
+    positive mean log-ratio (kept); one written in raw-only vocabulary
+    scores negative; empty/null docs get weight 0 and are dropped."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import sampling as sp
+
+    tgt_text = "quantum flux capacitor resonance harmonics " * 5
+    raw_text = "mundane boilerplate filler chatter noise " * 5
+    rows = []
+    # doc_ids divisible by 17 form the target split
+    for i in range(4):
+        rows.append((17 * (i + 1), tgt_text))          # target docs
+    rows.append((1, tgt_text))                         # raw, target-like
+    rows.append((2, raw_text))                         # raw, raw-like
+    rows.append((3, raw_text))
+    rows.append((4, ""))                               # raw, empty
+    rows.append((5, None))                             # raw, null
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([1] * len(rows), pa.int64()),
+        }
+    )
+    d = str(tmp_path / "dsir")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(docs, f"{d}/documents.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    got = sp.q_doc_importance(d).to_pandas().set_index("doc_id").sort_index()
+    assert set(got.index) == {1, 2, 3, 4, 5}  # raw docs only
+    assert got.loc[1, "logratio_avg"] > 0 and bool(got.loc[1, "dsir_keep"])
+    assert got.loc[2, "logratio_avg"] < 0 and not bool(got.loc[2, "dsir_keep"])
+    assert got.loc[4, "logratio_q"] == 0 and not bool(got.loc[4, "dsir_keep"])
+    assert got.loc[5, "n_feats"] == 0 and not bool(got.loc[5, "dsir_keep"])
