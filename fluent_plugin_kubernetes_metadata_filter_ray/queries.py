@@ -16,6 +16,7 @@ from .pipelines import flagship
 from .stages.aggregate import (
     conv_concat,
     conv_concat_oracle_sql,
+    conv_dedup_oracle_sql,
     conv_percentiles,
     conv_percentiles_oracle_sql,
     conv_sessions,
@@ -141,6 +142,12 @@ def _q_turn_dedup_window(sf_dir: str):
     return _la.turn_dedup_window(flagship.read_transcripts(sf_dir))
 
 
+def _q_conv_dedup(sf_dir: str):
+    from .stages.aggregate import conv_dedup
+
+    return conv_dedup(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -184,6 +191,7 @@ _DRIVER_PRIORITY = [
     "q_doc_overlap",
     "q_source_divergence",
     "q_doc_importance",
+    "q_conv_dedup",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -245,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conv_cardinality": _q_conv_cardinality,
         "q_turn_late": _q_turn_late,
         "q_turn_dedup_window": _q_turn_dedup_window,
+        "q_conv_dedup": _q_conv_dedup,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
@@ -279,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "q_conv_cardinality": _la.conv_cardinality_oracle_sql(),
         "q_turn_late": _la.turn_late_oracle_sql(),
         "q_turn_dedup_window": _la.turn_dedup_window_oracle_sql(),
+        "q_conv_dedup": conv_dedup_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),

@@ -748,3 +748,71 @@ SELECT conv_id, count(*)::BIGINT AS n_turns,
   {w63} AS doc_hash
 FROM transcripts_t GROUP BY conv_id
 """.strip()
+
+
+_CONV_DEDUP_NULL_HASH = -1  # w63 is non-negative; masks a null doc_hash
+
+
+def conv_dedup(ds):
+    """Conversation-level exact dedup: conversations whose REASSEMBLED
+    document (conv_concat's deterministic turn order) is byte-identical
+    collapse to one group — the transcript twin of q_dedup_exact, catching
+    whole-session replays (retried agent runs, double-shipped logs) that
+    turn-level dedup can't see.  Output: one row per distinct document
+    (doc_hash, keeper conv_id = min non-null, n_convs, n_turns of the
+    keeper-size group).  Shape: composes the conv_concat sorted-block
+    kernel with a thin ≤|distinct-doc| groupby — nothing new shuffles."""
+    from ray.data.aggregate import Count, Max, Min
+
+    cc = conv_concat(ds)
+
+    import pyarrow.compute as pc
+
+    def keyed(t: pa.Table) -> pa.Table:
+        h = pc.fill_null(t.column("doc_hash"), _CONV_DEDUP_NULL_HASH)
+        return t.set_column(t.column_names.index("doc_hash"), "doc_hash", h)
+
+    agg = (
+        cc.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_hash")
+        .aggregate(
+            Min("conv_id", alias_name="conv_id"),
+            Count(alias_name="n_convs"),
+            Max("n_turns", alias_name="n_turns"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        h = t.column("doc_hash")
+        return pa.table(
+            {
+                "doc_hash": pc.if_else(
+                    pc.equal(h, _CONV_DEDUP_NULL_HASH),
+                    pa.scalar(None, pa.int64()),
+                    h,
+                ),
+                "conv_id": t.column("conv_id"),
+                "n_convs": t.column("n_convs"),
+                "n_turns": t.column("n_turns").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def conv_dedup_oracle_sql() -> str:
+    from .. import datagen as dg
+    from ..functions import corpus as cp
+
+    agg = "string_agg(text, chr(10) ORDER BY turn_idx, ts, text)"
+    w63 = cp.SQL_W63.format(s=agg)
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+cc AS (
+  SELECT conv_id, count(*)::BIGINT AS n_turns, {w63} AS doc_hash
+  FROM transcripts_t GROUP BY conv_id
+)
+SELECT doc_hash, min(conv_id) AS conv_id, count(*)::BIGINT AS n_convs,
+  max(n_turns)::BIGINT AS n_turns
+FROM cc GROUP BY doc_hash
+""".strip()

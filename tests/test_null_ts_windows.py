@@ -315,3 +315,42 @@ def test_turn_dedup_window_null_matches_duckdb(ray_session, tmp_path):
     assert not got.loc[got["ts"].isna(), "is_suppressed"].any()
     tie = got[(got["turn_idx"] == 1) & got["conv_id"].isin(["x", "y"])]
     assert tie["is_suppressed"].sum() == 1
+
+
+def test_conv_dedup_collapses_replayed_conversations(ray_session, tmp_path):
+    """Two conversations with byte-identical reassembled documents collapse
+    into one group (keeper = min conv_id); a third differing by one char
+    stays separate; an all-null-text conv carries a null doc_hash."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        conv_dedup,
+    )
+
+    ts0 = pd.Timestamp("2024-01-01").value // 1000
+    rows = []
+    for conv in ("a", "b"):  # replayed session: identical turn content
+        rows += [(conv, 0, "hello", ts0), (conv, 1, "world", ts0 + 1)]
+    rows += [("c", 0, "hello", ts0), ("c", 1, "world!", ts0 + 1)]  # near miss
+    rows += [("d", 0, None, ts0)]  # all-null text → null doc_hash
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["user"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "convdedup")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl.slice(0, 3), f"{d}/part-0.parquet")  # conv a straddles
+    pq.write_table(tbl.slice(3), f"{d}/part-1.parquet")
+
+    got = conv_dedup(ray.data.read_parquet(d)).to_pandas()
+    assert len(got) == 3  # {a,b} merged, c separate, d (null hash) separate
+    merged = got[got["n_convs"] == 2]
+    assert len(merged) == 1 and merged["conv_id"].iloc[0] == "a"
+    assert merged["n_turns"].iloc[0] == 2
+    nullh = got[got["doc_hash"].isna()]
+    assert len(nullh) == 1 and nullh["conv_id"].iloc[0] == "d"
