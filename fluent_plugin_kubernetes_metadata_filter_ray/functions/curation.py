@@ -1818,3 +1818,110 @@ SELECT
 FROM terms t JOIN ns USING (source)
 GROUP BY 1, 2
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Per-source n-gram diversity: distinct-shingle ratio per source — the
+# self-repetition diagnostic at SOURCE granularity (low ratio = template /
+# boilerplate farms, high = diverse prose), next to doc-level repetition
+# (T22) and cross-doc dup n-grams (T54).  One shuffle chain, no joins:
+# per-batch (source, shingle-hash) combiner → vocab-level groupby →
+# ≤|sources| aggregate.  Shingles come from the SHARED batch_shingles
+# kernel so semantics can't diverge from the minhash/decontaminate twins.
+# ---------------------------------------------------------------------------
+
+_DIV_SENT_SRC = "\x00\x00div-sent"
+
+
+def _src_shingle_partial(batch: pa.Table) -> pa.Table:
+    from ..stages.aggregate import _NULL_KEY
+
+    empty = pa.table(
+        {
+            "source": pa.array([], pa.string()),
+            "h": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+    t3 = cp.batch_shingles(batch)
+    if t3 is None:
+        return empty
+    rows, codes, uniques = t3
+    h_u = np.fromiter((cp.w63(x) for x in uniques), dtype=np.int64, count=len(uniques))
+    src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY).to_numpy(
+        dtype=object
+    )
+    g = (
+        pd.DataFrame({"source": src[rows], "h": h_u[codes]})
+        .groupby(["source", "h"], sort=False).size().rename("c").reset_index()
+    )
+    return pa.table(
+        {
+            "source": pa.array(g["source"].to_numpy(dtype=object), pa.string()),
+            "h": pa.array(g["h"].to_numpy(dtype=np.int64)),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_source_diversity(sf_dir: str):
+    """Per-source shingle diversity: (source, n_shingles, n_distinct,
+    distinct_ratio) over word 3-grams."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.aggregate import _unmask_col
+
+    g1 = (
+        cp.read_documents(sf_dir, columns=("text", "source"))
+        .map_batches(_src_shingle_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {
+                "source": pa.array([_DIV_SENT_SRC], pa.string()),
+                "h": pa.array([-1], pa.int64()),
+                "c": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["source", "h"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    g2 = g1.groupby("source").aggregate(
+        Sum("c", alias_name="n_shingles"), Count(alias_name="n_distinct")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("source"), _DIV_SENT_SRC))
+        ns = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t.column("n_distinct").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": _unmask_col(t.column("source")),
+                "n_shingles": pa.array(ns),
+                "n_distinct": pa.array(nd),
+                "distinct_ratio": pa.array(
+                    nd.astype(np.float64) / ns.astype(np.float64)
+                ),
+            }
+        )
+
+    return g2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_diversity_oracle_sql() -> str:
+    w63 = cp.SQL_W63.format(s="s")
+    return f"""
+WITH tok AS (
+  SELECT source, {cp.SQL_TOKS.format(t='text')} AS toks FROM documents
+),
+sh AS (
+  SELECT source, unnest(list_transform(generate_series(1, len(toks) - 2),
+                 i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+  FROM tok
+),
+occ AS (SELECT source, {w63} AS h FROM sh)
+SELECT source, count(*)::BIGINT AS n_shingles,
+  count(DISTINCT h)::BIGINT AS n_distinct,
+  count(DISTINCT h)::DOUBLE / count(*)::DOUBLE AS distinct_ratio
+FROM occ GROUP BY source
+""".strip()

@@ -192,6 +192,7 @@ _DRIVER_PRIORITY = [
     "q_source_divergence",
     "q_doc_importance",
     "q_conv_dedup",
+    "q_source_diversity",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

@@ -67,6 +67,7 @@ NEW_QUERIES = [
     "q_doc_overlap",
     "q_source_divergence",
     "q_doc_importance",
+    "q_source_diversity",
 ]
 
 

@@ -51,6 +51,7 @@ SORT_KEYS = {
     "q_doc_overlap": ["doc_id"],
     "q_source_divergence": ["source"],
     "q_doc_importance": ["doc_id"],
+    "q_source_diversity": ["source"],
 }
 
 
