@@ -332,7 +332,8 @@ def run_bench() -> dict:
         # round-4 session additions: the CMS sketch (fixed-size aggregate +
         # vocab join), boundary-overlap counts (thin int64-key join), and
         # the per-source KL diagnostic (vocab-level join) at ~180k docs
-        for name in ("q_token_cms", "q_doc_overlap", "q_source_divergence"):
+        for name in ("q_token_cms", "q_doc_overlap", "q_source_divergence",
+                     "q_doc_importance", "q_source_diversity"):
             timed(name[2:] + "_big",
                   lambda name=name: fq[name](big).materialize(), shuffle=True)
 
@@ -345,6 +346,14 @@ def run_bench() -> dict:
         timed("turn_dedup_window",
               lambda: turn_dedup_window(
                   flagship.read_transcripts(SF_DIR, rep=REP)).count())
+
+        # conversation-level dedup over the salted 192k-conv corpus (the
+        # conv_concat kernel + a thin per-distinct-document groupby)
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+            conv_dedup,
+        )
+
+        timed("conv_dedup_big", lambda: conv_dedup(_salted()).count())
 
     # q3 (headline): parse+enrich+route write+per-sink counts (median of 2
     # trials: each writes ~600 MB, so keep the disk churn bounded)

@@ -1833,15 +1833,14 @@ GROUP BY 1, 2
 _DIV_SENT_SRC = "\x00\x00div-sent"
 
 
-def _src_shingle_partial(batch: pa.Table) -> pa.Table:
+def _src_shingle_pairs(batch: pa.Table, code_of: dict) -> pa.Table:
+    """Distinct (source-code, shingle-hash) int pairs of one batch — the
+    only rows that ride the big exchange (two int64 columns; totals never
+    shuffle at all)."""
     from ..stages.aggregate import _NULL_KEY
 
     empty = pa.table(
-        {
-            "source": pa.array([], pa.string()),
-            "h": pa.array([], pa.int64()),
-            "c": pa.array([], pa.int64()),
-        }
+        {"sc": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
     )
     t3 = cp.batch_shingles(batch)
     if t3 is None:
@@ -1851,61 +1850,163 @@ def _src_shingle_partial(batch: pa.Table) -> pa.Table:
     src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY).to_numpy(
         dtype=object
     )
-    g = (
-        pd.DataFrame({"source": src[rows], "h": h_u[codes]})
-        .groupby(["source", "h"], sort=False).size().rename("c").reset_index()
+    src_codes = np.fromiter(
+        (code_of[v] for v in src), dtype=np.int64, count=len(src)
     )
+    # fused int key + bincount: pure C per-batch dedup (a pandas groupby
+    # over the exploded object keys cost seconds per 1.6M-row batch)
+    key = src_codes[rows] * len(uniques) + codes
+    cnt = np.bincount(key, minlength=len(code_of) * len(uniques))
+    nz = np.flatnonzero(cnt)
+    s_idx, h_idx = np.divmod(nz, len(uniques))
+    return pa.table({"sc": pa.array(s_idx.astype(np.int64)), "h": pa.array(h_u[h_idx])})
+
+
+def _src_shingle_totals(batch: pa.Table, code_of: dict) -> pa.Table:
+    """Per-batch shingle totals per source: ≤ |sources| rows, no hashing."""
+    from ..stages.aggregate import _NULL_KEY
+
+    t3 = cp.batch_shingles(batch)
+    if t3 is None:
+        return pa.table(
+            {"sc": pa.array([], pa.int64()), "c": pa.array([], pa.int64())}
+        )
+    rows, _, _ = t3
+    src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY).to_numpy(
+        dtype=object
+    )
+    src_codes = np.fromiter(
+        (code_of[v] for v in src), dtype=np.int64, count=len(src)
+    )
+    cnt = np.bincount(src_codes[rows], minlength=len(code_of))
+    nz = np.flatnonzero(cnt)
     return pa.table(
-        {
-            "source": pa.array(g["source"].to_numpy(dtype=object), pa.string()),
-            "h": pa.array(g["h"].to_numpy(dtype=np.int64)),
-            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
-        }
+        {"sc": pa.array(nz.astype(np.int64)), "c": pa.array(cnt[nz].astype(np.int64))}
     )
 
 
 def q_source_diversity(sf_dir: str):
     """Per-source shingle diversity: (source, n_shingles, n_distinct,
-    distinct_ratio) over word 3-grams."""
-    import pyarrow.compute as pc_
+    distinct_ratio) over word 3-grams.
+
+    Shape: the distinct-source table is collected once (≤ |sources| rows,
+    the source_mix bound) and broadcast as an int code map, so the big
+    exchange carries exactly two int64 columns — per-batch-distinct
+    (source-code, shingle-hash) pairs through a groupby whose second
+    stage is a ≤ |sources| Count.  Totals never shuffle: a per-batch
+    ≤ |sources|-row combiner sums driver-side.  String-keyed sorting of
+    the 20M-pair exchange was the first version's cost (32.6 s at the
+    180k-doc bench corpus); all-int keys + split totals cut it ~3×."""
+    import ray
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    from ..stages.aggregate import _unmask_col
+    from ..stages.aggregate import _NULL_KEY
 
-    g1 = (
-        cp.read_documents(sf_dir, columns=("text", "source"))
-        .map_batches(_src_shingle_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .union(rd.from_arrow(pa.table(
+    docs = cp.read_documents(sf_dir, columns=("text", "source"))
+
+    def _src_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        src = pc_.fill_null(t.column("source"), _NULL_KEY)
+        return pa.table({"source": pc_.unique(src)})
+
+    srcs_df = (
+        docs.map_batches(_src_only, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table({"source": pa.array([_DIV_SENT_SRC], pa.string())})))
+        .groupby("source")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    names = [
+        v for v in (srcs_df["source"] if "source" in srcs_df.columns else [])
+        if v != _DIV_SENT_SRC
+    ]
+    if not names:  # empty corpus → typed empty result
+        return rd.from_arrow(pa.table(
             {
-                "source": pa.array([_DIV_SENT_SRC], pa.string()),
-                "h": pa.array([-1], pa.int64()),
-                "c": pa.array([0], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "n_shingles": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "distinct_ratio": pa.array([], pa.float64()),
             }
-        )))
-        .groupby(["source", "h"])
-        .aggregate(Sum("c", alias_name="c"))
-    )
-    g2 = g1.groupby("source").aggregate(
-        Sum("c", alias_name="n_shingles"), Count(alias_name="n_distinct")
-    )
+        ))
+    code_of = {v: i for i, v in enumerate(sorted(names))}
+    ref = ray.put(code_of)
 
-    def finish(t: pa.Table) -> pa.Table:
-        t = t.filter(pc_.not_equal(t.column("source"), _DIV_SENT_SRC))
-        ns = t.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
-        nd = t.column("n_distinct").to_numpy(zero_copy_only=False).astype(np.int64)
+    def pairs(t: pa.Table) -> pa.Table:
+        return _src_shingle_pairs(t, ray.get(ref))
+
+    def totals(t: pa.Table) -> pa.Table:
+        return _src_shingle_totals(t, ray.get(ref))
+
+    # distinct pairs via sort + vectorized boundary scan, NOT a 20M-group
+    # groupby: Ray's aggregate pays per-group overhead at pair-count
+    # cardinality (the dedup._emit_pairs_sorted_block lesson) — the sorted-
+    # block contract guarantees equal (sc, h) pairs never straddle blocks,
+    # so per-block first-occurrence counts sum to the exact global distinct
+    def nd_block(t: pa.Table) -> pa.Table:
+        e = pa.table(
+            {"sc": pa.array([], pa.int64()), "nd": pa.array([], pa.int64())}
+        )
+        if not len(t):
+            return e
+        sc_v = t.column("sc").to_numpy(zero_copy_only=False)
+        h_v = t.column("h").to_numpy(zero_copy_only=False)
+        first = np.r_[True, (sc_v[1:] != sc_v[:-1]) | (h_v[1:] != h_v[:-1])]
+        keep = first & (sc_v >= 0)  # sentinel row out
+        if not keep.any():
+            return e
+        cnt = np.bincount(sc_v[keep], minlength=len(code_of))
+        nz = np.flatnonzero(cnt)
         return pa.table(
-            {
-                "source": _unmask_col(t.column("source")),
-                "n_shingles": pa.array(ns),
-                "n_distinct": pa.array(nd),
-                "distinct_ratio": pa.array(
-                    nd.astype(np.float64) / ns.astype(np.float64)
-                ),
-            }
+            {"sc": pa.array(nz.astype(np.int64)),
+             "nd": pa.array(cnt[nz].astype(np.int64))}
         )
 
-    return g2.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    nd_df = (
+        docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"sc": pa.array([-1], pa.int64()), "h": pa.array([-1], pa.int64())}
+        )))
+        .sort(["sc", "h"])
+        .map_batches(nd_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sc")
+        .aggregate(Sum("nd", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    ns_df = (
+        docs.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"sc": pa.array([-1], pa.int64()), "c": pa.array([0], pa.int64())}
+        )))
+        .groupby("sc")
+        .aggregate(Sum("c", alias_name="n_shingles"))
+        .to_pandas()
+    )
+    # bounded driver assembly: both tables are ≤ |sources|+1 rows
+    nd = {int(r["sc"]): int(r["n_distinct"]) for _, r in nd_df.iterrows()
+          if int(r["sc"]) >= 0}
+    ns = {int(r["sc"]): int(r["n_shingles"]) for _, r in ns_df.iterrows()
+          if int(r["sc"]) >= 0 and int(r["n_shingles"]) > 0}
+    name_of = {i: v for v, i in code_of.items()}
+    out_src, out_ns, out_nd = [], [], []
+    for sc in sorted(ns):
+        out_src.append(None if name_of[sc] == _NULL_KEY else name_of[sc])
+        out_ns.append(ns[sc])
+        out_nd.append(nd[sc])
+    ns_a = np.array(out_ns, dtype=np.int64)
+    nd_a = np.array(out_nd, dtype=np.int64)
+    return rd.from_arrow(pa.table(
+        {
+            "source": pa.array(out_src, pa.string()),
+            "n_shingles": pa.array(ns_a),
+            "n_distinct": pa.array(nd_a),
+            "distinct_ratio": pa.array(
+                nd_a.astype(np.float64) / ns_a.astype(np.float64)
+            ) if len(ns_a) else pa.array([], pa.float64()),
+        }
+    ))
 
 
 def source_diversity_oracle_sql() -> str:
