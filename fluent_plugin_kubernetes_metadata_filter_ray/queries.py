@@ -148,6 +148,10 @@ def _q_conv_dedup(sf_dir: str):
     return conv_dedup(flagship.read_transcripts(sf_dir))
 
 
+def _q_field_nulls(sf_dir: str):
+    return _la.field_nulls(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -193,6 +197,7 @@ _DRIVER_PRIORITY = [
     "q_doc_importance",
     "q_conv_dedup",
     "q_source_diversity",
+    "q_field_nulls",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -255,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_late": _q_turn_late,
         "q_turn_dedup_window": _q_turn_dedup_window,
         "q_conv_dedup": _q_conv_dedup,
+        "q_field_nulls": _q_field_nulls,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
@@ -290,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_late": _la.turn_late_oracle_sql(),
         "q_turn_dedup_window": _la.turn_dedup_window_oracle_sql(),
         "q_conv_dedup": conv_dedup_oracle_sql(),
+        "q_field_nulls": _la.field_nulls_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),

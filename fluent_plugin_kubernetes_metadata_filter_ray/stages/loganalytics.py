@@ -973,3 +973,123 @@ SELECT conv_id, turn_idx, text_hash, ts,
     AS is_suppressed
 FROM l
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Data-quality observability: per-day per-field null rates over the turn
+# stream — the schema-drift / broken-shipper detector (a collector that
+# stops sending `tool`, a parser change that nulls `role`, show up as a
+# step in null_frac long before anything downstream crashes).  Combiner
+# pushdown: each batch collapses to ≤ days×fields rows; the day key stays
+# int64 µs through the groupby (the turn_rates timestamp-normalization
+# rule) and becomes timestamp[us] in a final map over the tiny result.
+# --------------------------------------------------------------------------
+
+QUALITY_FIELDS = ("role", "text", "tool")
+_DAY_US = 86_400_000_000
+_FN_SENT_FIELD = " "  # field names never contain a space
+
+
+def _field_nulls_partial(t: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "day_us": pa.array([], pa.int64()),
+            "field": pa.array([], pa.string()),
+            "n_rows": pa.array([], pa.int64()),
+            "n_null": pa.array([], pa.int64()),
+        }
+    )
+    if not len(t):
+        return empty
+    us = t.column("ts").cast(pa.int64())
+    day = pc.multiply(pc.divide(us, _DAY_US), _DAY_US)  # floor to day
+    day = pc.fill_null(day, _NULL_US).to_numpy(zero_copy_only=False)
+    uniq, codes = np.unique(day, return_inverse=True)
+    out_d, out_f, out_r, out_n = [], [], [], []
+    n_rows = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+    for f in QUALITY_FIELDS:
+        isnull = pc.is_null(t.column(f)).to_numpy(zero_copy_only=False)
+        n_null = np.bincount(
+            codes, weights=isnull.astype(np.float64), minlength=len(uniq)
+        ).astype(np.int64)
+        out_d.append(uniq)
+        out_f.extend([f] * len(uniq))
+        out_r.append(n_rows)
+        out_n.append(n_null)
+    return pa.table(
+        {
+            "day_us": pa.array(np.concatenate(out_d)),
+            "field": pa.array(out_f, pa.string()),
+            "n_rows": pa.array(np.concatenate(out_r)),
+            "n_null": pa.array(np.concatenate(out_n)),
+        }
+    )
+
+
+def field_nulls(ds):
+    """Per-(day, field) null-rate report: (day_ts, field, n_rows, n_null,
+    null_frac) for the role/text/tool columns."""
+    import ray.data as rd
+
+    need = ["role", "text", "tool", "ts"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+    agg = (
+        ds.map_batches(
+            _field_nulls_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "day_us": pa.array([_NULL_US], pa.int64()),
+                "field": pa.array([_FN_SENT_FIELD], pa.string()),
+                "n_rows": pa.array([0], pa.int64()),
+                "n_null": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["field", "day_us"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"), Sum("n_null", alias_name="n_null"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("field"), _FN_SENT_FIELD))
+        d = t.column("day_us")
+        day_ts = pc.if_else(
+            pc.equal(d, _NULL_US), pa.scalar(None, pa.int64()), d
+        ).cast(pa.timestamp("us"))
+        nr = t.column("n_rows").to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = t.column("n_null").to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = np.where(nr > 0, nn.astype(np.float64) / np.where(nr > 0, nr, 1), 0.0)
+        return pa.table(
+            {
+                "day_ts": day_ts,
+                "field": t.column("field"),
+                "n_rows": pa.array(nr),
+                "n_null": pa.array(nn),
+                "null_frac": pa.array(frac),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def field_nulls_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+f AS (SELECT unnest(['role', 'text', 'tool']) AS field),
+occ AS (
+  SELECT date_trunc('day', ts) AS day_ts, f.field,
+    CASE f.field WHEN 'role' THEN (role IS NULL)
+                 WHEN 'text' THEN (text IS NULL)
+                 ELSE (tool IS NULL) END AS is_null
+  FROM transcripts_t CROSS JOIN f
+)
+SELECT day_ts, field, count(*)::BIGINT AS n_rows,
+  sum(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
+  CASE WHEN count(*) > 0
+       THEN sum(CASE WHEN is_null THEN 1 ELSE 0 END)::DOUBLE
+            / count(*)::DOUBLE
+       ELSE 0.0 END AS null_frac
+FROM occ GROUP BY 1, 2
+""".strip()

@@ -354,3 +354,50 @@ def test_conv_dedup_collapses_replayed_conversations(ray_session, tmp_path):
     assert merged["n_turns"].iloc[0] == 2
     nullh = got[got["doc_hash"].isna()]
     assert len(nullh) == 1 and nullh["conv_id"].iloc[0] == "d"
+
+
+def test_field_nulls_detects_drift_day(ray_session, tmp_path):
+    """A day where the shipper stops sending `tool` reads back as
+    null_frac=1.0 for that (day, tool) cell; null-ts rows form their own
+    null-day group; totals are per-field identical."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        field_nulls,
+    )
+
+    day0 = pd.Timestamp("2024-01-01").value // 1000
+    day1 = pd.Timestamp("2024-01-02").value // 1000
+    rows = [
+        ("a", 0, "user", "x", "grep", day0),
+        ("a", 1, "user", "y", "sed", day0 + 1),
+        # day 1: tool pipeline broke
+        ("b", 0, "user", "z", None, day1),
+        ("b", 1, None, None, None, day1 + 5),
+        # null ts bucket
+        ("c", 0, "user", "w", "awk", None),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+            "ts": pa.array([r[5] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "fieldnulls")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(tbl.slice(0, 3), f"{d}/part-0.parquet")
+    pq.write_table(tbl.slice(3), f"{d}/part-1.parquet")
+
+    got = field_nulls(ray.data.read_parquet(d)).to_pandas()
+    assert len(got) == 9  # 3 day groups (day0, day1, null) × 3 fields
+    assert (got.groupby("field")["n_rows"].sum() == 5).all()
+    d1 = got[got["day_ts"] == pd.Timestamp("2024-01-02")].set_index("field")
+    assert d1.loc["tool", "null_frac"] == 1.0
+    assert d1.loc["role", "null_frac"] == 0.5
+    nullday = got[got["day_ts"].isna()]
+    assert len(nullday) == 3 and (nullday["n_rows"] == 1).all()
+    assert (nullday["n_null"] == 0).all()
