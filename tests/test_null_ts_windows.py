@@ -401,3 +401,51 @@ def test_field_nulls_detects_drift_day(ray_session, tmp_path):
     nullday = got[got["day_ts"].isna()]
     assert len(nullday) == 3 and (nullday["n_rows"] == 1).all()
     assert (nullday["n_null"] == 0).all()
+
+
+def test_turn_dedup_window_random_property(ray_session, tmp_path):
+    """Randomized multi-shard layouts: a SMALL text alphabet (duplicates
+    everywhere, within and across shards), ~25% null ts, ~10% null text,
+    ties on (text, ts) — engine vs the window-function oracle row-exact."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        turn_dedup_window,
+        turn_dedup_window_oracle_sql,
+    )
+
+    rng = np.random.default_rng(99)
+    n = 200
+    base = pd.Timestamp("2024-05-01").value // 1000
+    texts = ["alpha", "beta", "gamma", "", "alpha beta", None]
+    convs = [f"c{i}" for i in range(8)] + [None]
+    off = rng.choice([0, 1, 300, 599, 600, 601, 3600], n).astype(np.int64)
+    ts_vals = base + off * 1_000_000
+    ts_mask = rng.random(n) < 0.25
+    t = pa.table(
+        {
+            "conv_id": pa.array(
+                [convs[i] for i in rng.choice(len(convs), n)], pa.string()
+            ),
+            "turn_idx": pa.array(rng.integers(0, 6, n), pa.int64()).cast(pa.int32()),
+            "text": pa.array([texts[i] for i in rng.choice(len(texts), n)], pa.string()),
+            "ts": pa.array(ts_vals, mask=ts_mask).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "wdwrand")
+    os.makedirs(d)
+    for s in range(0, n, 50):
+        pq.write_table(t.slice(s, 50), f"{d}/part-{s:04d}.parquet")
+
+    got = turn_dedup_window(ray.data.read_parquet(d)).to_pandas()
+    sql = turn_dedup_window_oracle_sql()
+    head, tail = sql.split("),\nh AS", 1)
+    sql = (
+        f"WITH transcripts_t AS (SELECT * FROM read_parquet('{d}/*.parquet')),\n"
+        "h AS" + tail
+    )
+    want = _oracle(d, sql)
+    _cmp(got, want, ["conv_id", "turn_idx", "ts", "text_hash", "gap_us"])
+    # exercised both branches
+    assert got["is_suppressed"].any() and (~got["is_suppressed"]).any()
+    assert (got["gap_us"] >= 0).all()
