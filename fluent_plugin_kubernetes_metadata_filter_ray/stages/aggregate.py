@@ -816,3 +816,77 @@ SELECT doc_hash, min(conv_id) AS conv_id, count(*)::BIGINT AS n_convs,
   max(n_turns)::BIGINT AS n_turns
 FROM cc GROUP BY doc_hash
 """.strip()
+
+
+_TCE_SENT_CONV = "\x00\x00join-sent"  # distinct from _NULL_KEY
+
+
+def turn_conv_enrich(ds):
+    """Feature join: every turn annotated with its conversation's
+    aggregate stats (n_turns_conv, is_last_turn) — the self-aggregation
+    join feature pipelines run before packing/sampling.  Unlike the
+    broadcast joins (doc_embed, as-of), BOTH sides here are corpus-
+    derived: the turn stream hash-joins the combiner-built conv-stats
+    table on conv_id, so the op works when conversations outnumber what
+    a broadcast could hold.  Null conv_ids form their own group (window-
+    function semantics), riding the shared mask through the join."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.dedup import _join_partitions
+
+    need = ["conv_id", "turn_idx", "role"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+    masked = _mask_null_key(ds, "conv_id")
+    stats = conv_stats(masked).union(rd.from_arrow(pa.table(
+        {
+            "conv_id": pa.array([_TCE_SENT_CONV], pa.string()),
+            "n_turns": pa.array([0], pa.int64()),
+            "max_turn_idx": pa.array([None], pa.int64()),
+        }
+    )))
+    turns = masked.union(rd.from_arrow(pa.table(
+        {
+            "conv_id": pa.array([_TCE_SENT_CONV], pa.string()),
+            "turn_idx": pa.array([None], pa.int32()),
+            "role": pa.array([None], pa.string()),
+        }
+    )))
+    joined = turns.join(
+        stats, join_type="inner", num_partitions=_join_partitions(),
+        on=("conv_id",),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("conv_id"), _TCE_SENT_CONV))
+        ti = t.column("turn_idx").cast(pa.int64())
+        is_last = pc.fill_null(pc.equal(ti, t.column("max_turn_idx")), False)
+        return pa.table(
+            {
+                "conv_id": _unmask_col(t.column("conv_id")),
+                "turn_idx": t.column("turn_idx"),
+                "role": t.column("role"),
+                "n_turns_conv": t.column("n_turns").cast(pa.int64()),
+                "is_last_turn": is_last,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def turn_conv_enrich_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+w AS (
+  SELECT conv_id, turn_idx, role,
+    count(*) OVER (PARTITION BY conv_id) AS n_turns_conv,
+    max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+  FROM transcripts_t
+)
+SELECT conv_id, turn_idx, role, n_turns_conv::BIGINT AS n_turns_conv,
+  coalesce(turn_idx = mx, false) AS is_last_turn
+FROM w
+""".strip()

@@ -449,3 +449,48 @@ def test_turn_dedup_window_random_property(ray_session, tmp_path):
     # exercised both branches
     assert got["is_suppressed"].any() and (~got["is_suppressed"]).any()
     assert (got["gap_us"] >= 0).all()
+
+
+def test_turn_conv_enrich_window_semantics(ray_session, tmp_path):
+    """Turns annotated with conv aggregates match window-function
+    semantics: null conv_ids form ONE partition (not dropped like a SQL
+    join would), is_last_turn coalesces null turn_idx to false, and
+    conversations straddling shards count all their turns."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        turn_conv_enrich,
+    )
+
+    rows = [
+        ("a", 0, "user"), ("a", 1, "assistant"), ("a", 2, "user"),
+        ("b", 0, "user"),
+        (None, 0, "user"), (None, None, "tool"),
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array(["x"] * len(rows), pa.string()),
+            "ts": pa.array([0] * len(rows), pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "tce")
+    os.makedirs(d)
+    pq.write_table(tbl.slice(0, 2), f"{d}/part-0.parquet")  # conv a straddles
+    pq.write_table(tbl.slice(2), f"{d}/part-1.parquet")
+
+    got = turn_conv_enrich(ray.data.read_parquet(d)).to_pandas()
+    assert len(got) == 6
+    a = got[got["conv_id"] == "a"]
+    assert (a["n_turns_conv"] == 3).all()
+    assert a.set_index("turn_idx")["is_last_turn"].to_dict() == {
+        0: False, 1: False, 2: True
+    }
+    nullconv = got[got["conv_id"].isna()]
+    assert len(nullconv) == 2 and (nullconv["n_turns_conv"] == 2).all()
+    # max over the null-conv partition is 0 → the turn_idx=0 row is last
+    assert nullconv.set_index("role")["is_last_turn"].to_dict() == {
+        "user": True, "tool": False
+    }
