@@ -18,6 +18,7 @@ from .stages.aggregate import (
     conv_concat_oracle_sql,
     conv_dedup_oracle_sql,
     turn_conv_enrich_oracle_sql,
+    turn_session_assign_oracle_sql,
     conv_percentiles,
     conv_percentiles_oracle_sql,
     conv_sessions,
@@ -159,6 +160,12 @@ def _q_turn_conv_enrich(sf_dir: str):
     return turn_conv_enrich(flagship.read_transcripts(sf_dir))
 
 
+def _q_turn_session_assign(sf_dir: str):
+    from .stages.aggregate import turn_session_assign
+
+    return turn_session_assign(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -206,6 +213,7 @@ _DRIVER_PRIORITY = [
     "q_source_diversity",
     "q_field_nulls",
     "q_turn_conv_enrich",
+    "q_turn_session_assign",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -270,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_conv_dedup": _q_conv_dedup,
         "q_field_nulls": _q_field_nulls,
         "q_turn_conv_enrich": _q_turn_conv_enrich,
+        "q_turn_session_assign": _q_turn_session_assign,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
@@ -307,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "q_conv_dedup": conv_dedup_oracle_sql(),
         "q_field_nulls": _la.field_nulls_oracle_sql(),
         "q_turn_conv_enrich": turn_conv_enrich_oracle_sql(),
+        "q_turn_session_assign": turn_session_assign_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),

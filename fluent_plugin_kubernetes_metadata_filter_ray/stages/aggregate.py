@@ -890,3 +890,75 @@ SELECT conv_id, turn_idx, role, n_turns_conv::BIGINT AS n_turns_conv,
   coalesce(turn_idx = mx, false) AS is_last_turn
 FROM w
 """.strip()
+
+
+def _session_assign_sorted_block(t: pa.Table) -> pa.Table:
+    """Per-TURN session ids: the same boundary math as
+    _sessions_sorted_block, but emitting every row with its cumulative
+    break count instead of one row per session."""
+    import numpy as np
+
+    if len(t) == 0:
+        return pa.table(
+            {
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "session_idx": pa.array([], pa.int64()),
+            }
+        )
+    n = len(t)
+    codes, conv = _conv_codes(t)
+    ts, v = _int_key(t.column("ts"))
+    ti, _ = _int_key(t.column("turn_idx"))
+    order = np.lexsort((ti, ts, codes))
+    c_s, ts_s, v_s = codes[order], ts[order], v[order]
+    nb = np.empty(n, dtype=bool)
+    nb[0] = True
+    nb[1:] = c_s[1:] != c_s[:-1]
+    brk = np.zeros(n, dtype=bool)
+    brk[1:] = ~nb[1:] & v_s[1:] & (np.diff(ts_s) > SESSION_GAP_S * 1_000_000)
+    cum = np.cumsum(brk)
+    conv_ord = np.cumsum(nb) - 1
+    base = cum[np.flatnonzero(nb)]
+    sess = cum - base[conv_ord]
+    take = pa.array(order)
+    return pa.table(
+        {
+            "conv_id": _unmask_col(conv.take(take)),
+            "turn_idx": t.column("turn_idx").take(take),
+            "ts": t.column("ts").take(take),
+            "session_idx": pa.array(sess, pa.int64()),
+        }
+    )
+
+
+def turn_session_assign(ds):
+    """Sessionized turn stream: every turn stamped with the session_idx
+    conv_sessions would assign it — the per-row side of the gap-window
+    operator (downstream samplers/packers key on it).  Same sort + 3-thin-
+    column shuffle as conv_sessions; null ts never breaks a session and
+    inherits the running session id (nulls order last within the conv)."""
+    return _sorted_by_conv(ds, ["conv_id", "turn_idx", "ts"]).map_batches(
+        _session_assign_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def turn_session_assign_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    gap_us = SESSION_GAP_S * 1_000_000
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+b AS (
+  SELECT conv_id, turn_idx, ts,
+    CASE WHEN date_diff('microsecond',
+           lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx), ts)
+         > {gap_us} THEN 1 ELSE 0 END AS brk
+  FROM transcripts_t
+)
+SELECT conv_id, turn_idx, ts,
+  sum(brk) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+                 ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+FROM b
+""".strip()

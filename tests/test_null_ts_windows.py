@@ -494,3 +494,39 @@ def test_turn_conv_enrich_window_semantics(ray_session, tmp_path):
     assert nullconv.set_index("role")["is_last_turn"].to_dict() == {
         "user": True, "tool": False
     }
+
+
+def test_turn_session_assign_consistent_with_sessions(ray_session, tmp_path):
+    """Per-turn session ids reconcile with conv_sessions on the hostile
+    null-ts table: per-conv turn counts per session match, and null-ts
+    turns inherit the running session instead of breaking one."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
+        conv_sessions,
+        turn_session_assign,
+    )
+
+    d = _null_ts_dir(tmp_path)
+    per_turn = turn_session_assign(ray.data.read_parquet(d)).to_pandas()
+    sessions = conv_sessions(ray.data.read_parquet(d)).to_pandas()
+
+    got = (
+        per_turn.groupby(["conv_id", "session_idx"], dropna=False)
+        .size().rename("n_turns").reset_index()
+        .sort_values(["conv_id", "session_idx"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = (
+        sessions[["conv_id", "session_idx", "n_turns"]]
+        .sort_values(["conv_id", "session_idx"], na_position="last")
+        .reset_index(drop=True)
+    )
+    for c in want.columns:
+        assert (
+            got[c].fillna("@").astype(str) == want[c].fillna("@").astype(str)
+        ).all(), c
+    # conv a: t(0), null, t(0.5) are one session; t(10) starts the next;
+    # the trailing null inherits session 1 (nulls order last in the conv)
+    a = per_turn[per_turn["conv_id"] == "a"].sort_values("turn_idx")
+    assert a["session_idx"].tolist() == [0, 1, 0, 1, 1]
