@@ -216,6 +216,7 @@ def run_bench() -> dict:
         from fluent_plugin_kubernetes_metadata_filter_ray.stages.aggregate import (
             conv_concat,
             turn_rolling,
+            turn_session_assign,
         )
         from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
             role_transitions,
@@ -226,6 +227,7 @@ def run_bench() -> dict:
             ("turn_rolling_big", turn_rolling),
             ("conv_concat_big", conv_concat),
             ("role_transitions_big", role_transitions),
+            ("turn_session_assign_big", turn_session_assign),
         ):
             timed(name, lambda op=op: op(_salted()).count())
 
