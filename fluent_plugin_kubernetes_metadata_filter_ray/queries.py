@@ -166,6 +166,10 @@ def _q_turn_session_assign(sf_dir: str):
     return turn_session_assign(flagship.read_transcripts(sf_dir))
 
 
+def _q_response_latency(sf_dir: str):
+    return _la.response_latency(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -214,6 +218,7 @@ _DRIVER_PRIORITY = [
     "q_field_nulls",
     "q_turn_conv_enrich",
     "q_turn_session_assign",
+    "q_response_latency",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -279,6 +284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_field_nulls": _q_field_nulls,
         "q_turn_conv_enrich": _q_turn_conv_enrich,
         "q_turn_session_assign": _q_turn_session_assign,
+        "q_response_latency": _q_response_latency,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
@@ -317,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "q_field_nulls": _la.field_nulls_oracle_sql(),
         "q_turn_conv_enrich": turn_conv_enrich_oracle_sql(),
         "q_turn_session_assign": turn_session_assign_oracle_sql(),
+        "q_response_latency": _la.response_latency_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),

@@ -1093,3 +1093,196 @@ SELECT day_ts, field, count(*)::BIGINT AS n_rows,
        ELSE 0.0 END AS null_frac
 FROM occ GROUP BY 1, 2
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Response-latency percentiles: p50/p95/p99 of the inter-turn gap per role
+# transition — the serving-ops latency metric (how long does the assistant
+# take after a user turn?).  Exact type-1 quantiles with integer
+# thresholds ((tot·q + 99) // 100), never a float percentile estimator, so
+# the DuckDB twin matches bit-for-bit.  Shape: adjacent pairs collapse to
+# (from, to, gap_ms) partial counts inside each sorted block; the
+# distribution table (≤ role² × distinct-ms-gaps rows, far below corpus
+# size) is the only thing shuffled; the final map_groups runs over ≤ role²
+# groups — the one cardinality regime where map_groups' per-group cost is
+# irrelevant.
+# --------------------------------------------------------------------------
+
+_LAT_SENT_ROLE = "\x00\x00lat-sent"
+_LAT_EMPTY = pa.table(
+    {
+        "from_role": pa.array([], pa.string()),
+        "to_role": pa.array([], pa.string()),
+        "gap_ms": pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+    }
+)
+
+
+def _latency_pairs_block(t: pa.Table) -> pa.Table:
+    """(from_role, to_role, gap_ms) partial counts over a conv-sorted
+    block — the _transitions_sorted_block ordering (turn_idx, ts, role
+    tie-break on duplicates) with the ts gap attached."""
+    import pandas as pd
+
+    from ..stages.aggregate import _conv_codes
+
+    n = len(t)
+    if n < 2:
+        return _LAT_EMPTY
+    codes, _ = _conv_codes(t)
+    ti = pc.fill_null(t.column("turn_idx").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
+    ts_f = pc.fill_null(t.column("ts").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
+    v = pc.is_valid(t.column("ts")).to_numpy(zero_copy_only=False)
+    role = t.column("role")
+    if isinstance(role, pa.ChunkedArray):
+        role = role.combine_chunks()
+    order = np.lexsort((ts_f, ti, codes))
+    c0, t0, s0 = codes[order], ti[order], ts_f[order]
+    if bool(((c0[1:] == c0[:-1]) & (t0[1:] == t0[:-1]) & (s0[1:] == s0[:-1])).any()):
+        role_key = np.asarray(
+            pc.fill_null(role, _NULL_LAST_KEY).to_pylist(), dtype=object
+        )
+        order = np.lexsort((role_key, ts_f, ti, codes))
+    c_s, ts_s, v_s = codes[order], ts_f[order], v[order]
+    ok = (c_s[1:] == c_s[:-1]) & v_s[1:] & v_s[:-1]
+    if not ok.any():
+        return _LAT_EMPTY
+    gap_ms = np.floor((ts_s[1:] - ts_s[:-1]) / 1000.0).astype(np.int64)
+    roles_s = pc.fill_null(role.take(pa.array(order)), _NULL_KEY)
+    rcodes = roles_s.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    g = (
+        pd.DataFrame(
+            {
+                "f": rcodes[:-1][ok],
+                "t": rcodes[1:][ok],
+                "gap_ms": gap_ms[ok],
+            }
+        )
+        .groupby(["f", "t", "gap_ms"], sort=False).size().rename("c").reset_index()
+    )
+    rvals = roles_s.dictionary_encode().dictionary
+    return pa.table(
+        {
+            "from_role": rvals.take(pa.array(g["f"].to_numpy())),
+            "to_role": rvals.take(pa.array(g["t"].to_numpy())),
+            "gap_ms": pa.array(g["gap_ms"].to_numpy(dtype=np.int64)),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def response_latency(ds):
+    """Per-(from_role, to_role) inter-turn latency percentiles:
+    (from_role, to_role, n_pairs, p50_ms, p95_ms, p99_ms)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .aggregate import _sorted_by_conv
+
+    dist = (
+        _sorted_by_conv(ds, ["conv_id", "turn_idx", "role", "ts"]).map_batches(
+            _latency_pairs_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "from_role": pa.array([_LAT_SENT_ROLE], pa.string()),
+                "to_role": pa.array([_LAT_SENT_ROLE], pa.string()),
+                "gap_ms": pa.array([0], pa.int64()),
+                "c": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["from_role", "to_role", "gap_ms"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def pctl(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "from_role": pa.array([], pa.string()),
+                "to_role": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "p50_ms": pa.array([], pa.int64()),
+                "p95_ms": pa.array([], pa.int64()),
+                "p99_ms": pa.array([], pa.int64()),
+            }
+        )
+        if not len(g) or g.column("from_role")[0].as_py() == _LAT_SENT_ROLE:
+            return empty
+        gap = g.column("gap_ms").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(gap, kind="stable")
+        gap, c = gap[o], c[o]
+        cm = np.cumsum(c)
+        tot = int(cm[-1])
+        if tot == 0:
+            return empty
+        ps = []
+        for q in (50, 95, 99):
+            thr = (tot * q + 99) // 100
+            ps.append(int(gap[np.searchsorted(cm, thr)]))
+        # rebuild the key scalars (kernels over the zero-copy group SLICE
+        # hit pyarrow's sliced-offsets bug — see _unmask_null_key)
+        fr = g.column("from_role")[0].as_py()
+        to = g.column("to_role")[0].as_py()
+        return pa.table(
+            {
+                "from_role": pa.array(
+                    [None if fr == _NULL_KEY else fr], pa.string()
+                ),
+                "to_role": pa.array(
+                    [None if to == _NULL_KEY else to], pa.string()
+                ),
+                "n_pairs": pa.array([tot], pa.int64()),
+                "p50_ms": pa.array([ps[0]], pa.int64()),
+                "p95_ms": pa.array([ps[1]], pa.int64()),
+                "p99_ms": pa.array([ps[2]], pa.int64()),
+            }
+        )
+
+    return dist.groupby(["from_role", "to_role"]).map_groups(
+        pctl, batch_format="pyarrow"
+    )
+
+
+def response_latency_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    def thr(q: int) -> str:
+        return f"(tot * {q} + 99) // 100"
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+w AS (
+  SELECT role AS from_role,
+    lead(role) OVER win AS to_role,
+    ts AS from_ts, lead(ts) OVER win AS to_ts,
+    row_number() OVER win AS rn, count(*) OVER (PARTITION BY conv_id) AS nc
+  FROM transcripts_t
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts, role)
+),
+g AS (
+  SELECT from_role, to_role,
+    CAST(floor((epoch_us(to_ts) - epoch_us(from_ts)) / 1000.0) AS BIGINT) AS gap_ms
+  FROM w WHERE rn < nc AND from_ts IS NOT NULL AND to_ts IS NOT NULL
+),
+d AS (
+  SELECT from_role, to_role, gap_ms, count(*)::BIGINT AS c FROM g GROUP BY 1, 2, 3
+),
+cum AS (
+  SELECT from_role, to_role, gap_ms,
+    sum(c) OVER (PARTITION BY from_role, to_role ORDER BY gap_ms)::BIGINT AS cm,
+    sum(c) OVER (PARTITION BY from_role, to_role)::BIGINT AS tot
+  FROM d
+)
+SELECT from_role, to_role,
+  any_value(tot) AS n_pairs,
+  min(CASE WHEN cm >= {thr(50)} THEN gap_ms END) AS p50_ms,
+  min(CASE WHEN cm >= {thr(95)} THEN gap_ms END) AS p95_ms,
+  min(CASE WHEN cm >= {thr(99)} THEN gap_ms END) AS p99_ms
+FROM cum GROUP BY 1, 2
+""".strip()

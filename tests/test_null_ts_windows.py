@@ -530,3 +530,48 @@ def test_turn_session_assign_consistent_with_sessions(ray_session, tmp_path):
     # the trailing null inherits session 1 (nulls order last in the conv)
     a = per_turn[per_turn["conv_id"] == "a"].sort_values("turn_idx")
     assert a["session_idx"].tolist() == [0, 1, 0, 1, 1]
+
+
+def test_response_latency_percentiles_exact(ray_session, tmp_path):
+    """Hand-built gap distribution: 100 user→assistant pairs with known
+    ms gaps pin the type-1 quantile thresholds exactly; null-ts pairs and
+    conv boundaries contribute nothing."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        response_latency,
+    )
+
+    base = pd.Timestamp("2024-06-01").value // 1000
+    rows = []
+    # 100 convs, each user@t0 → assistant@t0+gap: gaps 1..100 ms
+    for i in range(100):
+        t0 = base + i * 10_000_000
+        rows.append((f"c{i}", 0, "user", t0))
+        rows.append((f"c{i}", 1, "assistant", t0 + (i + 1) * 1000))
+    # a null-ts pair and a lone turn: no contribution
+    rows += [("x", 0, "user", None), ("x", 1, "assistant", None), ("y", 0, "user", base)]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array(["m"] * len(rows), pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "latency")
+    os.makedirs(d)
+    for s in range(0, len(rows), 60):
+        pq.write_table(tbl.slice(s, 60), f"{d}/part-{s:04d}.parquet")
+
+    got = response_latency(ray.data.read_parquet(d)).to_pandas()
+    ua = got[(got["from_role"] == "user") & (got["to_role"] == "assistant")]
+    assert len(ua) == 1
+    r = ua.iloc[0]
+    # type-1 quantiles over gaps {1..100}: ceil(q·100)-th smallest
+    assert r["n_pairs"] == 100
+    assert r["p50_ms"] == 50 and r["p95_ms"] == 95 and r["p99_ms"] == 99
+    # the only other transition present is assistant→user across convs? none:
+    # pairs exist only within a conv, so no other (from, to) row has n>0
+    assert set(map(tuple, got[["from_role", "to_role"]].values)) == {("user", "assistant")}
