@@ -1245,3 +1245,215 @@ SELECT k.doc_id, k.head_key, k.tail_key,
     AS n_continuations
 FROM k LEFT JOIN hc ON hc.hk = k.tail_key
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Crawl-to-crawl diff report: per-source added / removed / kept DISTINCT
+# documents between the prior crawl (doc_id % INCR_REF_MOD == 0, the
+# incremental-dedup split) and the new one — the set-operation summary a
+# recurring ingestion job publishes each cycle.  Shape: per-batch distinct
+# (source-code, text-hash, side-flags) int rows → ONE sort → per-block
+# segment-OR + category bincount (never a hash-cardinality groupby — the
+# q_source_diversity lesson) → a ≤ blocks×sources×3-row driver sum.
+# ---------------------------------------------------------------------------
+
+
+def _augment_with_source(batch: pa.Table) -> pa.Table:
+    """augment_batch twin that CARRIES source (copies inherit the
+    original's source) — SQL twin inline in corpus_diff_oracle_sql."""
+    doc_id = batch.column("doc_id").combine_chunks()
+    text = batch.column("text").combine_chunks()
+    src = batch.column("source").combine_chunks()
+    ids = doc_id.to_numpy(zero_copy_only=False)
+    mask = pa.array(ids % cp.AUG_MOD == 0)
+    dup_ids = pc.add(doc_id.filter(mask), cp.AUG_OFFSET)
+    dup_text = pc.replace_substring_regex(
+        text.filter(mask), r"^\S+\s+", "", max_replacements=1
+    )
+    emask = pa.array(ids % cp.EXACT_MOD == 0)
+    exact_ids = pc.add(doc_id.filter(emask), 2 * cp.AUG_OFFSET)
+    return pa.table(
+        {
+            "doc_id": pa.chunked_array([doc_id, dup_ids, exact_ids]),
+            "text": pa.chunked_array([text, dup_text, text.filter(emask)]),
+            "source": pa.chunked_array([src, src.filter(mask), src.filter(emask)]),
+        }
+    )
+
+
+def _diff_flags_batch(batch: pa.Table, code_of: dict) -> pa.Table:
+    from ..stages.aggregate import _NULL_KEY
+
+    empty = pa.table(
+        {
+            "sc": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "fl": pa.array([], pa.int64()),
+        }
+    )
+    import pandas as pd
+
+    texts = batch.column("text").to_pylist()
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY)
+    keep = [i for i, t in enumerate(texts) if t is not None]
+    if not keep:
+        return empty
+    h = np.fromiter((cp.w63(texts[i]) for i in keep), dtype=np.int64, count=len(keep))
+    sc = np.fromiter(
+        (code_of[src.iat[i]] for i in keep), dtype=np.int64, count=len(keep)
+    )
+    old = (ids[keep] % INCR_REF_MOD == 0).astype(np.int64)
+    fl = old + 2 * (1 - old)  # bit 0 = old crawl, bit 1 = new crawl
+    g = (
+        pd.DataFrame({"sc": sc, "h": h, "fl": fl})
+        .groupby(["sc", "h"], sort=False)["fl"]
+        .agg(lambda v: int(np.bitwise_or.reduce(v.to_numpy())))
+        .rename("fl").reset_index()
+    )
+    return pa.table(
+        {
+            "sc": pa.array(g["sc"].to_numpy(dtype=np.int64)),
+            "h": pa.array(g["h"].to_numpy(dtype=np.int64)),
+            "fl": pa.array(g["fl"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_corpus_diff(sf_dir: str):
+    """Per-source crawl diff: (source, n_added, n_removed, n_kept) of
+    DISTINCT document texts between the prior-crawl split and the rest."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.aggregate import _NULL_KEY
+
+    docs = cp.read_documents(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        _augment_with_source, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _src_only(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(t.column("source"), _NULL_KEY)
+        return pa.table({"source": pc.unique(src)})
+
+    srcs_df = (
+        docs.map_batches(_src_only, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table({"source": pa.array(["\x00\x00diff-sent"], pa.string())})))
+        .groupby("source")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    names = [
+        v for v in (srcs_df["source"] if "source" in srcs_df.columns else [])
+        if v != "\x00\x00diff-sent"
+    ]
+    if not names:
+        return rd.from_arrow(pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_added": pa.array([], pa.int64()),
+                "n_removed": pa.array([], pa.int64()),
+                "n_kept": pa.array([], pa.int64()),
+            }
+        ))
+    code_of = {v: i for i, v in enumerate(sorted(names))}
+    ref = ray.put(code_of)
+
+    def flags(t: pa.Table) -> pa.Table:
+        return _diff_flags_batch(t, ray.get(ref))
+
+    def cat_block(t: pa.Table) -> pa.Table:
+        e = pa.table(
+            {
+                "sc": pa.array([], pa.int64()),
+                "cat": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not len(t):
+            return e
+        sc_v = t.column("sc").to_numpy(zero_copy_only=False)
+        h_v = t.column("h").to_numpy(zero_copy_only=False)
+        fl_v = t.column("fl").to_numpy(zero_copy_only=False)
+        first = np.r_[True, (sc_v[1:] != sc_v[:-1]) | (h_v[1:] != h_v[:-1])]
+        starts = np.flatnonzero(first)
+        seg_fl = np.bitwise_or.reduceat(fl_v, starts)
+        seg_sc = sc_v[starts]
+        ok = seg_sc >= 0  # sentinel out
+        if not ok.any():
+            return e
+        key = seg_sc[ok] * 4 + seg_fl[ok]
+        cnt = np.bincount(key, minlength=len(code_of) * 4)
+        nz = np.flatnonzero(cnt)
+        s_idx, cat = np.divmod(nz, 4)
+        return pa.table(
+            {
+                "sc": pa.array(s_idx.astype(np.int64)),
+                "cat": pa.array(cat.astype(np.int64)),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    parts = (
+        docs.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"sc": pa.array([-1], pa.int64()), "h": pa.array([-1], pa.int64()),
+             "fl": pa.array([0], pa.int64())}
+        )))
+        .sort(["sc", "h"])
+        .map_batches(cat_block, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ≤ blocks × sources × 3 tiny rows
+    )
+    name_of = {i: v for v, i in code_of.items()}
+    acc: dict = {}
+    if len(parts) and "sc" in parts.columns:
+        for _, r in parts.iterrows():
+            k = (int(r["sc"]), int(r["cat"]))
+            acc[k] = acc.get(k, 0) + int(r["n"])
+    out_s, out_a, out_r, out_k = [], [], [], []
+    for sc in sorted({k[0] for k in acc}):
+        nm = name_of[sc]
+        out_s.append(None if nm == _NULL_KEY else nm)
+        out_a.append(acc.get((sc, 2), 0))
+        out_r.append(acc.get((sc, 1), 0))
+        out_k.append(acc.get((sc, 3), 0))
+    return rd.from_arrow(pa.table(
+        {
+            "source": pa.array(out_s, pa.string()),
+            "n_added": pa.array(np.array(out_a, dtype=np.int64)),
+            "n_removed": pa.array(np.array(out_r, dtype=np.int64)),
+            "n_kept": pa.array(np.array(out_k, dtype=np.int64)),
+        }
+    ))
+
+
+def corpus_diff_oracle_sql() -> str:
+    w63 = cp.SQL_W63.format(s="text")
+    return f"""
+WITH docs_aug_src AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + {cp.AUG_OFFSET} AS doc_id,
+         regexp_replace(text, '^\\S+\\s+', '') AS text, source
+  FROM documents WHERE doc_id % {cp.AUG_MOD} = 0
+  UNION ALL
+  SELECT doc_id + {2 * cp.AUG_OFFSET} AS doc_id, text, source
+  FROM documents WHERE doc_id % {cp.EXACT_MOD} = 0
+),
+t AS (
+  SELECT source, {w63} AS h, (doc_id % {INCR_REF_MOD} = 0) AS is_old
+  FROM docs_aug_src WHERE text IS NOT NULL
+),
+f AS (
+  SELECT source, h,
+    max(CASE WHEN is_old THEN 1 ELSE 0 END) AS o,
+    max(CASE WHEN is_old THEN 0 ELSE 1 END) AS n
+  FROM t GROUP BY 1, 2
+)
+SELECT source,
+  sum(CASE WHEN n = 1 AND o = 0 THEN 1 ELSE 0 END)::BIGINT AS n_added,
+  sum(CASE WHEN o = 1 AND n = 0 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+  sum(CASE WHEN o = 1 AND n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM f GROUP BY source
+""".strip()

@@ -219,6 +219,7 @@ _DRIVER_PRIORITY = [
     "q_turn_conv_enrich",
     "q_turn_session_assign",
     "q_response_latency",
+    "q_corpus_diff",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

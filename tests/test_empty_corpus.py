@@ -68,6 +68,7 @@ NEW_QUERIES = [
     "q_source_divergence",
     "q_doc_importance",
     "q_source_diversity",
+    "q_corpus_diff",
 ]
 
 

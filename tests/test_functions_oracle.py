@@ -52,6 +52,7 @@ SORT_KEYS = {
     "q_source_divergence": ["source"],
     "q_doc_importance": ["doc_id"],
     "q_source_diversity": ["source"],
+    "q_corpus_diff": ["source"],
 }
 
 
