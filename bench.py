@@ -335,7 +335,7 @@ def run_bench() -> dict:
         # vocab join), boundary-overlap counts (thin int64-key join), and
         # the per-source KL diagnostic (vocab-level join) at ~180k docs
         for name in ("q_token_cms", "q_doc_overlap", "q_source_divergence",
-                     "q_doc_importance", "q_source_diversity"):
+                     "q_doc_importance", "q_source_diversity", "q_corpus_diff"):
             timed(name[2:] + "_big",
                   lambda name=name: fq[name](big).materialize(), shuffle=True)
 
@@ -356,6 +356,16 @@ def run_bench() -> dict:
         )
 
         timed("conv_dedup_big", lambda: conv_dedup(_salted()).count())
+
+        # latency percentiles over the replicated transcripts (conv sort +
+        # distribution-table aggregate + role^2 map_groups)
+        from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+            response_latency,
+        )
+
+        timed("response_latency",
+              lambda: response_latency(
+                  flagship.read_transcripts(SF_DIR, rep=REP)).count())
 
     # q3 (headline): parse+enrich+route write+per-sink counts (median of 2
     # trials: each writes ~600 MB, so keep the disk churn bounded)
