@@ -1149,3 +1149,95 @@ est AS (
 SELECT e.token, e.est_count, c.n AS true_count
 FROM est e JOIN cnt c ON c.token = e.token
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Language-label QA: declared ``lang`` vs the heuristic lang-ID prediction
+# as a confusion matrix — the labeling-quality diagnostic run before
+# trusting a crawl's metadata (a source whose declared 'en' rows predict
+# 'und' in bulk has broken labels or broken text).  Pure combiner shape:
+# each batch collapses to ≤ |langs × preds| rows; nothing else shuffles.
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_partial(batch: pa.Table) -> pa.Table:
+    from ..stages.aggregate import _NULL_KEY
+
+    s = pd.Series(batch.column("text").to_pandas())
+    toks = s.str.strip().str.split()
+    ex = toks.explode()
+    stop_hits = (
+        ex.isin(_STOP_SET).groupby(level=0).sum().reindex(s.index, fill_value=0)
+    ).to_numpy(dtype=np.int64)
+    pred = np.where(stop_hits >= 2, "en", "und")
+    lang = pd.Series(batch.column("lang").to_pandas()).fillna(_NULL_KEY).to_numpy(
+        dtype=object
+    )
+    g = (
+        pd.DataFrame({"lang": lang, "lang_pred": pred})
+        .groupby(["lang", "lang_pred"], sort=False).size().rename("n").reset_index()
+    )
+    return pa.table(
+        {
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "lang_pred": pa.array(g["lang_pred"].to_numpy(dtype=object), pa.string()),
+            "n_docs": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Confusion matrix of declared vs predicted language:
+    (lang, lang_pred, n_docs, is_match)."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import _NULL_KEY, _unmask_col
+
+    sent = "\x00\x00lc-sent"
+    agg = (
+        cp.read_documents(sf_dir, columns=("text", "lang"))
+        .map_batches(
+            _lang_confusion_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "lang": pa.array([sent], pa.string()),
+                "lang_pred": pa.array([sent], pa.string()),
+                "n_docs": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("lang"), sent))
+        lang = _unmask_col(t.column("lang"))
+        is_match = pc_.fill_null(pc_.equal(lang, t.column("lang_pred")), False)
+        return pa.table(
+            {
+                "lang": lang,
+                "lang_pred": t.column("lang_pred"),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "is_match": is_match,
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lang_confusion_oracle_sql() -> str:
+    toks = cp.SQL_TOKS.format(t="text")
+    return f"""
+WITH p AS (
+  SELECT lang,
+    CASE WHEN coalesce(len(list_filter({toks}, t -> t IN ({_SQL_STOP}))), 0) >= 2
+         THEN 'en' ELSE 'und' END AS lang_pred
+  FROM documents
+)
+SELECT lang, lang_pred, count(*)::BIGINT AS n_docs,
+  coalesce(lang = lang_pred, false) AS is_match
+FROM p GROUP BY lang, lang_pred
+""".strip()

@@ -220,6 +220,7 @@ _DRIVER_PRIORITY = [
     "q_turn_session_assign",
     "q_response_latency",
     "q_corpus_diff",
+    "q_lang_confusion",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

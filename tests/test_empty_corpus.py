@@ -69,6 +69,7 @@ NEW_QUERIES = [
     "q_doc_importance",
     "q_source_diversity",
     "q_corpus_diff",
+    "q_lang_confusion",
 ]
 
 

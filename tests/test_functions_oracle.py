@@ -53,6 +53,7 @@ SORT_KEYS = {
     "q_doc_importance": ["doc_id"],
     "q_source_diversity": ["source"],
     "q_corpus_diff": ["source"],
+    "q_lang_confusion": ["lang", "lang_pred"],
 }
 
 
