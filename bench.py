@@ -3,10 +3,11 @@
 Headline: end-to-end parse → enrich → route throughput (turns/sec) over the
 derived transcripts table at $GRAFT_SF_DIR (default sf0.1), replicated
 KMETA_BENCH_REP× (default 10 → ~1M turns) to give the streaming executor
-real work.  ``--scaling`` runs the identical job in fresh processes at
-num_cpus=8 and num_cpus=32 and reports both throughputs + scaling
-efficiency (the sandbox stand-in for the N vs 4N node criterion in
-BASELINE.json).
+real work.  ``--scaling`` runs the identical compute-mode job in fresh processes at
+two CPU counts (KMETA_SCALING_CPUS, default 2,8 — the pair that isolates
+engine scaling from the documented single-node walls) and reports both
+throughputs + scaling efficiency (the sandbox stand-in for the N vs 4N
+node criterion in BASELINE.json).
 """
 
 from __future__ import annotations

@@ -1457,3 +1457,141 @@ SELECT source,
   sum(CASE WHEN o = 1 AND n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
 FROM f GROUP BY source
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix: where does near-duplicate content FLOW
+# between sources?  Counts verified MinHash near-dup pairs per
+# (source_a, source_b) — the mirror-site / syndication detector that tells
+# a mixing pipeline which source pairs double-count each other.  Composes
+# the full banded-LSH pair pipeline with two thin (doc_id, source) hash
+# joins (sources ride per PAIR, never through the band shuffle); output is
+# ≤ sources² rows.
+# ---------------------------------------------------------------------------
+
+
+def q_source_dup_matrix(sf_dir: str):
+    """(source_a, source_b, n_pairs) over verified near-dup pairs; source
+    order follows the pair's (doc_a < doc_b) order — deterministic on both
+    sides.  Augmented copies inherit their original's source (base id =
+    doc_id % AUG_OFFSET)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import _NULL_KEY, _unmask_col
+
+    pairs = q_dedup_minhash(sf_dir)
+
+    def base_ids(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "base_a": pa.array(np.where(a == SENTINEL_ID, SENTINEL_ID,
+                                            a % cp.AUG_OFFSET)),
+                "base_b": pa.array(np.where(b == SENTINEL_ID, SENTINEL_ID,
+                                            b % cp.AUG_OFFSET)),
+            }
+        )
+
+    thin = pairs.map_batches(
+        base_ids, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"base_a": pa.array([SENTINEL_ID], pa.int64()),
+         "base_b": pa.array([SENTINEL_ID], pa.int64())}
+    )))
+
+    def src_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "source": pc.fill_null(t.column("source"), _NULL_KEY),
+            }
+        )
+
+    src = cp.read_documents(sf_dir, columns=("doc_id", "source")).map_batches(
+        src_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "source": pa.array([_NULL_KEY], pa.string())}
+    )))
+    nparts = _join_partitions()
+    j1 = thin.join(
+        src, join_type="inner", num_partitions=nparts,
+        on=("base_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda t: pa.table({"base_b": t.column("base_b"),
+                            "source_a": t.column("source")}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    j2 = j1.join(
+        src, join_type="inner", num_partitions=nparts,
+        on=("base_b",), right_on=("doc_id",), right_suffix="_b",
+    )
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("base_b"), SENTINEL_ID))
+        if not len(t):
+            return pa.table(
+                {
+                    "source_a": pa.array([], pa.string()),
+                    "source_b": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
+            )
+        import pandas as pd
+
+        g = (
+            pd.DataFrame(
+                {
+                    "source_a": t.column("source_a").to_pandas(),
+                    "source_b": t.column("source").to_pandas(),
+                }
+            )
+            .groupby(["source_a", "source_b"], sort=False).size()
+            .rename("n_pairs").reset_index()
+        )
+        return pa.table(
+            {
+                "source_a": pa.array(g["source_a"].to_numpy(dtype=object), pa.string()),
+                "source_b": pa.array(g["source_b"].to_numpy(dtype=object), pa.string()),
+                "n_pairs": pa.array(g["n_pairs"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        j2.map_batches(pair_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"source_a": pa.array(["\x00\x00sdm-sent"], pa.string()),
+             "source_b": pa.array(["\x00\x00sdm-sent"], pa.string()),
+             "n_pairs": pa.array([0], pa.int64())}
+        )))
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("source_a"), "\x00\x00sdm-sent"))
+        return pa.table(
+            {
+                "source_a": _unmask_col(t.column("source_a")),
+                "source_b": _unmask_col(t.column("source_b")),
+                "n_pairs": t.column("n_pairs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_dup_matrix_oracle_sql() -> str:
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({dedup_minhash_oracle_sql()}) q
+),
+src AS (SELECT doc_id, source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN src a ON a.doc_id = p.doc_a % {cp.AUG_OFFSET}
+JOIN src b ON b.doc_id = p.doc_b % {cp.AUG_OFFSET}
+GROUP BY 1, 2
+""".strip()

@@ -221,6 +221,7 @@ _DRIVER_PRIORITY = [
     "q_response_latency",
     "q_corpus_diff",
     "q_lang_confusion",
+    "q_source_dup_matrix",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

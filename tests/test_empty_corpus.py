@@ -70,6 +70,7 @@ NEW_QUERIES = [
     "q_source_diversity",
     "q_corpus_diff",
     "q_lang_confusion",
+    "q_source_dup_matrix",
 ]
 
 
