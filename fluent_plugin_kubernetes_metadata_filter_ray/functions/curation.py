@@ -2026,3 +2026,116 @@ SELECT source, count(*)::BIGINT AS n_shingles,
   count(DISTINCT h)::DOUBLE / count(*)::DOUBLE AS distinct_ratio
 FROM occ GROUP BY source
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# PII density report: per-(source, pattern) hit counts over the documents
+# corpus — the data-governance dashboard behind the transcript-side
+# redaction stage (which sources leak emails / IPs / secrets, and how
+# concentrated is it?).  Uses the SAME RE2 patterns as stages/redact.py so
+# the report and the scrubber can never disagree.  Pure combiner: each
+# batch collapses to ≤ sources×patterns rows.
+# ---------------------------------------------------------------------------
+
+_PII_SENT_SRC = "\x00\x00pii-sent"
+
+
+def _pii_density_partial(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc_
+
+    from ..stages.aggregate import _NULL_KEY
+    from ..stages.redact import REDACT_PATTERNS
+
+    src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY)
+    codes, uniq = pd.factorize(src.to_numpy(dtype=object), sort=False)
+    text = batch.column("text")
+    out_s, out_p, out_h, out_d = [], [], [], []
+    for name, pat, _ in REDACT_PATTERNS:
+        n = pc_.fill_null(
+            pc_.count_substring_regex(text, pat), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        hits = np.bincount(codes, weights=n.astype(np.float64),
+                           minlength=len(uniq)).astype(np.int64)
+        affected = np.bincount(codes, weights=(n > 0).astype(np.float64),
+                               minlength=len(uniq)).astype(np.int64)
+        out_s.append(uniq)
+        out_p.extend([name] * len(uniq))
+        out_h.append(hits)
+        out_d.append(affected)
+    if not out_s:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "pattern": pa.array([], pa.string()),
+                "n_hits": pa.array([], pa.int64()),
+                "n_docs_affected": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "source": pa.array(np.concatenate(out_s).astype(object), pa.string()),
+            "pattern": pa.array(out_p, pa.string()),
+            "n_hits": pa.array(np.concatenate(out_h)),
+            "n_docs_affected": pa.array(np.concatenate(out_d)),
+        }
+    )
+
+
+def q_pii_density(sf_dir: str):
+    """Per-(source, pattern) PII hit report:
+    (source, pattern, n_hits, n_docs_affected)."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import _unmask_col
+
+    agg = (
+        cp.read_documents(sf_dir, columns=("text", "source"))
+        .map_batches(
+            _pii_density_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "source": pa.array([_PII_SENT_SRC], pa.string()),
+                "pattern": pa.array([_PII_SENT_SRC], pa.string()),
+                "n_hits": pa.array([0], pa.int64()),
+                "n_docs_affected": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["source", "pattern"])
+        .aggregate(
+            Sum("n_hits", alias_name="n_hits"),
+            Sum("n_docs_affected", alias_name="n_docs_affected"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("source"), _PII_SENT_SRC))
+        return pa.table(
+            {
+                "source": _unmask_col(t.column("source")),
+                "pattern": t.column("pattern"),
+                "n_hits": t.column("n_hits").cast(pa.int64()),
+                "n_docs_affected": t.column("n_docs_affected").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_density_oracle_sql() -> str:
+    from ..stages.redact import REDACT_PATTERNS
+
+    vals = ", ".join(f"('{name}', '{pat}')" for name, pat, _ in REDACT_PATTERNS)
+    return f"""
+WITH p AS (SELECT * FROM (VALUES {vals}) AS v(pattern, rx)),
+h AS (
+  SELECT d.source, p.pattern,
+    coalesce(len(regexp_extract_all(d.text, p.rx)), 0)::BIGINT AS n
+  FROM documents d CROSS JOIN p
+)
+SELECT source, pattern, sum(n)::BIGINT AS n_hits,
+  sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_affected
+FROM h GROUP BY 1, 2
+""".strip()

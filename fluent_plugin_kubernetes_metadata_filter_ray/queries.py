@@ -170,6 +170,10 @@ def _q_response_latency(sf_dir: str):
     return _la.response_latency(flagship.read_transcripts(sf_dir))
 
 
+def _q_tool_stats(sf_dir: str):
+    return _la.tool_stats(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -222,6 +226,8 @@ _DRIVER_PRIORITY = [
     "q_corpus_diff",
     "q_lang_confusion",
     "q_source_dup_matrix",
+    "q_pii_density",
+    "q_tool_stats",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -288,6 +294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_conv_enrich": _q_turn_conv_enrich,
         "q_turn_session_assign": _q_turn_session_assign,
         "q_response_latency": _q_response_latency,
+        "q_tool_stats": _q_tool_stats,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
@@ -327,6 +334,7 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_conv_enrich": turn_conv_enrich_oracle_sql(),
         "q_turn_session_assign": turn_session_assign_oracle_sql(),
         "q_response_latency": _la.response_latency_oracle_sql(),
+        "q_tool_stats": _la.tool_stats_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),

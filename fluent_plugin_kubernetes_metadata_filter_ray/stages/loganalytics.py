@@ -1286,3 +1286,108 @@ SELECT from_role, to_role,
   min(CASE WHEN cm >= {thr(99)} THEN gap_ms END) AS p99_ms
 FROM cum GROUP BY 1, 2
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Tool-usage stats: turns and exact distinct conversations per (role,
+# tool) — the agent-ops usage report (which tools does each role call,
+# and how widely across sessions?).  The counted-triple shape
+# (log_templates): per-batch (role, tool, conv) partial counts → one
+# vocab-level groupby → per-(role, tool) Sum/Sum, with count(DISTINCT
+# conv_id) falling out of a validity flag (SQL distinct skips NULLs).
+# --------------------------------------------------------------------------
+
+_TOOL_SENT = "\x00\x00tool-sent"
+
+
+def _tool_triple_partial(t: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    from .aggregate import _NULL_KEY
+
+    role = pd.Series(t.column("role").to_pandas()).fillna(_NULL_KEY)
+    tool = pd.Series(t.column("tool").to_pandas()).fillna(_NULL_KEY)
+    conv = pd.Series(t.column("conv_id").to_pandas()).fillna(_NULL_KEY)
+    g = (
+        pd.DataFrame({"role": role, "tool": tool, "conv_id": conv})
+        .groupby(["role", "tool", "conv_id"], sort=False).size()
+        .rename("n").reset_index()
+    )
+    return pa.table(
+        {
+            "role": pa.array(g["role"].to_numpy(dtype=object), pa.string()),
+            "tool": pa.array(g["tool"].to_numpy(dtype=object), pa.string()),
+            "conv_id": pa.array(g["conv_id"].to_numpy(dtype=object), pa.string()),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def tool_stats(ds):
+    """(role, tool, n_turns, n_convs) with n_convs = exact
+    count(DISTINCT conv_id), null convs excluded like SQL."""
+    import ray.data as rd
+
+    from .aggregate import _NULL_KEY, _unmask_col
+
+    need = ["conv_id", "role", "tool"]
+    if set(need) < set(ds.schema().names):
+        ds = ds.select_columns(need)
+    triples = (
+        ds.map_batches(
+            _tool_triple_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "role": pa.array([_TOOL_SENT], pa.string()),
+                "tool": pa.array([_TOOL_SENT], pa.string()),
+                "conv_id": pa.array([_TOOL_SENT], pa.string()),
+                "n": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["role", "tool", "conv_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        real = pc.cast(
+            pc.not_equal(t.column("conv_id"), _NULL_KEY), pa.int64()
+        )
+        return pa.table(
+            {
+                "role": t.column("role"),
+                "tool": t.column("tool"),
+                "n": t.column("n"),
+                "is_conv": real,
+            }
+        )
+
+    agg = (
+        triples.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["role", "tool"])
+        .aggregate(Sum("n", alias_name="n_turns"), Sum("is_conv", alias_name="n_convs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("role"), _TOOL_SENT))
+        return pa.table(
+            {
+                "role": _unmask_col(t.column("role")),
+                "tool": _unmask_col(t.column("tool")),
+                "n_turns": t.column("n_turns").cast(pa.int64()),
+                "n_convs": t.column("n_convs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tool_stats_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE}
+SELECT role, tool, count(*)::BIGINT AS n_turns,
+  count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM transcripts_t GROUP BY role, tool
+""".strip()

@@ -71,6 +71,7 @@ NEW_QUERIES = [
     "q_corpus_diff",
     "q_lang_confusion",
     "q_source_dup_matrix",
+    "q_pii_density",
 ]
 
 

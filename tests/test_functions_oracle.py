@@ -55,6 +55,7 @@ SORT_KEYS = {
     "q_corpus_diff": ["source"],
     "q_lang_confusion": ["lang", "lang_pred"],
     "q_source_dup_matrix": ["source_a", "source_b"],
+    "q_pii_density": ["source", "pattern"],
 }
 
 
