@@ -709,8 +709,11 @@ def q_doc_importance(sf_dir: str):
     c_r = np.zeros(DSIR_B, dtype=np.int64)
     if len(hist) and "bucket" in hist.columns:
         hist = hist[hist["bucket"] >= 0]
-        for _, row in hist.iterrows():
-            (c_t if row["split"] == 1 else c_r)[int(row["bucket"])] = int(row["c"])
+        b = hist["bucket"].to_numpy(dtype=np.int64)
+        c = hist["c"].to_numpy(dtype=np.int64)
+        tgt = hist["split"].to_numpy(dtype=np.int64) == 1
+        c_t[b[tgt]] = c[tgt]
+        c_r[b[~tgt]] = c[~tgt]
     n_t, n_r = int(c_t.sum()), int(c_r.sum())
     # per-bucket quantized log-ratio term, libm per distinct count value
     def _ln_per_distinct(v: np.ndarray, add: int) -> np.ndarray:
