@@ -174,6 +174,10 @@ def _q_tool_stats(sf_dir: str):
     return _la.tool_stats(flagship.read_transcripts(sf_dir))
 
 
+def _q_turn_novelty(sf_dir: str):
+    return _la.turn_novelty(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -228,6 +232,7 @@ _DRIVER_PRIORITY = [
     "q_source_dup_matrix",
     "q_pii_density",
     "q_tool_stats",
+    "q_turn_novelty",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",
@@ -295,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_session_assign": _q_turn_session_assign,
         "q_response_latency": _q_response_latency,
         "q_tool_stats": _q_tool_stats,
+        "q_turn_novelty": _q_turn_novelty,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
@@ -335,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_session_assign": turn_session_assign_oracle_sql(),
         "q_response_latency": _la.response_latency_oracle_sql(),
         "q_tool_stats": _la.tool_stats_oracle_sql(),
+        "q_turn_novelty": _la.turn_novelty_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),

@@ -1391,3 +1391,138 @@ SELECT role, tool, count(*)::BIGINT AS n_turns,
   count(DISTINCT conv_id)::BIGINT AS n_convs
 FROM transcripts_t GROUP BY role, tool
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Turn novelty (agent-loop detector): per turn, what fraction of its word
+# 3-grams already appeared in an EARLIER turn of the same conversation?
+# A looping agent (retrying the same tool call, re-printing the same
+# plan) shows up as repeat_frac → 1 long before a human reads the
+# transcript.  Fully vectorized: per sorted block, (conv, shingle) pairs
+# get a first-occurrence turn ordinal via sort + reduceat-min; each
+# occurrence then compares its own ordinal against the group minimum —
+# no per-turn Python sets.  Twin: min(ord) OVER (PARTITION BY conv, h).
+# --------------------------------------------------------------------------
+
+
+def _novelty_sorted_block(t: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    from ..functions import corpus as cp
+    from .aggregate import _conv_codes, _unmask_col
+
+    empty = pa.table(
+        {
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int32()),
+            "n_shingles": pa.array([], pa.int64()),
+            "n_repeated": pa.array([], pa.int64()),
+            "repeat_frac": pa.array([], pa.float64()),
+        }
+    )
+    n = len(t)
+    if n == 0:
+        return empty
+    codes, conv = _conv_codes(t)
+    ti = pc.fill_null(t.column("turn_idx").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
+    ts_f = pc.fill_null(t.column("ts").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
+    # deterministic total order incl. fully-duplicated rows: md5(text) as
+    # the final tie key (both twins order by it)
+    texts = t.column("text").to_pylist()
+    th = np.asarray(
+        ["" if x is None else cp.md5_hex(x) for x in texts], dtype=object
+    )
+    order = np.lexsort((th, ts_f, ti, codes))
+    ordinal = np.empty(n, dtype=np.int64)
+    ordinal[order] = np.arange(n)  # block-wide; conv-locality not needed
+
+    # shingles per ROW (original block positions)
+    s = pd.Series(texts)
+    ex = s.str.split().explode()
+    grp = ex.groupby(level=0)
+    sh = (ex + " " + grp.shift(-1) + " " + grp.shift(-2)).dropna()
+    n_shingles = np.zeros(n, dtype=np.int64)
+    n_repeated = np.zeros(n, dtype=np.int64)
+    if len(sh):
+        rows = sh.index.to_numpy(dtype=np.int64)
+        scodes, _ = pd.factorize(sh.to_numpy(), sort=False)
+        # group key: (conv, shingle); first-occurrence ordinal per group
+        key = codes[rows].astype(np.int64) * (scodes.max() + 1) + scodes
+        occ_ord = ordinal[rows]
+        o = np.lexsort((occ_ord, key))
+        k_s, ord_s, rows_s = key[o], occ_ord[o], rows[o]
+        starts = np.r_[0, np.flatnonzero(k_s[1:] != k_s[:-1]) + 1]
+        firsts = np.minimum.reduceat(ord_s, starts)
+        seg = np.cumsum(np.r_[True, k_s[1:] != k_s[:-1]]) - 1
+        repeated = ord_s > firsts[seg]
+        np.add.at(n_shingles, rows_s, 1)
+        np.add.at(n_repeated, rows_s, repeated.astype(np.int64))
+    frac = np.where(
+        n_shingles > 0,
+        n_repeated.astype(np.float64) / np.where(n_shingles > 0, n_shingles, 1),
+        0.0,
+    )
+    return pa.table(
+        {
+            "conv_id": _unmask_col(t.column("conv_id")),
+            "turn_idx": t.column("turn_idx"),
+            "n_shingles": pa.array(n_shingles),
+            "n_repeated": pa.array(n_repeated),
+            "repeat_frac": pa.array(frac),
+        }
+    )
+
+
+def turn_novelty(ds):
+    """Per-turn within-conversation repetition: (conv_id, turn_idx,
+    n_shingles, n_repeated, repeat_frac) over word 3-grams, where a
+    shingle occurrence counts as repeated when an earlier turn (order:
+    turn_idx, ts, md5(text)) of the SAME conversation contains it."""
+    from .aggregate import _sorted_by_conv
+
+    return _sorted_by_conv(ds, ["conv_id", "turn_idx", "text", "ts"]).map_batches(
+        _novelty_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def turn_novelty_oracle_sql() -> str:
+    from .. import datagen as dg
+    from ..functions import corpus as cp_
+
+    toks = cp_.SQL_TOKS.format(t="text")
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+o AS (
+  SELECT conv_id, turn_idx, text,
+    row_number() OVER (ORDER BY conv_id, turn_idx, ts, md5(text)) AS ord,
+    {toks} AS toks
+  FROM transcripts_t
+),
+sh AS (
+  SELECT conv_id, turn_idx, ord,
+    unnest(list_transform(generate_series(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+  FROM o
+),
+f AS (
+  SELECT conv_id, turn_idx, ord,
+    min(ord) OVER (PARTITION BY conv_id, s) AS first_ord
+  FROM sh
+),
+per AS (
+  SELECT conv_id, ord, count(*)::BIGINT AS n_shingles,
+    sum(CASE WHEN ord > first_ord THEN 1 ELSE 0 END)::BIGINT AS n_repeated
+  FROM f GROUP BY conv_id, ord
+)
+SELECT o.conv_id, o.turn_idx,
+  coalesce(p.n_shingles, 0) AS n_shingles,
+  coalesce(p.n_repeated, 0) AS n_repeated,
+  CASE WHEN coalesce(p.n_shingles, 0) > 0
+       THEN p.n_repeated::DOUBLE / p.n_shingles ELSE 0.0 END AS repeat_frac
+FROM o LEFT JOIN per p ON p.conv_id IS NOT DISTINCT FROM o.conv_id
+                      AND p.ord = o.ord
+""".strip()

@@ -575,3 +575,50 @@ def test_response_latency_percentiles_exact(ray_session, tmp_path):
     # the only other transition present is assistant→user across convs? none:
     # pairs exist only within a conv, so no other (from, to) row has n>0
     assert set(map(tuple, got[["from_role", "to_role"]].values)) == {("user", "assistant")}
+
+
+def test_turn_novelty_detects_looping_agent(ray_session, tmp_path):
+    """A conversation that repeats the same message verbatim reads back
+    repeat_frac=1.0 from the second occurrence on; fresh turns score 0;
+    short/null texts carry zero shingles; repeats straddle shards."""
+    import ray.data
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        turn_novelty,
+    )
+
+    ts0 = pd.Timestamp("2024-07-01").value // 1000
+    loop_msg = "retrying the exact same tool call again now"
+    rows = [
+        ("loop", 0, loop_msg, ts0),
+        ("loop", 1, loop_msg, ts0 + 1),
+        ("loop", 2, loop_msg, ts0 + 2),
+        ("loop", 3, "a genuinely new message appears here finally", ts0 + 3),
+        # same text in a DIFFERENT conversation: not a repeat there
+        ("other", 0, loop_msg, ts0),
+        ("other", 1, "hi", ts0 + 1),   # < 3 tokens → no shingles
+        ("other", 2, None, ts0 + 2),   # null text
+    ]
+    tbl = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array(["assistant"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    d = str(tmp_path / "novelty")
+    os.makedirs(d)
+    pq.write_table(tbl.slice(0, 2), f"{d}/part-0.parquet")  # loop straddles
+    pq.write_table(tbl.slice(2), f"{d}/part-1.parquet")
+
+    got = turn_novelty(ray.data.read_parquet(d)).to_pandas()
+    loop = got[got["conv_id"] == "loop"].set_index("turn_idx").sort_index()
+    assert loop.loc[0, "repeat_frac"] == 0.0
+    assert loop.loc[1, "repeat_frac"] == 1.0
+    assert loop.loc[2, "repeat_frac"] == 1.0
+    assert loop.loc[3, "repeat_frac"] == 0.0
+    other = got[got["conv_id"] == "other"].set_index("turn_idx").sort_index()
+    assert other.loc[0, "repeat_frac"] == 0.0  # fresh in ITS conversation
+    assert other.loc[1, "n_shingles"] == 0 and other.loc[2, "n_shingles"] == 0
