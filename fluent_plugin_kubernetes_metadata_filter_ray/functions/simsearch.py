@@ -1708,3 +1708,117 @@ SELECT query_id, vec_id, rank, adc_q FROM (
   FROM scores
 ) WHERE rank <= {TOPK_K}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space health stats: per-DIMENSION mean/variance over the whole
+# corpus — the dead-dimension / scale-drift detector run before trusting
+# an embedding table (a dim with var 0 is dead; a dim whose scale dwarfs
+# the rest poisons cosine).  Same exactness discipline as the centroids:
+# elements quantize to ints (DIM_Q = 1e4 — coarse enough that the int64
+# sum of SQUARES stays exact past 10^10 vectors) and every float derives
+# from integer sums in one mirrored operation order.
+# ---------------------------------------------------------------------------
+
+DIM_Q = 1e4
+
+
+def _dim_stats_partial(batch: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "dim": pa.array([], pa.int64()),
+            "qsum": pa.array([], pa.int64()),
+            "qsumsq": pa.array([], pa.int64()),
+            "n_vecs": pa.array([], pa.int64()),
+        }
+    )
+    n = len(batch)
+    if not n:
+        return empty
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    m = m.reshape(n, -1)
+    q = np.floor(m * DIM_Q).astype(np.int64)
+    dim = q.shape[1]
+    return pa.table(
+        {
+            "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+            "qsum": pa.array(q.sum(axis=0)),
+            "qsumsq": pa.array((q * q).sum(axis=0)),
+            "n_vecs": pa.array(np.full(dim, n, dtype=np.int64)),
+        }
+    )
+
+
+def q_embed_dim_stats(sf_dir: str):
+    """Per-dimension corpus stats: (dim, n_vecs, mean, variance, is_dead)
+    over quantized elements — population variance, is_dead = var == 0."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    agg = (
+        cp.read_embeddings(sf_dir, columns=("vec_id", "embedding"))
+        .map_batches(_dim_stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {
+                "dim": pa.array([-1], pa.int64()),
+                "qsum": pa.array([0], pa.int64()),
+                "qsumsq": pa.array([0], pa.int64()),
+                "n_vecs": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby("dim")
+        .aggregate(
+            Sum("qsum", alias_name="qsum"),
+            Sum("qsumsq", alias_name="qsumsq"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+    import pyarrow.compute as pc_
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.greater(t.column("dim"), 0))
+        s = t.column("qsum").to_numpy(zero_copy_only=False).astype(np.float64)
+        sq = t.column("qsumsq").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = (s / n) / DIM_Q
+        var = (sq / n - (s / n) * (s / n)) / (DIM_Q * DIM_Q)
+        return pa.table(
+            {
+                "dim": t.column("dim"),
+                "n_vecs": t.column("n_vecs").cast(pa.int64()),
+                "mean": pa.array(mean),
+                "variance": pa.array(var),
+                "is_dead": pa.array(var == 0.0),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embed_dim_stats_oracle_sql() -> str:
+    q = f"{DIM_Q:.0f}.0"
+    return f"""
+WITH dims AS (SELECT DISTINCT unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings),
+el AS (
+  SELECT d.dim::BIGINT AS dim,
+    floor(e.embedding[d.dim]::DOUBLE * {q})::BIGINT AS qx
+  FROM embeddings e CROSS JOIN dims d
+),
+a AS (
+  SELECT dim, count(*)::BIGINT AS n_vecs,
+    sum(qx)::BIGINT AS s, sum(qx * qx)::BIGINT AS sq
+  FROM el GROUP BY dim
+)
+SELECT dim, n_vecs,
+  (s::DOUBLE / n_vecs) / {q} AS mean,
+  (sq::DOUBLE / n_vecs - (s::DOUBLE / n_vecs) * (s::DOUBLE / n_vecs))
+    / ({q} * {q}) AS variance,
+  ((sq::DOUBLE / n_vecs - (s::DOUBLE / n_vecs) * (s::DOUBLE / n_vecs))
+    / ({q} * {q})) = 0.0 AS is_dead
+FROM a GROUP BY dim, n_vecs, s, sq
+""".strip()

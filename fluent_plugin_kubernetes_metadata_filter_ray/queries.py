@@ -233,6 +233,7 @@ _DRIVER_PRIORITY = [
     "q_pii_density",
     "q_tool_stats",
     "q_turn_novelty",
+    "q_embed_dim_stats",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

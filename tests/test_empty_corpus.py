@@ -72,6 +72,7 @@ NEW_QUERIES = [
     "q_lang_confusion",
     "q_source_dup_matrix",
     "q_pii_density",
+    "q_embed_dim_stats",
 ]
 
 

@@ -56,6 +56,7 @@ SORT_KEYS = {
     "q_lang_confusion": ["lang", "lang_pred"],
     "q_source_dup_matrix": ["source_a", "source_b"],
     "q_pii_density": ["source", "pattern"],
+    "q_embed_dim_stats": ["dim"],
 }
 
 
