@@ -518,3 +518,91 @@ SELECT doc_id,
     AS duration_ms
 FROM documents
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Media corruption report: per-format decodable vs malformed counts over
+# the real-container header decode — the ingest-health summary a
+# multimodal pipeline publishes per crawl (a format whose malformed rate
+# jumps means a broken exporter upstream).  Pure combiner over the
+# q_media_dims output (≤ formats rows per batch).
+# ---------------------------------------------------------------------------
+
+_MCR_SENT = "\x00\x00mcr-sent"
+
+
+def q_media_corrupt_report(sf_dir: str):
+    """(fmt, n_media, n_decoded, n_malformed, malformed_frac) from the
+    header-decode stage; malformed = headers that failed to parse."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    dims = q_media_dims(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        fmt = pd.Series(t.column("fmt").to_pandas())
+        ok = pc_.is_valid(t.column("width")).to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"fmt": fmt, "ok": ok.astype("int64")})
+            .groupby("fmt", sort=False)
+            .agg(n_media=("ok", "size"), n_decoded=("ok", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "fmt": pa.array(g["fmt"].to_numpy(dtype=object), pa.string()),
+                "n_media": pa.array(g["n_media"].to_numpy(dtype="int64")),
+                "n_decoded": pa.array(g["n_decoded"].to_numpy(dtype="int64")),
+            }
+        )
+
+    agg = (
+        dims.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {
+                "fmt": pa.array([_MCR_SENT], pa.string()),
+                "n_media": pa.array([0], pa.int64()),
+                "n_decoded": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby("fmt")
+        .aggregate(
+            Sum("n_media", alias_name="n_media"),
+            Sum("n_decoded", alias_name="n_decoded"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("fmt"), _MCR_SENT))
+        nm = t.column("n_media").to_numpy(zero_copy_only=False).astype("int64")
+        nd = t.column("n_decoded").to_numpy(zero_copy_only=False).astype("int64")
+        bad = nm - nd
+        import numpy as np
+
+        frac = np.where(nm > 0, bad.astype("float64") / np.where(nm > 0, nm, 1), 0.0)
+        return pa.table(
+            {
+                "fmt": t.column("fmt"),
+                "n_media": pa.array(nm),
+                "n_decoded": pa.array(nd),
+                "n_malformed": pa.array(bad),
+                "malformed_frac": pa.array(frac),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_corrupt_report_oracle_sql() -> str:
+    return f"""
+WITH md AS ({media_dims_oracle_sql()})
+SELECT fmt, count(*)::BIGINT AS n_media,
+  sum(CASE WHEN width IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_decoded,
+  sum(CASE WHEN width IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_malformed,
+  CASE WHEN count(*) > 0
+       THEN sum(CASE WHEN width IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)
+       ELSE 0.0 END AS malformed_frac
+FROM md GROUP BY fmt
+""".strip()

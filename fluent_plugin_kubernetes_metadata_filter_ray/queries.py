@@ -234,6 +234,7 @@ _DRIVER_PRIORITY = [
     "q_tool_stats",
     "q_turn_novelty",
     "q_embed_dim_stats",
+    "q_media_corrupt_report",
     "q_token_postings",
     "q_corpus_rollup",
     "q_embed_pq",

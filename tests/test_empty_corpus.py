@@ -73,6 +73,7 @@ NEW_QUERIES = [
     "q_source_dup_matrix",
     "q_pii_density",
     "q_embed_dim_stats",
+    "q_media_corrupt_report",
 ]
 
 

@@ -57,6 +57,7 @@ SORT_KEYS = {
     "q_source_dup_matrix": ["source_a", "source_b"],
     "q_pii_density": ["source", "pattern"],
     "q_embed_dim_stats": ["dim"],
+    "q_media_corrupt_report": ["fmt"],
 }
 
 
