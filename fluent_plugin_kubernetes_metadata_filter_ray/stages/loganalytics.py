@@ -858,18 +858,34 @@ _TIE_NULL_CONV = "\x01"
 
 def _window_hash_batch(t: pa.Table) -> pa.Table:
     """text → md5 content hash (null text → null, like DuckDB md5(NULL))
-    + int64 conv tie-break hash; drops the text payload before the sort."""
+    + int64 conv tie-break hash; drops the text payload before the sort.
+    One md5 per DISTINCT value per batch (batch_shingles' factorize
+    trick): a replicated/bursty stream repeats texts heavily, and convs
+    repeat by construction."""
+    import pandas as pd
+
     from ..functions import corpus as cp_
 
-    texts = t.column("text").to_pylist()
-    convs = t.column("conv_id").to_pylist()
-    h = pa.array(
-        [None if x is None else cp_.md5_hex(x) for x in texts], pa.string()
-    )
-    ch = pa.array(
-        [cp_.w63(c if c is not None else _TIE_NULL_CONV) for c in convs],
-        pa.int64(),
-    )
+    texts = np.asarray(t.column("text").to_pylist(), dtype=object)
+    convs = np.asarray(t.column("conv_id").to_pylist(), dtype=object)
+    tcodes, tuniq = pd.factorize(texts, sort=False)  # None → -1
+    if len(tuniq):
+        hu = np.asarray([cp_.md5_hex(x) for x in tuniq], dtype=object)
+        h = pa.array(
+            np.where(tcodes >= 0, hu[np.maximum(tcodes, 0)], None), pa.string()
+        )
+    else:  # every text in the batch is null
+        h = pa.nulls(len(texts), pa.string())
+    ccodes, cuniq = pd.factorize(convs, sort=False)
+    null_ch = cp_.w63(_TIE_NULL_CONV)
+    if len(cuniq):
+        cu = np.fromiter(
+            (cp_.w63(c) for c in cuniq), dtype=np.int64, count=len(cuniq)
+        )
+        ch_np = np.where(ccodes >= 0, cu[np.maximum(ccodes, 0)], null_ch)
+    else:
+        ch_np = np.full(len(convs), null_ch)
+    ch = pa.array(ch_np.astype(np.int64), pa.int64())
     return pa.table(
         {
             "conv_id": t.column("conv_id"),
