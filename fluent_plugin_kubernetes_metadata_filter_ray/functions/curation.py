@@ -2127,7 +2127,14 @@ def q_pii_density(sf_dir: str):
 def pii_density_oracle_sql() -> str:
     from ..stages.redact import REDACT_PATTERNS
 
-    vals = ", ".join(f"('{name}', '{pat}')" for name, pat, _ in REDACT_PATTERNS)
+    # SQL-escape embedded single quotes so a future pattern containing one
+    # can't silently corrupt the VALUES literal
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{_q(name)}', '{_q(pat)}')" for name, pat, _ in REDACT_PATTERNS
+    )
     return f"""
 WITH p AS (SELECT * FROM (VALUES {vals}) AS v(pattern, rx)),
 h AS (

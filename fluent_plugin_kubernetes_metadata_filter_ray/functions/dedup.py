@@ -1305,17 +1305,21 @@ def _diff_flags_batch(batch: pa.Table, code_of: dict) -> pa.Table:
     )
     old = (ids[keep] % INCR_REF_MOD == 0).astype(np.int64)
     fl = old + 2 * (1 - old)  # bit 0 = old crawl, bit 1 = new crawl
+    # fl is only ever 1 (old) or 2 (new): the per-group bitwise OR is just
+    # max(fl & 1) | max(fl & 2) — two vectorized C-path aggregations instead
+    # of a Python lambda per distinct text (ADVICE r4)
     g = (
-        pd.DataFrame({"sc": sc, "h": h, "fl": fl})
-        .groupby(["sc", "h"], sort=False)["fl"]
-        .agg(lambda v: int(np.bitwise_or.reduce(v.to_numpy())))
-        .rename("fl").reset_index()
+        pd.DataFrame({"sc": sc, "h": h, "b0": fl & 1, "b1": fl & 2})
+        .groupby(["sc", "h"], sort=False)
+        .agg(b0=("b0", "max"), b1=("b1", "max"))
+        .reset_index()
     )
+    fl_out = g["b0"].to_numpy(dtype=np.int64) | g["b1"].to_numpy(dtype=np.int64)
     return pa.table(
         {
             "sc": pa.array(g["sc"].to_numpy(dtype=np.int64)),
             "h": pa.array(g["h"].to_numpy(dtype=np.int64)),
-            "fl": pa.array(g["fl"].to_numpy(dtype=np.int64)),
+            "fl": pa.array(fl_out),
         }
     )
 

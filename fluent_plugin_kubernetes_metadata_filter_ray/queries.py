@@ -214,55 +214,56 @@ def _rawlog_oracle() -> str:
 # across rounds (VERDICT r3 task 2); previously-green entries rotate to the
 # tail.
 _DRIVER_PRIORITY = [
-    # round-4 additions (never driver-witnessed)
-    "q_turn_dedup_window",
-    "q_token_cms",
-    "q_transcripts_jsonl_gz",
-    "q_doc_overlap",
-    "q_source_divergence",
-    "q_doc_importance",
-    "q_conv_dedup",
-    "q_source_diversity",
-    "q_field_nulls",
-    "q_turn_conv_enrich",
-    "q_turn_session_assign",
-    "q_response_latency",
-    "q_corpus_diff",
-    "q_lang_confusion",
-    "q_source_dup_matrix",
-    "q_pii_density",
-    "q_tool_stats",
-    "q_turn_novelty",
-    "q_embed_dim_stats",
-    "q_media_corrupt_report",
-    "q_token_postings",
-    "q_corpus_rollup",
-    "q_embed_pq",
-    "q_ann_pq",
-    "q_doc_quality_quantile",
-    "q_doc_dup_ngrams",
-    "q_media_audio",
-    "q_doc_sample_exact_k",
-    "q_para_dedup",
-    "q_doc_split",
-    "q_token_pmi",
-    "q_dedup_bloom",
-    "q_embed_kmeans",
-    "q_transcripts_csv",
-    "q_transcripts_orc",
-    "q_transcripts_rawlog",
-    # round-3 additions that fell outside the r3 window
-    "q_ann_range",
-    "q_chunk_dedup",
-    "q_decontaminate",
-    "q_doc_chunks",
-    "q_doc_pack",
-    "q_doc_rank",
-    "q_doc_sample_weighted",
-    "q_doc_tfidf",
-    "q_embed_dedup_clusters",
-    "q_embed_quantize",
-    "q_source_overlap",
+    # round-5 additions (never driver-witnessed) go FIRST
+    # (appended as they land this round)
+    # round-3-witnessed queries that fell outside the r4 window: re-witness in r5
+    "q_enrich_skip",
+    "q_enrich_dedot",
+    "q_enrich_ownerrefs",
+    "q_route_counts",
+    "q_conv_stats",
+    "q_top_convs",
+    "q_conv_sessions",
+    "q_conv_concat",
+    "q_conv_percentiles",
+    "q_turn_rates",
+    "q_turn_rolling",
+    "q_log_redact",
+    "q_log_templates",
+    "q_role_transitions",
+    "q_turn_hopping",
+    "q_rate_anomaly",
+    "q_conv_cardinality",
+    "q_turn_late",
+    "q_doc_stats",
+    "q_doc_fingerprint",
+    "q_token_freq",
+    "q_doc_normalize",
+    "q_doc_lm_score",
+    "q_token_heavy",
+    "q_corpus_summary",
+    "q_doc_sample",
+    "q_top_docs_per_source",
+    "q_source_mix",
+    "q_doc_sample_stratified",
+    "q_doc_quality_filter",
+    "q_dedup_exact",
+    "q_dedup_incremental",
+    "q_dedup_incremental_fuzzy",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_clusters",
+    "q_ann_topk",
+    "q_embed_neardup",
+    "q_embed_neardup_lsh",
+    "q_embed_centroids",
+    "q_ann_lsh",
+    "q_ann_ivf",
+    "q_media_decode",
+    "q_media_dims",
+    "q_doc_embed_join",
+    "q_turn_snapshot_asof",
+    "q_doc_repetition",
 ]
 
 

@@ -116,14 +116,16 @@ def read_container_logs(log_dir: str):
     )
 
     def normalize(t: pa.Table) -> pa.Table:
-        paths = t.column("path").to_pylist()
-        tool = pa.array(
-            [
-                os.path.relpath(os.path.abspath(p), root).replace(os.sep, ".")
-                for p in paths
-            ],
-            pa.string(),
-        )
+        # Path → tag derivation runs once per DISTINCT path (one file per
+        # task in practice), never per row: dictionary-encode the path
+        # column, map the handful of dictionary values through the os.path
+        # logic, then gather through the index array (3392b96 pattern).
+        penc = pc.dictionary_encode(t.column("path")).combine_chunks()
+        dvals = [
+            os.path.relpath(os.path.abspath(p), root).replace(os.sep, ".")
+            for p in penc.dictionary.to_pylist()
+        ]
+        tool = pc.take(pa.array(dvals, pa.string()), penc.indices)
 
         def col(name, typ):
             """Bare docker lines carry only log/stream/time — any merged
@@ -184,7 +186,7 @@ def q_transcripts_rawlog(sf_dir: str):
 def transcripts_rawlog_oracle_sql() -> str:
     from .. import datagen as dg
 
-    return f"""
+    return rf"""
 WITH {dg.TRANSCRIPTS_CTE}
 SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts_t
 WHERE tool NOT LIKE '%/%' AND tool NOT LIKE '%\%'

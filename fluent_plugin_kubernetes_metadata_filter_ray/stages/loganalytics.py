@@ -1018,8 +1018,14 @@ def _field_nulls_partial(t: pa.Table) -> pa.Table:
     if not len(t):
         return empty
     us = t.column("ts").cast(pa.int64())
-    day = pc.multiply(pc.divide(us, _DAY_US), _DAY_US)  # floor to day
-    day = pc.fill_null(day, _NULL_US).to_numpy(zero_copy_only=False)
+    # FLOOR division, not truncation: pc.divide truncates toward zero, which
+    # disagrees with the oracle's date_trunc('day') for pre-1970 (negative
+    # epoch) timestamps by one day.  numpy floor_divide matches date_trunc
+    # for any sign; nulls carry through as _NULL_US via the mask.
+    us_np = pc.fill_null(us, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    null_mask = pc.is_null(us).to_numpy(zero_copy_only=False)
+    day = (us_np // _DAY_US) * _DAY_US
+    day[null_mask] = _NULL_US
     uniq, codes = np.unique(day, return_inverse=True)
     out_d, out_f, out_r, out_n = [], [], [], []
     n_rows = np.bincount(codes, minlength=len(uniq)).astype(np.int64)

@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import numpy as np
+
 
 def route_write(enriched_ds, out_dir: str):
     """Single-scan fan-out: write_parquet partitioned by role.
@@ -177,8 +179,22 @@ def _write_bucketed_jsonl(ds, out_dir: str) -> str:
         if not len(t):
             return pa.table({"bucket": pa.array([], pa.int32()),
                              "n": pa.array([], pa.int64())})
+        import pandas as pd
+
         df = t.to_pandas()
-        buckets = df["role"].map(_role_bucket)
+        # hash once per DISTINCT role, not per row: factorize then gather
+        # (3392b96 pattern); factorize maps nulls to code -1 → bucket 0,
+        # matching _role_bucket's null branch
+        codes, uniq = pd.factorize(df["role"], sort=False)
+        if len(uniq) == 0:  # all-null batch: every row → bucket 0
+            buckets = np.zeros(len(df), dtype=np.int64)
+        else:
+            per_distinct = np.fromiter(
+                (_role_bucket(r) for r in uniq), dtype=np.int64, count=len(uniq)
+            )
+            buckets = np.where(
+                codes < 0, 0, per_distinct[np.clip(codes, 0, None)]
+            )
         out_rows = []
         for b, sub in df.groupby(buckets, sort=False):
             d = os.path.join(out_dir, f"bucket-{int(b):03d}")

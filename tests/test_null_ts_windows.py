@@ -622,3 +622,28 @@ def test_turn_novelty_detects_looping_agent(ray_session, tmp_path):
     other = got[got["conv_id"] == "other"].set_index("turn_idx").sort_index()
     assert other.loc[0, "repeat_frac"] == 0.0  # fresh in ITS conversation
     assert other.loc[1, "n_shingles"] == 0 and other.loc[2, "n_shingles"] == 0
+
+
+def test_field_nulls_negative_epoch_day_floor():
+    """Pre-1970 timestamps must floor to the PREVIOUS day boundary (the
+    oracle's date_trunc('day') semantics), not truncate toward zero: -1 µs
+    belongs to 1969-12-31, not 1970-01-01 (ADVICE r4)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.stages.loganalytics import (
+        _DAY_US,
+        _field_nulls_partial,
+    )
+
+    tbl = pa.table(
+        {
+            "conv_id": pa.array(["a", "b", "c"], pa.string()),
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": pa.array(["user", "user", None], pa.string()),
+            "text": pa.array(["x", "y", "z"], pa.string()),
+            "tool": pa.array(["t", None, "t"], pa.string()),
+            "ts": pa.array([-1, 0, None], pa.int64()).cast(pa.timestamp("us")),
+        }
+    )
+    part = _field_nulls_partial(tbl)
+    days = sorted(set(part.column("day_us").to_pylist()))
+    # -1 µs → day -86400000000 (1969-12-31); 0 → day 0; null ts → sentinel
+    assert -_DAY_US in days and 0 in days
