@@ -261,6 +261,20 @@ def run_bench() -> dict:
                   lambda name=name: fq[name](big).materialize(),
                   trials=2 if name in heavy else 0, shuffle=True)
 
+        # persisted-state incremental fuzzy dedup (VERDICT r4 task 1): the
+        # prior-crawl LSH checkpoint is written ONCE (untimed — it is the
+        # previous crawl's output at steady state); the timed entry is the
+        # recurring crawl-N+1 pass, which shingles only the new split and
+        # reads the history's band/set rows from parquet.
+        from fluent_plugin_kubernetes_metadata_filter_ray.functions import (
+            dedup as _dd,
+        )
+
+        _dd.fuzzy_state_write(big, _dd.default_fuzzy_state_dir(big))
+        timed("dedup_incremental_fuzzy_resume_big",
+              lambda: _dd.q_dedup_incremental_fuzzy_resume(big).materialize(),
+              trials=2, shuffle=True)
+
         # trained-IVF production path (VERDICT r3 task 5): spherical-k-means
         # codebook over a driver-side 4096-vector sample, plus recall@k of
         # both codebooks against the exact brute-force top-k ground truth
