@@ -1241,3 +1241,106 @@ SELECT lang, lang_pred, count(*)::BIGINT AS n_docs,
   coalesce(lang = lang_pred, false) AS is_match
 FROM p GROUP BY lang, lang_pred
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T1 upgrade (VERDICT r4 task 8): real greedy-BPE token counts.  Training-
+# data token budgets are BPE tokens, not whitespace splits — this op applies
+# a deterministic merge LADDER (classic Sennrich-style: each rule merges one
+# adjacent symbol pair, later rules may reference symbols earlier rules
+# created) and reports per-doc subword counts.  The merges table is the
+# broadcast side (a fixed deterministic ladder here; a trained table drops in
+# unchanged — it rides the task closure / ray.put, never a shuffle).
+#
+# Twin strategy: both sides run the IDENTICAL ladder.  A word becomes its
+# space-separated character sequence; each rule is a literal replace-all of
+# "a b" with "ab" (left-to-right non-overlapping in both Arrow and DuckDB);
+# the surviving symbol count is spaces+1.  Engine side runs the ladder once
+# per DISTINCT word (factorize + gather), so shared-vocabulary corpora pay
+# ~50× less than per-instance application.
+# ---------------------------------------------------------------------------
+
+# ladder order matters: ("th","e") only fires because ("t","h") ran first
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("e", "n"),
+    ("a", "t"), ("e", "s"), ("o", "r"), ("s", "t"), ("a", "r"),
+    ("a", "l"), ("i", "t"), ("in", "g"), ("o", "f"), ("t", "o"),
+    ("i", "s"), ("e", "d"), ("the", "m"), ("l", "l"),
+)
+
+
+def _bpe_symbol_counts(words: np.ndarray) -> np.ndarray:
+    """Greedy-BPE symbol count per word (vectorized Arrow kernels over the
+    whole distinct-word array): chars → spaced sequence → merge ladder →
+    spaces+1."""
+    arr = pa.array(words, pa.string())
+    spaced = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(arr, "(.)", r"\1 ")
+    )
+    for a, b in BPE_MERGES:
+        spaced = pc.replace_substring(spaced, f"{a} {b}", f"{a}{b}")
+    return pc.add(
+        pc.count_substring(spaced, " "), 1
+    ).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tokens_bpe_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → (n_words, n_bpe_tokens).  Null text → 0/0 (the token-
+    statistics null contract of doc_stats_batch)."""
+    s = pd.Series(batch.column("text").to_pandas())
+    toks = s.str.strip().str.split()
+    n_words = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    ex = toks.explode().dropna()
+    if len(ex):
+        codes, uniq = pd.factorize(ex.to_numpy(dtype=object), sort=False)
+        per_word = _bpe_symbol_counts(uniq)
+        n_bpe = (
+            pd.Series(per_word[codes], index=ex.index)
+            .groupby(level=0)
+            .sum()
+            .reindex(s.index, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+    else:
+        n_bpe = np.zeros(len(s), dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words),
+            "n_bpe_tokens": pa.array(n_bpe),
+        }
+    )
+
+
+def q_doc_tokens_bpe(sf_dir: str):
+    """Per-doc greedy-BPE subword counts — one stateless column-pruned
+    ``map_batches`` pass, no shuffle; scales like every other textstat."""
+    return cp.read_documents(sf_dir).map_batches(
+        tokens_bpe_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_tokens_bpe_oracle_sql() -> str:
+    ladder = "s"
+    for a, b in BPE_MERGES:
+        ladder = f"replace({ladder}, '{a} {b}', '{a}{b}')"
+    toks = cp.SQL_TOKS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS w FROM documents
+),
+sp AS (
+  SELECT doc_id, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM tok
+),
+cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+    sum(len({ladder}) - len(replace({ladder}, ' ', '')) + 1)::BIGINT
+      AS n_bpe_tokens
+  FROM sp GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(c.n_words, 0)::BIGINT AS n_words,
+  coalesce(c.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN cnt c USING (doc_id)
+""".strip()

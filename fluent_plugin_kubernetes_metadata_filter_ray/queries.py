@@ -216,6 +216,7 @@ def _rawlog_oracle() -> str:
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-witnessed) go FIRST
     # (appended as they land this round)
+    "q_doc_tokens_bpe",
     # round-3-witnessed queries that fell outside the r4 window: re-witness in r5
     "q_enrich_skip",
     "q_enrich_dedot",

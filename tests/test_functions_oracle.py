@@ -8,6 +8,7 @@ import pytest
 
 SORT_KEYS = {
     "q_doc_stats": ["doc_id"],
+    "q_doc_tokens_bpe": ["doc_id"],
     "q_doc_fingerprint": ["doc_id"],
     "q_token_freq": ["token"],
     "q_token_heavy": ["token"],
