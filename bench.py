@@ -345,6 +345,17 @@ def run_bench() -> dict:
               shuffle=True)
         timed("ann_pq_big", lambda: fq["q_ann_pq"](big).materialize(),
               shuffle=True)
+        # IVF-PQ (r5): residual-trained PQ + probe-restricted ADC — the
+        # composed scale tier; recall@k tracked against BOTH parents below
+        timed("ann_ivfpq_big", lambda: fq["q_ann_ivfpq"](big).materialize(),
+              shuffle=True)
+        pq_set = set(map(tuple,
+                         _ss.q_ann_pq(big).to_pandas()[["query_id", "vec_id"]].values))
+        ivfpq_set = set(map(tuple,
+                            _ss.q_ann_ivfpq(big)
+                            .to_pandas()[["query_id", "vec_id"]].values))
+        recall["ann_pq_big"] = round(len(pq_set & exact) / len(exact), 3)
+        recall["ann_ivfpq_big"] = round(len(ivfpq_set & exact) / len(exact), 3)
 
         # round-4 session additions: the CMS sketch (fixed-size aggregate +
         # vocab join), boundary-overlap counts (thin int64-key join), and
@@ -469,6 +480,83 @@ def run_scaling() -> dict:
     }
 
 
+def run_objstore() -> dict:
+    """Memory-pressure streaming proof (VERDICT r4 task 5): run the
+    flagship e2e and the heaviest dedup pipeline under a HARD object-store
+    cap — KMETA_BENCH_OBJSTORE_CAP bytes, default 2 GiB, far below the
+    pipelines' total block volume — and record completion + Ray's spill
+    counters.  A stage that materialized more than its streaming window
+    would stall the plasma store; completing under the cap (with whatever
+    spill the executor chose) is the direct single-node evidence that
+    every stage streams, i.e. the 100-TB shape holds when the object
+    store is the scarce resource."""
+    import ray
+
+    cap = int(os.environ.get("KMETA_BENCH_OBJSTORE_CAP", str(2 << 30)))
+    os.environ.setdefault("KMETA_QUIET_CLIPS", "1")
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             object_store_memory=cap, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from fluent_plugin_kubernetes_metadata_filter_ray import datagen as dg
+    from fluent_plugin_kubernetes_metadata_filter_ray.pipelines import flagship
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import (
+        registry as _reg,
+        scalegen,
+    )
+
+    out: dict = {
+        "metric": "objstore-cap streaming proof",
+        "unit": "sec",
+        "cap_bytes": cap,
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+        "rep": REP,
+        "queries": {},
+    }
+    dg.transcripts_path(SF_DIR, rep=REP)  # derive/cache outside the wall
+    sink = "/tmp/kmeta_bench_out/objstore"
+    import shutil
+
+    shutil.rmtree(sink, ignore_errors=True)
+    t0 = time.perf_counter()
+    counts = flagship.run_flagship(SF_DIR, out_dir=sink, rep=REP).to_pandas()
+    out["queries"]["flagship_e2e"] = round(time.perf_counter() - t0, 3)
+    out["rows"] = int(counts["n_turns"].sum())
+    out["value"] = out["queries"]["flagship_e2e"]
+
+    big_docs = int(os.environ.get("KMETA_BENCH_BIGDOCS", "20"))
+    big_vecs = int(os.environ.get("KMETA_BENCH_BIGVECS", "64"))
+    big = scalegen.big_sf_dir(SF_DIR, big_docs, big_vecs)
+    fq = _reg.queries()
+    t0 = time.perf_counter()
+    fq["q_dedup_minhash"](big).materialize()
+    out["queries"]["dedup_minhash_big"] = round(time.perf_counter() - t0, 3)
+
+    # plasma spill/restore volume for the whole session, from Ray's own
+    # counters (the "Spilled N MiB" / "Restored N MiB" summary lines)
+    import re
+
+    from ray._private.internal_api import memory_summary
+
+    ms = memory_summary(stats_only=True)
+    sp = re.search(r"Spilled (\d+) MiB", ms)
+    rs = re.search(r"Restored (\d+) MiB", ms)
+    out["spilled_mib"] = int(sp.group(1)) if sp else 0
+    out["restored_mib"] = int(rs.group(1)) if rs else 0
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
-    result = run_scaling() if "--scaling" in sys.argv else run_bench()
+    if "--objstore" in sys.argv:
+        result = run_objstore()
+    elif "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_bench()
     print(json.dumps(result))

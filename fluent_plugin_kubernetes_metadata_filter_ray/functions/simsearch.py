@@ -1388,13 +1388,38 @@ def _pq_dist(m: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return out
 
 
-def _pq_train(sf_dir: str):
+def _normalize_rows_q(m: np.ndarray) -> np.ndarray:
+    """Bit-exact cosine normalization (SQL twin: the nq/edx CTEs of
+    _pq_sql_ctes residual mode): the squared norm is an ORDER-FREE integer
+    sum — floor((x·x)·1e9) per element, summed as int64 — so the double
+    divisor sqrt(s/1e9) and every normalized element are IEEE-identical on
+    both sides.  Zero vectors divide by 1 (stay zero)."""
+    q = np.floor((m * m) * QUANT).astype(np.int64).sum(axis=1)
+    denom = np.where(q == 0, 1.0, np.sqrt(q / QUANT))
+    return m / denom[:, None]
+
+
+def _pq_train(
+    sf_dir: str, coarse: np.ndarray | None = None, k_codes: int = PQ_K
+):
     """One-Lloyd-refined md5-grid codebooks for all PQ_M subspaces, trained
     in a SINGLE corpus pass (the partial emits long rows for every
     subspace): returns (bounds, [K×w codebook per subspace]) or None on an
     empty corpus.  Combiner shape identical to q_embed_kmeans — ≤
     PQ_M·PQ_K·dim partial rows per batch, tiny groupby Sum, ≤K·dim driver
-    collect; vectors never shuffle."""
+    collect; vectors never shuffle.
+
+    ``coarse`` (IVF-PQ, Jégou et al. §IV): train on RESIDUALS instead —
+    each vector is first cosine-NORMALIZED (so minimizing quantized L2
+    ranks identically to maximizing cosine: ‖q̂−x̂‖² = 2−2cos), then
+    assigned to its nearest coarse centroid (min integer-quantized squared
+    distance, first-index ties), and the subspace kernels see
+    ``x̂ − coarse[assign]``.  Pass a Lloyd-refined codebook
+    (:func:`_ivfpq_coarse`) — residuals against actual cluster means
+    concentrate around 0, so the same PQ_K codes quantize them far more
+    finely than the raw vectors (against the RAW md5 grid, whose rows have
+    norm ~√(dim/3) ≫ 1, "residuals" are bigger than the data and ADC
+    recall collapses — measured 0.013 before the refinement)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -1403,10 +1428,18 @@ def _pq_train(sf_dir: str):
         return None
     bounds = _pq_bounds(dim)
     cents = [
-        _md5_grid(PQ_K, e - s, f"pq{m}") for m, (s, e) in enumerate(bounds)
+        _md5_grid(k_codes, e - s, f"pq{m}") for m, (s, e) in enumerate(bounds)
     ]
+    if coarse is not None:
+        # residual elements are ~N(0, 1/√dim): scale the md5 init to the
+        # residual magnitude or the one-Lloyd refinement strands most
+        # codes on dead oversized centroids (recall 0.16 → 0.21 measured).
+        # Twin: the c0 cell multiplies by 1/sqrt(p2.d) in residual mode.
+        # multiply by the reciprocal, NOT divide: the SQL twin computes
+        # ({grid}) * (1.0/sqrt(d)) and IEEE x/s vs x*(1/s) differ
+        cents = [g * (1.0 / np.sqrt(dim)) for g in cents]
     ds = cp.read_embeddings(sf_dir)
-    cref = ray.put(cents)
+    cref = ray.put((cents, coarse))
 
     def partial(batch: pa.Table, cref=cref) -> pa.Table:
         ids, mat = _matrix(batch)
@@ -1420,7 +1453,10 @@ def _pq_train(sf_dir: str):
                     "n": pa.array([], pa.int64()),
                 }
             )
-        cs = _deref(cref)
+        cs, crs = _deref(cref)
+        if crs is not None:
+            mat = _normalize_rows_q(mat)
+            mat = mat - crs[np.argmin(_pq_dist(mat, crs), axis=1)]
         subs, cls, dms, qs, ns = [], [], [], [], []
         for m, (s, e) in enumerate(bounds):
             sm = mat[:, s:e]
@@ -1428,14 +1464,14 @@ def _pq_train(sf_dir: str):
             w = e - s
             q = np.floor(sm * CENTROID_Q)  # integer-valued doubles < 2^53
             flat = (a[:, None] * w + np.arange(w)[None, :]).ravel()
-            qsum = np.bincount(flat, weights=q.ravel(), minlength=PQ_K * w)
-            n = np.bincount(a, minlength=PQ_K)
+            qsum = np.bincount(flat, weights=q.ravel(), minlength=k_codes * w)
+            n = np.bincount(a, minlength=k_codes)
             live = n > 0
             nlive = int(live.sum())
             subs.append(np.full(nlive * w, m, dtype=np.int64))
-            cls.append(np.repeat(np.arange(PQ_K, dtype=np.int64)[live], w))
+            cls.append(np.repeat(np.arange(k_codes, dtype=np.int64)[live], w))
             dms.append(np.tile(np.arange(1, w + 1, dtype=np.int64), nlive))
-            qs.append(qsum.reshape(PQ_K, w)[live].ravel().astype(np.int64))
+            qs.append(qsum.reshape(k_codes, w)[live].ravel().astype(np.int64))
             ns.append(np.repeat(n[live], w))
         return pa.table(
             {
@@ -1506,44 +1542,140 @@ def q_embed_pq(sf_dir: str):
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _pq_sql_ctes() -> str:
+_SQL_SUB_EXPR = """CASE WHEN (dm.dim - 1) < p.rem * (p.base + 1)
+         THEN (dm.dim - 1) // (p.base + 1)
+         ELSE p.rem + ((dm.dim - 1) - p.rem * (p.base + 1)) // p.base
+    END::BIGINT"""
+
+_SQL_LDIM_EXPR = """(dm.dim - 1
+     - CASE WHEN (dm.dim - 1) < p.rem * (p.base + 1)
+            THEN ((dm.dim - 1) // (p.base + 1)) * (p.base + 1)
+            ELSE p.rem * (p.base + 1)
+                 + (((dm.dim - 1) - p.rem * (p.base + 1)) // p.base) * p.base
+       END + 1)::BIGINT"""
+
+
+def _sql_grid_cell(key: str, row_expr: str, col_expr: str) -> str:
+    """SQL twin of one _md5_grid cell with explicit row/column index
+    expressions (the _sql_grid_w lambda form hardwires the column to the
+    lambda var ``i``)."""
+    return (
+        f"((('0x' || substr(md5('{key}:' || ({row_expr}) || ':' || "
+        f"((({col_expr})-1)//4)*4), 25 - 8*((({col_expr})-1)%4), 8))::UBIGINT"
+        " / 4294967296.0) * 2.0 - 1.0)"
+    )
+
+
+def _pq_sql_ctes(residual: bool = False, k_codes: int = PQ_K) -> str:
     """Shared PQ oracle CTE chain: subspace long table (el) → md5-grid
     codebooks (c0) → assign (a0) → Lloyd update (c1) → final assign with
     min distance (a1).  Bare s/p/i in the grid expression resolve to the
-    t1(s)/t2(p)/t3(i) FROM aliases."""
+    t1(s)/t2(p)/t3(i) FROM aliases.
+
+    ``residual=True`` (IVF-PQ): el carries ``x − centw(bucket(vec), dim)``
+    — each vector's residual against its IVF-assigned md5 coarse centroid
+    (edx/dqx/bkx replicate the ann_ivf assignment; centw materializes the
+    coarse codebook cells) — so the whole downstream chain (training AND
+    final codes) runs on residuals, mirroring _pq_train(coarse=...)."""
     qd = "CAST(floor(((e.x - c.c) * (e.x - c.c)) * 1e9) AS BIGINT)"
     grid = (
         "((('0x' || substr(md5('pq' || s || ':' || p || ':' || ((i-1)//4)*4), "
         "25 - 8*((i-1)%4), 8))::UBIGINT / 4294967296.0) * 2.0 - 1.0)"
     )
+    if residual:
+        cell = _sql_grid_cell("ivfcent", "g.c", "d.dim")
+        qdist = (
+            "sum(CAST(floor(((e.emb[c.dim] - c.w) * (e.emb[c.dim] - c.w))"
+            " * 1e9) AS BIGINT))"
+        )
+        residual_ctes = f"""edx0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb0 FROM embeddings
+),
+nq AS (
+  SELECT vec_id,
+    list_sum(list_transform(emb0, x -> CAST(floor((x * x) * 1e9) AS BIGINT))) AS s
+  FROM edx0
+),
+edx AS (
+  SELECT e.vec_id,
+    list_transform(e.emb0, x -> x /
+      (CASE WHEN n.s = 0 THEN 1.0 ELSE sqrt(n.s / 1e9) END)) AS emb
+  FROM edx0 e JOIN nq n USING (vec_id)
+),
+cw0 AS (
+  SELECT g.c::BIGINT AS bucket, d.dim::BIGINT AS dim, {cell} AS w
+  FROM generate_series(0, {IVF_N_CENTROIDS} - 1) g(c)
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM p0))) AS dim) d
+),
+ca0 AS (
+  SELECT vec_id, bucket FROM (
+    SELECT e.vec_id, c.bucket, {qdist} AS qd,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY {qdist} ASC, c.bucket ASC) AS rn
+    FROM edx e JOIN cw0 c ON true
+    GROUP BY e.vec_id, c.bucket
+  ) WHERE rn = 1
+),
+cu1 AS (
+  SELECT a.bucket, d.dim::BIGINT AS dim,
+    sum(CAST(floor(e.emb[d.dim] * 1e9) AS BIGINT)) AS qsum,
+    count(*)::BIGINT AS n
+  FROM edx e JOIN ca0 a USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM p0))) AS dim) d
+  GROUP BY 1, 2
+),
+cw1 AS (
+  SELECT c0.bucket, c0.dim,
+    coalesce((u.qsum::DOUBLE / u.n::DOUBLE) / 1e9, c0.w) AS w
+  FROM cw0 c0 LEFT JOIN cu1 u USING (bucket, dim)
+),
+cd1 AS (
+  SELECT e.vec_id, c.bucket, {qdist} AS qd
+  FROM edx e JOIN cw1 c ON true
+  GROUP BY e.vec_id, c.bucket
+),
+bkx AS (
+  SELECT vec_id, bucket FROM (
+    SELECT vec_id, bucket,
+      row_number() OVER (PARTITION BY vec_id
+        ORDER BY qd ASC, bucket ASC) AS rn
+    FROM cd1
+  ) WHERE rn = 1
+),
+"""
+        el_from = "edx e"
+        el_x = "e.emb[dm.dim]"
+        res_join = """
+  JOIN bkx bv ON bv.vec_id = e.vec_id
+  JOIN cw1 cw ON cw.bucket = bv.bucket AND cw.dim = dm.dim"""
+        res_sub = " - cw.w"
+    else:
+        residual_ctes, res_join, res_sub = "", "", ""
+        el_from = "embeddings e"
+        el_x = "e.embedding[dm.dim]::DOUBLE"
+    # residual mode scales the subspace md5 init to residual magnitude
+    # (see _pq_train's coarse branch)
+    c0_cell = f"({grid}) * (1.0 / sqrt(p2.d))" if residual else grid
     return f"""
 WITH p0 AS (
   SELECT (SELECT max(len(embedding)) FROM embeddings)::BIGINT AS d
 ),
 p2 AS (SELECT d, d // {PQ_M} AS base, d % {PQ_M} AS rem FROM p0),
-el AS (
+{residual_ctes}el AS (
   SELECT e.vec_id,
-    CASE WHEN (dm.dim - 1) < p.rem * (p.base + 1)
-         THEN (dm.dim - 1) // (p.base + 1)
-         ELSE p.rem + ((dm.dim - 1) - p.rem * (p.base + 1)) // p.base
-    END::BIGINT AS sub,
-    (dm.dim - 1
-     - CASE WHEN (dm.dim - 1) < p.rem * (p.base + 1)
-            THEN ((dm.dim - 1) // (p.base + 1)) * (p.base + 1)
-            ELSE p.rem * (p.base + 1)
-                 + (((dm.dim - 1) - p.rem * (p.base + 1)) // p.base) * p.base
-       END + 1)::BIGINT AS ldim,
-    e.embedding[dm.dim]::DOUBLE AS x
-  FROM embeddings e
+    {_SQL_SUB_EXPR} AS sub,
+    {_SQL_LDIM_EXPR} AS ldim,
+    {el_x}{res_sub} AS x
+  FROM {el_from}
   CROSS JOIN p2 p
   CROSS JOIN (SELECT unnest(generate_series(1,
-                (SELECT max(len(embedding)) FROM embeddings))) AS dim) dm
+                (SELECT max(len(embedding)) FROM embeddings))) AS dim) dm{res_join}
 ),
 c0 AS (
   SELECT t1.s::BIGINT AS sub, t2.p::BIGINT AS cluster, t3.i::BIGINT AS ldim,
-         {grid} AS c
+         {c0_cell} AS c
   FROM generate_series(0, {PQ_M - 1}) t1(s)
-  CROSS JOIN generate_series(0, {PQ_K - 1}) t2(p)
+  CROSS JOIN generate_series(0, {k_codes - 1}) t2(p)
   CROSS JOIN (SELECT unnest(generate_series(1,
                 (SELECT base + 1 FROM p2))) AS i) t3
   CROSS JOIN p2
@@ -1706,6 +1838,326 @@ SELECT query_id, vec_id, rank, adc_q FROM (
     row_number() OVER (PARTITION BY query_id
                        ORDER BY adc_q ASC, vec_id ASC) AS rank
   FROM scores
+) WHERE rank <= {TOPK_K}
+""".strip()
+
+
+IVFPQ_NPROBE = 8  # 2× the exact-scoring IVF's probes: ADC gathers are
+# cheap enough that IVF-PQ's probe budget buys recall instead of compute
+IVFPQ_RERANK = 512  # ADC shortlist size L fed to the exact re-rank (the
+# "+R" of IVFADC+R): fixed per query regardless of corpus size
+IVFPQ_K = 256  # IVF-PQ's own per-subspace codebook size (uint8-width):
+# residuals need the finer grid — measured recall@10 on the 128k corpus:
+# K=32 caps 0.60 even at L=512, K=256 reaches 0.875 (grid in BASELINE.md);
+# the PQ parents keep PQ_K=32 so their established twins don't move
+
+
+def _ivfpq_coarse(sf_dir: str) -> np.ndarray | None:
+    """Lloyd-refined coarse codebook over the NORMALIZED corpus: md5-grid
+    init, min-quantized-L2 assignment, one exact integer-quantized mean
+    update (the c0→a0→u1→c1 pattern of the PQ chain, applied full-dim).
+    One corpus pass; ≤ C·dim combiner rows per batch; C·dim driver
+    collect.  Empty clusters keep their md5 row.  Exact SQL twin: the
+    cw0/cd0/ca0/cu1/cw1 CTEs of _pq_sql_ctes(residual=True).
+
+    (qsum is an int64 sum of floor(x̂·1e9) terms: exact to ~9·10^6
+    vectors per cluster per 2^53; shard the update hierarchically past
+    that.)"""
+    import ray
+    from ray.data.aggregate import Sum
+
+    dim = _km_dim(sf_dir)
+    if dim == 0:
+        return None
+    c0 = _md5_grid(IVF_N_CENTROIDS, dim, "ivfcent")
+    cref = ray.put(c0)
+
+    def partial(batch: pa.Table, cref=cref) -> pa.Table:
+        ids, mat = _matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "qsum": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        cs = _deref(cref)
+        mat = _normalize_rows_q(mat)
+        a = np.argmin(_pq_dist(mat, cs), axis=1)
+        q = np.floor(mat * CENTROID_Q)  # integer-valued doubles < 2^53
+        flat = (a[:, None] * dim + np.arange(dim)[None, :]).ravel()
+        qsum = np.bincount(flat, weights=q.ravel(), minlength=IVF_N_CENTROIDS * dim)
+        n = np.bincount(a, minlength=IVF_N_CENTROIDS)
+        live = n > 0
+        nlive = int(live.sum())
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.repeat(np.arange(IVF_N_CENTROIDS, dtype=np.int64)[live], dim)
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(1, dim + 1, dtype=np.int64), nlive)
+                ),
+                "qsum": pa.array(
+                    qsum.reshape(IVF_N_CENTROIDS, dim)[live].ravel().astype(np.int64)
+                ),
+                "n": pa.array(np.repeat(n[live], dim)),
+            }
+        )
+
+    agg = (
+        cp.read_embeddings(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["bucket", "dim"])
+        .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ C·dim rows — independent of corpus size
+    )
+    cw1 = c0.copy()
+    if len(agg) and "bucket" in agg.columns:
+        b_i = agg["bucket"].to_numpy(dtype=np.int64)
+        d_i = agg["dim"].to_numpy(dtype=np.int64) - 1
+        vals = (
+            agg["qsum"].to_numpy(dtype=np.float64)
+            / agg["n"].to_numpy(dtype=np.float64)
+        ) / CENTROID_Q
+        cw1[b_i, d_i] = vals
+    return cw1
+
+
+def q_ann_ivfpq(sf_dir: str):
+    """IVFADC+R ANN (Jégou et al. §IV + the re-rank refinement, VERDICT r4
+    task 4): cosine-normalize (bit-exact integer-quantized norms, so ADC's
+    L2 ranking IS the cosine ranking: ‖q̂−x̂‖² = 2−2cos), Lloyd-refined
+    coarse IVF assignment, PQ codebooks trained on RESIDUALS (x̂ −
+    centroid), ADC scoring restricted to each query's IVFPQ_NPROBE probed
+    buckets, then an EXACT integer-quantized cosine re-rank of the
+    IVFPQ_RERANK-deep ADC shortlist.  Residual PQ quantizes far more
+    finely than raw-vector PQ (residuals concentrate near 0), and the
+    re-rank lifts recall@10 decisively past both parents at the same
+    probe budget: measured 1.000 vs IVF's 0.562 on sf0.1, 0.875 vs 0.637
+    on the 128k bench corpus (raw-vector PQ alone: 0.13; the K/L grid is
+    recorded in BASELINE.md).
+
+    Ray shape (10^12 vectors): one training pass (shared _pq_train
+    combiner, residual mode) + ONE stateless scoring pass.  Broadcast
+    state = coarse codebook + PQ codebooks + per-(query, probed-bucket)
+    residual ADC tables (Q·NPROBE·M·K ints, a few KiB).  Each batch
+    coarse-assigns itself, drops unprobed vectors BEFORE any PQ math,
+    encodes residuals, scores via integer table gathers, keeps a
+    per-bucket ADC top-L with the packed normalized vector riding along
+    (the cosine-LSH verify pattern — payload only ever attaches to ≤
+    Q·L rows per batch, so the re-rank needs NO second corpus pass and
+    no join); a ≤ queries·L·buckets·batches groupby reduces: global
+    shortlist cut, exact floor((q̂·x̂)·1e9) re-rank, top-k.  Vectors
+    never shuffle.  Deterministic end to end — exact DuckDB twin."""
+    import ray
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "cos_q": pa.array([], pa.int64()),
+        }
+    )
+    n, dim = _corpus_size_and_dim(sf_dir)
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    coarse = _ivfpq_coarse(sf_dir)  # Lloyd-refined over normalized corpus
+    bounds, cents = _pq_train(sf_dir, coarse=coarse, k_codes=IVFPQ_K)
+    q_ids, qm = _load_queries(sf_dir)
+    if not len(q_ids):
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+    qm = _normalize_rows_q(qm)
+    qdc = _pq_dist(qm, coarse)  # (Q, C) quantized squared distances
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(IVF_N_CENTROIDS), qdc.shape), qdc), axis=1
+    )[:, :IVFPQ_NPROBE]
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(q_ids)):
+        for b in order[qi]:
+            b = int(b)
+            qr = (qm[qi] - coarse[b])[None, :]
+            tables[(qi, b)] = np.stack(
+                [_pq_dist(qr[:, s:e], cents[m])[0] for m, (s, e) in enumerate(bounds)]
+            )  # (M, K) int64
+    probed = np.unique(order)
+    side_ref = ray.put((q_ids, qm, coarse, cents, tables, order, probed, bounds))
+    empty_partial = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "adc_q": pa.array([], pa.int64()),
+            "ebin": pa.array([], pa.binary()),
+        }
+    )
+    SENT = np.iinfo(np.int64).max
+
+    def score(batch: pa.Table, side=side_ref) -> pa.Table:
+        ids, mat = _matrix(batch)
+        if not len(ids):
+            return empty_partial
+        qids, _, crs, cs, tbls, order_, probed_, bds = _deref(side)
+        mat = _normalize_rows_q(mat)
+        a = np.argmin(_pq_dist(mat, crs), axis=1)  # ties → first index (twin)
+        keep = np.isin(a, probed_)
+        if not keep.any():
+            return empty_partial
+        ids, mat, a = ids[keep], mat[keep], a[keep]
+        res = mat - crs[a]
+        codes = np.stack(
+            [
+                np.argmin(_pq_dist(res[:, s:e], cs[m]), axis=1)
+                for m, (s, e) in enumerate(bds)
+            ]
+        )  # (M, B)
+        marange = np.arange(codes.shape[0])[:, None]
+        nk = len(ids)
+        # per QUERY: one ADC array over all of this batch's probed rows,
+        # ONE top-L cut across buckets — emission ≤ Q·L rows per batch
+        # (per-bucket cuts would ship up to NPROBE× more)
+        picks: list[tuple[int, np.ndarray, np.ndarray]] = []
+        for qi in range(len(qids)):
+            adcv = np.full(nk, SENT, dtype=np.int64)
+            hit = False
+            for b in order_[qi]:
+                sel = np.flatnonzero(a == b)
+                if not len(sel):
+                    continue
+                adcv[sel] = tbls[(qi, int(b))][marange, codes[:, sel]].sum(axis=0)
+                hit = True
+            if not hit:
+                continue
+            cand = np.flatnonzero(adcv < SENT)
+            # per-batch cut honors the GLOBAL shortlist order (adc ASC,
+            # vec_id ASC) — ADC ties are rampant (q_ann_pq precedent);
+            # depth is the re-rank L, not k
+            k = min(IVFPQ_RERANK, len(cand))
+            top = cand[np.lexsort((ids[cand], adcv[cand]))[:k]]
+            picks.append((qi, top, adcv[top]))
+        if not picks:
+            return empty_partial
+        # pack only rows that made some query's shortlist, once each
+        uniq = np.unique(np.concatenate([t for _, t, _ in picks]))
+        pos = {int(i): j for j, i in enumerate(uniq)}
+        pay = [mat[int(i)].tobytes() for i in uniq]
+        out_q, out_v, out_s, out_p = [], [], [], []
+        for qi, top, adcs in picks:
+            out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(adcs)
+            out_p.extend(pay[pos[int(i)]] for i in top)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "adc_q": pa.array(np.concatenate(out_s)),
+                "ebin": pa.array(out_p, pa.binary()),
+            }
+        )
+
+    def reduce_group(group: pa.Table, side=side_ref) -> pa.Table:
+        qid = group.column("query_id").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        adc = group.column("adc_q").to_numpy(zero_copy_only=False)
+        # global ADC shortlist (the "+R" input): adc ASC, vec_id ASC
+        cut = np.lexsort((vid, adc))[:IVFPQ_RERANK]
+        ebin = group.column("ebin").to_pylist()
+        x = np.stack([np.frombuffer(ebin[i], dtype=np.float64) for i in cut])
+        qids, qmat, *_ = _deref(side)
+        q = qmat[int(np.searchsorted(qids, qid[0]))]
+        # exact integer-quantized cosine: floor((q̂·x̂)·1e9) per element,
+        # float64 sum of integer-valued terms (exact < 2^53), cast int64 —
+        # IEEE-identical to the twin's sum(CAST(floor(...) AS BIGINT))
+        cos_q = np.floor((x * q[None, :]) * QUANT).sum(axis=1).astype(np.int64)
+        vcut = vid[cut]
+        top = np.lexsort((vcut, -cos_q))[:TOPK_K]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(top), qid[0], dtype=np.int64)),
+                "vec_id": pa.array(vcut[top], pa.int64()),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "cos_q": pa.array(cos_q[top], pa.int64()),
+            }
+        )
+
+    partials = cp.read_embeddings(sf_dir).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def ann_ivfpq_oracle_sql() -> str:
+    """Exact twin: residual PQ chain (_pq_sql_ctes residual mode, incl.
+    the Lloyd-refined coarse codebook cw1) + probe selection from the same
+    cd1 distances + per-(query, probed-bucket) residual ADC tables +
+    bucket-restricted scoring + the IVFADC+R exact re-rank over the
+    ADC-ordered shortlist (both sides floor((q̂·x̂)·1e9) on the SAME
+    normalized doubles, summed as int64)."""
+    return f"""
+{_pq_sql_ctes(residual=True, k_codes=IVFPQ_K)},
+qp AS (
+  SELECT vec_id AS query_id, bucket,
+    row_number() OVER (PARTITION BY vec_id
+                       ORDER BY qd ASC, bucket ASC) AS crank
+  FROM cd1
+  WHERE vec_id < {N_QUERIES}
+),
+qel AS (
+  SELECT e.vec_id AS query_id, qpp.bucket,
+    {_SQL_SUB_EXPR} AS sub,
+    {_SQL_LDIM_EXPR} AS ldim,
+    e.emb[dm.dim] - cw.w AS x
+  FROM edx e
+  JOIN (SELECT query_id, bucket FROM qp WHERE crank <= {IVFPQ_NPROBE}) qpp
+    ON qpp.query_id = e.vec_id
+  CROSS JOIN p2 p
+  CROSS JOIN (SELECT unnest(generate_series(1,
+                (SELECT d FROM p0))) AS dim) dm
+  JOIN cw1 cw ON cw.bucket = qpp.bucket AND cw.dim = dm.dim
+),
+tblr AS (
+  SELECT q.query_id, q.bucket, q.sub, c.cluster,
+    sum(CAST(floor(((q.x - c.c) * (q.x - c.c)) * 1e9) AS BIGINT)) AS qd
+  FROM qel q JOIN c1 c ON c.sub = q.sub AND c.ldim = q.ldim
+  GROUP BY 1, 2, 3, 4
+),
+scores AS (
+  SELECT t.query_id, a.vec_id, sum(t.qd)::BIGINT AS adc_q
+  FROM a1 a
+  JOIN bkx bv ON bv.vec_id = a.vec_id
+  JOIN tblr t ON t.bucket = bv.bucket AND t.sub = a.sub AND t.cluster = a.cluster
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY adc_q ASC, vec_id ASC) AS srank
+    FROM scores
+  ) WHERE srank <= {IVFPQ_RERANK}
+),
+rer AS (
+  SELECT s.query_id, s.vec_id,
+    sum(CAST(floor((eq.emb[d.dim] * ev.emb[d.dim]) * 1e9) AS BIGINT))::BIGINT AS cos_q
+  FROM short s
+  JOIN edx eq ON eq.vec_id = s.query_id
+  JOIN edx ev ON ev.vec_id = s.vec_id
+  CROSS JOIN (SELECT unnest(generate_series(1,
+                (SELECT d FROM p0))) AS dim) d
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, rank, cos_q FROM (
+  SELECT query_id, vec_id, cos_q,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_q DESC, vec_id ASC) AS rank
+  FROM rer
 ) WHERE rank <= {TOPK_K}
 """.strip()
 

@@ -217,6 +217,7 @@ _DRIVER_PRIORITY = [
     # round-5 additions (never driver-witnessed) go FIRST
     # (appended as they land this round)
     "q_doc_tokens_bpe",
+    "q_ann_ivfpq",
     # round-3-witnessed queries that fell outside the r4 window: re-witness in r5
     "q_enrich_skip",
     "q_enrich_dedot",

@@ -95,9 +95,9 @@ def _write_role_sinks(ds, out_dir: str, roles, write_fn) -> str:
     """Shared manual fan-out: one filtered pass per role value (NULL role
     included — a row must never vanish from every sink), each handed to
     ``write_fn(sub_dataset, sink_path)``.  Callers pass a MATERIALIZED
-    dataset: each pass re-consumes it, and re-running the upstream
-    per-row kernels once per sink is the exact consume-twice trap
-    CLAUDE.md documents."""
+    dataset: a lazy Dataset re-executes per consumption, so filtering an
+    unmaterialized input once per sink would re-run the upstream per-row
+    parse/enrich kernels role-count times."""
     import pyarrow.compute as pc
 
     for role in roles:
