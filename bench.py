@@ -537,17 +537,26 @@ def run_objstore() -> dict:
     fq["q_dedup_minhash"](big).materialize()
     out["queries"]["dedup_minhash_big"] = round(time.perf_counter() - t0, 3)
 
-    # plasma spill/restore volume for the whole session, from Ray's own
-    # counters (the "Spilled N MiB" / "Restored N MiB" summary lines)
+    # plasma spill/restore volume for the whole session, from the raylet's
+    # own periodic report lines ("Spilled N MiB, M objects ... Restored
+    # N MiB") — the grpc-backed memory_summary API isn't available in this
+    # container, but the counters land in the session log either way
+    import glob
     import re
 
-    from ray._private.internal_api import memory_summary
-
-    ms = memory_summary(stats_only=True)
-    sp = re.search(r"Spilled (\d+) MiB", ms)
-    rs = re.search(r"Restored (\d+) MiB", ms)
-    out["spilled_mib"] = int(sp.group(1)) if sp else 0
-    out["restored_mib"] = int(rs.group(1)) if rs else 0
+    spilled = restored = 0
+    sess = ray._private.worker._global_node.get_session_dir_path()
+    for lf in glob.glob(os.path.join(sess, "logs", "raylet.out")):
+        with open(lf, errors="replace") as f:
+            for line in f:
+                sp = re.search(r"Spilled (\d+) MiB", line)
+                rs = re.search(r"Restored (\d+) MiB", line)
+                if sp:
+                    spilled = max(spilled, int(sp.group(1)))
+                if rs:
+                    restored = max(restored, int(rs.group(1)))
+    out["spilled_mib"] = spilled
+    out["restored_mib"] = restored
     ray.shutdown()
     return out
 
