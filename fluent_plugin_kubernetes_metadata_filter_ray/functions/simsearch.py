@@ -2274,3 +2274,120 @@ SELECT dim, n_vecs,
     / ({q} * {q})) = 0.0 AS is_dead
 FROM a GROUP BY dim, n_vecs, s, sq
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T77: embedding outlier report — the OUTLIER_TOPK vectors FARTHEST from
+# the corpus centroid (integer-quantized squared distance).  The triage
+# list run when q_embed_dim_stats flags drift: broken encoders, zero
+# vectors and wrong-modality rows all land at the extreme of this ranking.
+#
+# Ray shape (10^12 vectors): pass 1 REUSES the dim-stats combiner (≤ dim
+# partial rows per batch, ≤ dim rows ever reach the driver — corpus-
+# independent by construction); the centroid broadcasts; pass 2 is one
+# stateless scoring pass emitting ≤ OUTLIER_TOPK rows per batch, reduced
+# by a single-block cut.  Vectors never shuffle.  Exactness: the centroid
+# derives from integer sums in one mirrored operation order, per-element
+# floor((x−μ)²·1e9) sums as exact int64, ties break on vec_id — bit-equal
+# DuckDB twin.
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPK = 20
+
+
+def q_embed_outliers(sf_dir: str):
+    """Top-OUTLIER_TOPK farthest-from-centroid vectors: (vec_id, dist_q,
+    rank), rank 1 = farthest, ties by vec_id ASC."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "dist_q": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    n, dim = _corpus_size_and_dim(sf_dir)
+    if n == 0:
+        return rd.from_arrow(empty)
+    agg = (
+        cp.read_embeddings(sf_dir, columns=("vec_id", "embedding"))
+        .map_batches(_dim_stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("qsum", alias_name="qsum"), Sum("n_vecs", alias_name="n_vecs"))
+        .to_pandas()  # ≤ dim rows — corpus-size independent
+    )
+    d_i = agg["dim"].to_numpy(dtype=np.int64) - 1
+    s = agg["qsum"].to_numpy(dtype=np.float64)
+    nv = agg["n_vecs"].to_numpy(dtype=np.float64)
+    mean = np.zeros(dim, dtype=np.float64)
+    mean[d_i] = (s / nv) / DIM_Q  # the dim_stats mean, same operand order
+    mref = ray.put(mean)
+
+    def partial(batch: pa.Table, mref=mref) -> pa.Table:
+        ids, mat = _matrix(batch)
+        if not len(ids):
+            return empty.drop_columns(["rank"])
+        mu = _deref(mref)
+        t = mat - mu[None, :]
+        qd = np.floor((t * t) * QUANT).sum(axis=1).astype(np.int64)
+        top = np.lexsort((ids, -qd))[: min(OUTLIER_TOPK, len(ids))]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top].astype(np.int64)),
+                "dist_q": pa.array(qd[top]),
+            }
+        )
+
+    def final(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        qd = t.column("dist_q").to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, -qd))[: min(OUTLIER_TOPK, len(ids))]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top].astype(np.int64)),
+                "dist_q": pa.array(qd[top].astype(np.int64)),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        cp.read_embeddings(sf_dir, columns=("vec_id", "embedding"))
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+    )
+
+
+def embed_outliers_oracle_sql() -> str:
+    q = f"{DIM_Q:.0f}.0"
+    return f"""
+WITH p0 AS (SELECT max(len(embedding))::BIGINT AS d FROM embeddings),
+el AS (
+  SELECT e.vec_id, dm.dim::BIGINT AS dim, e.embedding[dm.dim]::DOUBLE AS x
+  FROM embeddings e
+  CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM p0))) AS dim) dm
+),
+dsum AS (
+  SELECT dim, sum(floor(x * {q})::BIGINT)::BIGINT AS qsum,
+    count(*)::BIGINT AS n FROM el GROUP BY dim
+),
+mu AS (
+  SELECT dim, (qsum::DOUBLE / n::DOUBLE) / {q} AS m FROM dsum
+),
+qd AS (
+  SELECT e.vec_id,
+    sum(CAST(floor(((e.x - m.m) * (e.x - m.m)) * 1e9) AS BIGINT))::BIGINT
+      AS dist_q
+  FROM el e JOIN mu m USING (dim)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, dist_q, rank FROM (
+  SELECT vec_id, dist_q,
+    row_number() OVER (ORDER BY dist_q DESC, vec_id ASC) AS rank
+  FROM qd
+) WHERE rank <= {OUTLIER_TOPK}
+""".strip()

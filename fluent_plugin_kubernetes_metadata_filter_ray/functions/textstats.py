@@ -1344,3 +1344,120 @@ SELECT d.doc_id,
   coalesce(c.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
 FROM documents d LEFT JOIN cnt c USING (doc_id)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T76: per-language tokenizer fertility — BPE subwords per whitespace word.
+# THE multilingual tokenizer-health metric: fertility ≈ 1 where the merge
+# table fits the language, ≫ 1 where the tokenizer fragments, and a lang
+# with runaway fertility silently pays proportionally more of the training
+# token budget for the same text.  Run before fixing a token budget per
+# language mix.
+#
+# Ray shape (10^12 docs): the BPE ladder runs once per DISTINCT word per
+# batch (tokens_bpe_batch); each batch then collapses to ≤ |langs| partial
+# rows (int64 sums), the groupby shuffles only those, and fertility is ONE
+# double division per OUTPUT row — identical operand order in the twin, so
+# the int-derived doubles match bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_partial(batch: pa.Table) -> pa.Table:
+    from ..stages.aggregate import _NULL_KEY
+
+    bpe = tokens_bpe_batch(batch)
+    f = pd.DataFrame(
+        {
+            "lang": pd.Series(batch.column("lang").to_pandas()).fillna(_NULL_KEY),
+            "n_docs": np.ones(len(batch), dtype=np.int64),
+            "n_words": bpe.column("n_words").to_numpy(zero_copy_only=False),
+            "n_bpe_tokens": bpe.column("n_bpe_tokens").to_numpy(
+                zero_copy_only=False
+            ),
+        }
+    )
+    g = f.groupby("lang", sort=False, dropna=False).sum().reset_index()
+    return pa.table(
+        {
+            "lang": pa.array(g["lang"].to_numpy(dtype=object), pa.string()),
+            "n_docs": pa.array(g["n_docs"].to_numpy(dtype=np.int64)),
+            "n_words": pa.array(g["n_words"].to_numpy(dtype=np.int64)),
+            "n_bpe_tokens": pa.array(g["n_bpe_tokens"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_token_fertility(sf_dir: str):
+    """Per-language BPE fertility report: (lang, n_docs, n_words,
+    n_bpe_tokens, fertility = bpe/words).  Zero-word langs report NULL
+    fertility; null lang is its own row (sentinel through the groupby)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import _NULL_KEY
+
+    agg = (
+        cp.read_documents(sf_dir, columns=("doc_id", "text", "lang"))
+        .map_batches(
+            _fertility_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        )
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        lang = [
+            None if v == _NULL_KEY else v
+            for v in t.column("lang").to_pylist()
+        ]
+        nw = t.column("n_words").to_numpy(zero_copy_only=False)
+        nb = t.column("n_bpe_tokens").to_numpy(zero_copy_only=False)
+        # int64/int64 true-divide upcasts both to float64 first — the same
+        # (nb::DOUBLE / nw::DOUBLE) the twin computes; NULL when no words
+        fert = np.where(nw == 0, np.nan, nb / np.where(nw == 0, 1, nw))
+        return pa.table(
+            {
+                "lang": pa.array(lang, pa.string()),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "n_words": t.column("n_words").cast(pa.int64()),
+                "n_bpe_tokens": t.column("n_bpe_tokens").cast(pa.int64()),
+                "fertility": pa.array(fert, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_fertility_oracle_sql() -> str:
+    ladder = "s"
+    for a, b in BPE_MERGES:
+        ladder = f"replace({ladder}, '{a} {b}', '{a}{b}')"
+    toks = cp.SQL_TOKS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({toks}) AS w FROM documents
+),
+sp AS (
+  SELECT doc_id, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM tok
+),
+cnt AS (
+  SELECT doc_id, count(*)::BIGINT AS n_words,
+    sum(len({ladder}) - len(replace({ladder}, ' ', '')) + 1)::BIGINT
+      AS n_bpe_tokens
+  FROM sp GROUP BY doc_id
+),
+per AS (
+  SELECT d.lang, coalesce(c.n_words, 0)::BIGINT AS nw,
+    coalesce(c.n_bpe_tokens, 0)::BIGINT AS nb
+  FROM documents d LEFT JOIN cnt c USING (doc_id)
+)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_words,
+  sum(nb)::BIGINT AS n_bpe_tokens,
+  CASE WHEN sum(nw) = 0 THEN NULL
+       ELSE (sum(nb)::BIGINT)::DOUBLE / (sum(nw)::BIGINT)::DOUBLE
+  END AS fertility
+FROM per GROUP BY lang
+""".strip()

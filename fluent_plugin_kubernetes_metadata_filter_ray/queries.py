@@ -218,6 +218,8 @@ _DRIVER_PRIORITY = [
     # (appended as they land this round)
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
+    "q_token_fertility",
+    "q_embed_outliers",
     # round-3-witnessed queries that fell outside the r4 window: re-witness in r5
     "q_enrich_skip",
     "q_enrich_dedot",

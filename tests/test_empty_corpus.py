@@ -54,6 +54,8 @@ NEW_QUERIES = [
     "q_ann_lsh",
     "q_ann_ivf",
     "q_ann_ivfpq",
+    "q_embed_outliers",
+    "q_token_fertility",
     "q_embed_neardup",
     "q_embed_neardup_lsh",
     "q_embed_quantize",

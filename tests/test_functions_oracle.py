@@ -28,6 +28,8 @@ SORT_KEYS = {
     "q_ann_lsh": ["query_id", "rank"],
     "q_ann_ivf": ["query_id", "rank"],
     "q_ann_ivfpq": ["query_id", "rank"],
+    "q_embed_outliers": ["rank"],
+    "q_token_fertility": ["lang"],
     "q_embed_neardup": ["vec_a", "vec_b"],
     "q_embed_centroids": ["label", "dim"],
     "q_embed_neardup_lsh": ["vec_a", "vec_b"],
