@@ -349,6 +349,14 @@ def run_bench() -> dict:
         # composed scale tier; recall@k tracked against BOTH parents below
         timed("ann_ivfpq_big", lambda: fq["q_ann_ivfpq"](big).materialize(),
               shuffle=True)
+        # persisted ANN index state (T78): codebooks + history codes are
+        # written ONCE (untimed — the previous crawl's output at steady
+        # state); the timed entry is the recurring crawl-N+1 search, which
+        # encodes only the new split and reads history codes from parquet
+        _ss.ann_state_write(big, _ss.default_ann_state_dir(big))
+        timed("ann_ivfpq_incremental_big",
+              lambda: fq["q_ann_ivfpq_incremental"](big).materialize(),
+              shuffle=True)
         pq_set = set(map(tuple,
                          _ss.q_ann_pq(big).to_pandas()[["query_id", "vec_id"]].values))
         ivfpq_set = set(map(tuple,

@@ -28,6 +28,8 @@ floor-quantized integer dots, bit-identical across numpy and DuckDB.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -1400,7 +1402,10 @@ def _normalize_rows_q(m: np.ndarray) -> np.ndarray:
 
 
 def _pq_train(
-    sf_dir: str, coarse: np.ndarray | None = None, k_codes: int = PQ_K
+    sf_dir: str,
+    coarse: np.ndarray | None = None,
+    k_codes: int = PQ_K,
+    reader=None,
 ):
     """One-Lloyd-refined md5-grid codebooks for all PQ_M subspaces, trained
     in a SINGLE corpus pass (the partial emits long rows for every
@@ -1438,7 +1443,7 @@ def _pq_train(
         # multiply by the reciprocal, NOT divide: the SQL twin computes
         # ({grid}) * (1.0/sqrt(d)) and IEEE x/s vs x*(1/s) differ
         cents = [g * (1.0 / np.sqrt(dim)) for g in cents]
-    ds = cp.read_embeddings(sf_dir)
+    ds = reader() if reader else cp.read_embeddings(sf_dir)
     cref = ray.put((cents, coarse))
 
     def partial(batch: pa.Table, cref=cref) -> pa.Table:
@@ -1566,11 +1571,19 @@ def _sql_grid_cell(key: str, row_expr: str, col_expr: str) -> str:
     )
 
 
-def _pq_sql_ctes(residual: bool = False, k_codes: int = PQ_K) -> str:
+def _pq_sql_ctes(
+    residual: bool = False, k_codes: int = PQ_K, train_where: str = ""
+) -> str:
     """Shared PQ oracle CTE chain: subspace long table (el) → md5-grid
     codebooks (c0) → assign (a0) → Lloyd update (c1) → final assign with
     min distance (a1).  Bare s/p/i in the grid expression resolve to the
     t1(s)/t2(p)/t3(i) FROM aliases.
+
+    ``train_where`` (e.g. "WHERE e.vec_id % 3 = 0") restricts the two
+    Lloyd UPDATE populations (ca0 coarse assignment, a0 subspace
+    assignment) to a training split while every downstream
+    assignment/code (cd1/bkx/a1) still covers the whole corpus — the
+    frozen-codebook semantics of the incremental ANN state.
 
     ``residual=True`` (IVF-PQ): el carries ``x − centw(bucket(vec), dim)``
     — each vector's residual against its IVF-assigned md5 coarse centroid
@@ -1613,6 +1626,7 @@ ca0 AS (
       row_number() OVER (PARTITION BY e.vec_id
         ORDER BY {qdist} ASC, c.bucket ASC) AS rn
     FROM edx e JOIN cw0 c ON true
+    {train_where}
     GROUP BY e.vec_id, c.bucket
   ) WHERE rn = 1
 ),
@@ -1687,6 +1701,7 @@ a0 AS (
       row_number() OVER (PARTITION BY e.vec_id, e.sub
         ORDER BY sum({qd}) ASC, c.cluster ASC) AS rn
     FROM el e JOIN c0 c ON c.sub = e.sub AND c.ldim = e.ldim
+    {train_where}
     GROUP BY e.vec_id, e.sub, c.cluster
   ) WHERE rn = 1
 ),
@@ -1852,7 +1867,7 @@ IVFPQ_K = 256  # IVF-PQ's own per-subspace codebook size (uint8-width):
 # the PQ parents keep PQ_K=32 so their established twins don't move
 
 
-def _ivfpq_coarse(sf_dir: str) -> np.ndarray | None:
+def _ivfpq_coarse(sf_dir: str, reader=None) -> np.ndarray | None:
     """Lloyd-refined coarse codebook over the NORMALIZED corpus: md5-grid
     init, min-quantized-L2 assignment, one exact integer-quantized mean
     update (the c0→a0→u1→c1 pattern of the PQ chain, applied full-dim).
@@ -1871,6 +1886,7 @@ def _ivfpq_coarse(sf_dir: str) -> np.ndarray | None:
         return None
     c0 = _md5_grid(IVF_N_CENTROIDS, dim, "ivfcent")
     cref = ray.put(c0)
+    reader = reader or (lambda: cp.read_embeddings(sf_dir))
 
     def partial(batch: pa.Table, cref=cref) -> pa.Table:
         ids, mat = _matrix(batch)
@@ -1908,7 +1924,7 @@ def _ivfpq_coarse(sf_dir: str) -> np.ndarray | None:
         )
 
     agg = (
-        cp.read_embeddings(sf_dir)
+        reader()
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["bucket", "dim"])
         .aggregate(Sum("qsum", alias_name="qsum"), Sum("n", alias_name="n"))
@@ -2093,15 +2109,16 @@ def q_ann_ivfpq(sf_dir: str):
     return partials.groupby("query_id").map_groups(reduce_group, batch_format="pyarrow")
 
 
-def ann_ivfpq_oracle_sql() -> str:
-    """Exact twin: residual PQ chain (_pq_sql_ctes residual mode, incl.
-    the Lloyd-refined coarse codebook cw1) + probe selection from the same
-    cd1 distances + per-(query, probed-bucket) residual ADC tables +
-    bucket-restricted scoring + the IVFADC+R exact re-rank over the
-    ADC-ordered shortlist (both sides floor((q̂·x̂)·1e9) on the SAME
-    normalized doubles, summed as int64)."""
+def _ivfpq_sql(train_where: str = "") -> str:
+    """Exact twin builder: residual PQ chain (_pq_sql_ctes residual mode,
+    incl. the Lloyd-refined coarse codebook cw1) + probe selection from
+    the same cd1 distances + per-(query, probed-bucket) residual ADC
+    tables + bucket-restricted scoring + the IVFADC+R exact re-rank over
+    the ADC-ordered shortlist (both sides floor((q̂·x̂)·1e9) on the SAME
+    normalized doubles, summed as int64).  ``train_where`` freezes the
+    codebook training population (incremental state twin)."""
     return f"""
-{_pq_sql_ctes(residual=True, k_codes=IVFPQ_K)},
+{_pq_sql_ctes(residual=True, k_codes=IVFPQ_K, train_where=train_where)},
 qp AS (
   SELECT vec_id AS query_id, bucket,
     row_number() OVER (PARTITION BY vec_id
@@ -2160,6 +2177,10 @@ SELECT query_id, vec_id, rank, cos_q FROM (
   FROM rer
 ) WHERE rank <= {TOPK_K}
 """.strip()
+
+
+def ann_ivfpq_oracle_sql() -> str:
+    return _ivfpq_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2391,3 +2412,350 @@ SELECT vec_id, dist_q, rank FROM (
   FROM qd
 ) WHERE rank <= {OUTLIER_TOPK}
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T78: persisted ANN index state — incremental IVFADC+R.  The recurring-
+# ingestion contract on the embedding side (the fuzzy-dedup LSH checkpoint's
+# twin): crawl N trains the coarse + PQ codebooks ONCE on the prior split
+# and checkpoints them together with the prior split's encoded rows
+# (bucket, PQ codes, packed normalized vector — the re-rank store); crawl
+# N+1 loads the FROZEN codebooks, encodes only the NEW vectors, and
+# searches the union.  Training and history encode run zero times per
+# re-crawl; the on-disk state is exactly what a FAISS-style index persists.
+#
+# Exactness: codebooks round-trip parquet float64 losslessly, so the
+# engine and the twin (which trains its Lloyd updates on the ref split via
+# train_where and assigns/encodes everyone with those codebooks) stay
+# bit-identical end to end.
+# ---------------------------------------------------------------------------
+
+ANN_REF_MOD = 3  # vec_id % 3 == 0 is the "prior crawl" (dedup's convention)
+SENTINEL_ID = -1  # dedup's typed-sentinel convention: never a real vec_id
+_ANN_STATE_SHARDS = 8
+
+
+def _ann_ref_reader(sf_dir: str, keep_ref: bool):
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = (ids % ANN_REF_MOD == 0) if keep_ref else (ids % ANN_REF_MOD != 0)
+        return batch.filter(pa.array(mask))
+
+    def reader():
+        return cp.read_embeddings(sf_dir).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    return reader
+
+
+def _ivfpq_code_schema() -> pa.Table:
+    return pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "bucket": pa.array([], pa.int64()),
+            **{f"code_{m}": pa.array([], pa.int64()) for m in range(PQ_M)},
+            "ebin": pa.array([], pa.binary()),
+        }
+    )
+
+
+def _ivfpq_encode_fn(coarse: np.ndarray, cents: list, bounds: list):
+    """Stateless frozen-codebook encode: normalize → coarse-assign →
+    residual PQ codes + the packed normalized vector (re-rank store)."""
+    import ray
+
+    ref = ray.put((coarse, cents, bounds))
+    empty = _ivfpq_code_schema()
+
+    def encode(batch: pa.Table, ref=ref) -> pa.Table:
+        ids, mat = _matrix(batch)
+        if not len(ids):
+            return empty
+        crs, cs, bds = _deref(ref)
+        mat = _normalize_rows_q(mat)
+        a = np.argmin(_pq_dist(mat, crs), axis=1)
+        res = mat - crs[a]
+        codes = [
+            np.argmin(_pq_dist(res[:, s:e], cs[m]), axis=1).astype(np.int64)
+            for m, (s, e) in enumerate(bds)
+        ]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64)),
+                "bucket": pa.array(a.astype(np.int64)),
+                **{f"code_{m}": pa.array(codes[m]) for m in range(PQ_M)},
+                "ebin": pa.array([mat[i].tobytes() for i in range(len(ids))],
+                                 pa.binary()),
+            }
+        )
+
+    return encode
+
+
+def default_ann_state_dir(sf_dir: str) -> str:
+    import hashlib
+
+    from ..datagen import CACHE_ROOT
+
+    return os.path.join(
+        CACHE_ROOT,
+        "ann_state_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+
+
+def ann_state_write(sf_dir: str, state_dir: str) -> str:
+    """Checkpoint the prior-crawl ANN index under ``state_dir``:
+    ``codebooks.parquet`` (long (kind, sub, cluster, dim, w) rows — kind 0
+    = coarse full-dim cell, kind 1 = PQ subspace cell) + ``codes/`` (the
+    ref split's encoded rows, _ANN_STATE_SHARDS right-sized shards + one
+    typed sentinel row with bucket −1, which no probe set ever contains).
+    Atomic tmp-dir swap + ``.done`` marker (the transcripts-cache
+    protocol)."""
+    import shutil
+
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+
+    done = state_dir + ".done"
+    if os.path.exists(done):
+        return state_dir
+    dim = _km_dim(sf_dir)
+    reader = _ann_ref_reader(sf_dir, keep_ref=True)
+    coarse = _ivfpq_coarse(sf_dir, reader=reader)
+    if coarse is None:
+        coarse = np.zeros((IVF_N_CENTROIDS, max(dim, 1)), dtype=np.float64)
+    trained = _pq_train(sf_dir, coarse=coarse, k_codes=IVFPQ_K, reader=reader)
+    if trained is None:
+        bounds = _pq_bounds(max(dim, 1))
+        cents = [
+            np.zeros((IVFPQ_K, e - s), dtype=np.float64) for s, e in bounds
+        ]
+    else:
+        bounds, cents = trained
+    work = state_dir + ".deriving"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "codes"))
+    kinds, subs, clus, dims, ws = [], [], [], [], []
+    c, d = coarse.shape
+    kinds.append(np.zeros(c * d, dtype=np.int64))
+    subs.append(np.full(c * d, -1, dtype=np.int64))
+    clus.append(np.repeat(np.arange(c, dtype=np.int64), d))
+    dims.append(np.tile(np.arange(1, d + 1, dtype=np.int64), c))
+    ws.append(coarse.ravel())
+    for m, cb in enumerate(cents):
+        k, w = cb.shape
+        kinds.append(np.ones(k * w, dtype=np.int64))
+        subs.append(np.full(k * w, m, dtype=np.int64))
+        clus.append(np.repeat(np.arange(k, dtype=np.int64), w))
+        dims.append(np.tile(np.arange(1, w + 1, dtype=np.int64), k))
+        ws.append(cb.ravel())
+    pq_.write_table(
+        pa.table(
+            {
+                "kind": pa.array(np.concatenate(kinds)),
+                "sub": pa.array(np.concatenate(subs)),
+                "cluster": pa.array(np.concatenate(clus)),
+                "dim": pa.array(np.concatenate(dims)),
+                "w": pa.array(np.concatenate(ws), pa.float64()),
+            }
+        ),
+        os.path.join(work, "codebooks.parquet"),
+    )
+    sent = pa.table(
+        {
+            "vec_id": pa.array([SENTINEL_ID], pa.int64()),
+            "bucket": pa.array([-1], pa.int64()),
+            **{f"code_{m}": pa.array([0], pa.int64()) for m in range(PQ_M)},
+            "ebin": pa.array([b""], pa.binary()),
+        }
+    )
+    reader().map_batches(
+        _ivfpq_encode_fn(coarse, cents, bounds),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(rd.from_arrow(sent)).repartition(_ANN_STATE_SHARDS).write_parquet(
+        os.path.join(work, "codes")
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.replace(work, state_dir)
+    with open(done, "w"):
+        pass
+    return state_dir
+
+
+def _ann_state_codebooks(state_dir: str):
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(state_dir, "codebooks.parquet"))
+    kind = t.column("kind").to_numpy(zero_copy_only=False)
+    sub = t.column("sub").to_numpy(zero_copy_only=False)
+    clu = t.column("cluster").to_numpy(zero_copy_only=False)
+    dim = t.column("dim").to_numpy(zero_copy_only=False)
+    w = t.column("w").to_numpy(zero_copy_only=False)
+    cm = kind == 0
+    d = int(dim[cm].max())
+    coarse = np.zeros((IVF_N_CENTROIDS, d), dtype=np.float64)
+    coarse[clu[cm], dim[cm] - 1] = w[cm]
+    bounds = _pq_bounds(d)
+    cents = []
+    for m, (s_, e_) in enumerate(bounds):
+        sel = (kind == 1) & (sub == m)
+        cb = np.zeros((IVFPQ_K, e_ - s_), dtype=np.float64)
+        cb[clu[sel], dim[sel] - 1] = w[sel]
+        cents.append(cb)
+    return coarse, bounds, cents
+
+
+def q_ann_ivfpq_incremental(sf_dir: str, state_dir: str | None = None):
+    """Incremental IVFADC+R: frozen prior-crawl codebooks + checkpointed
+    prior-crawl codes; only the NEW split pays normalize/assign/encode.
+    Same probe → ADC → shortlist(+payload) → exact re-rank tail as
+    q_ann_ivfpq, but the scoring pass reads CODE rows (a few int64 + the
+    packed vector), so history never re-reads the float embeddings.
+    Exact DuckDB twin (train_where-frozen codebook chain)."""
+    import ray
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int64()),
+            "cos_q": pa.array([], pa.int64()),
+        }
+    )
+    n, dim = _corpus_size_and_dim(sf_dir)
+    if n == 0:
+        return rd.from_arrow(empty)
+    state_dir = state_dir or default_ann_state_dir(sf_dir)
+    ann_state_write(sf_dir, state_dir)
+    coarse, bounds, cents = _ann_state_codebooks(state_dir)
+    q_ids, qm = _load_queries(sf_dir)
+    if not len(q_ids):
+        return rd.from_arrow(empty)
+    qm = _normalize_rows_q(qm)
+    qdc = _pq_dist(qm, coarse)
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(IVF_N_CENTROIDS), qdc.shape), qdc), axis=1
+    )[:, :IVFPQ_NPROBE]
+    tables: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(q_ids)):
+        for b in order[qi]:
+            b = int(b)
+            qr = (qm[qi] - coarse[b])[None, :]
+            tables[(qi, b)] = np.stack(
+                [_pq_dist(qr[:, s:e], cents[m])[0] for m, (s, e) in enumerate(bounds)]
+            )
+    probed = np.unique(order)
+    side_ref = ray.put((q_ids, qm, tables, order, probed))
+    empty_partial = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "adc_q": pa.array([], pa.int64()),
+            "ebin": pa.array([], pa.binary()),
+        }
+    )
+    SENT = np.iinfo(np.int64).max
+
+    def score(batch: pa.Table, side=side_ref) -> pa.Table:
+        qids, _, tbls, order_, probed_ = _deref(side)
+        bkt = batch.column("bucket").to_numpy(zero_copy_only=False)
+        keep = np.isin(bkt, probed_)  # drops the bucket −1 sentinel too
+        if not keep.any():
+            return empty_partial
+        batch = batch.filter(pa.array(keep))
+        bkt = bkt[keep]
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        codes = np.stack(
+            [
+                batch.column(f"code_{m}").to_numpy(zero_copy_only=False)
+                for m in range(PQ_M)
+            ]
+        )
+        marange = np.arange(PQ_M)[:, None]
+        nk = len(ids)
+        picks = []
+        for qi in range(len(qids)):
+            adcv = np.full(nk, SENT, dtype=np.int64)
+            hit = False
+            for b in order_[qi]:
+                sel = np.flatnonzero(bkt == b)
+                if not len(sel):
+                    continue
+                adcv[sel] = tbls[(qi, int(b))][marange, codes[:, sel]].sum(axis=0)
+                hit = True
+            if not hit:
+                continue
+            cand = np.flatnonzero(adcv < SENT)
+            k = min(IVFPQ_RERANK, len(cand))
+            top = cand[np.lexsort((ids[cand], adcv[cand]))[:k]]
+            picks.append((qi, top, adcv[top]))
+        if not picks:
+            return empty_partial
+        ebin = batch.column("ebin")
+        if isinstance(ebin, pa.ChunkedArray):
+            ebin = ebin.combine_chunks()
+        out_q, out_v, out_s, out_p = [], [], [], []
+        for qi, top, adcs in picks:
+            out_q.append(np.full(len(top), qids[qi], dtype=np.int64))
+            out_v.append(ids[top].astype(np.int64))
+            out_s.append(adcs)
+            out_p.append(ebin.take(pa.array(top)))
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "adc_q": pa.array(np.concatenate(out_s)),
+                "ebin": pa.concat_arrays(
+                    [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                     for p in out_p]
+                ),
+            }
+        )
+
+    def reduce_group(group: pa.Table, side=side_ref) -> pa.Table:
+        qid = group.column("query_id").to_numpy(zero_copy_only=False)
+        vid = group.column("vec_id").to_numpy(zero_copy_only=False)
+        adc = group.column("adc_q").to_numpy(zero_copy_only=False)
+        cut = np.lexsort((vid, adc))[:IVFPQ_RERANK]
+        ebin = group.column("ebin").to_pylist()
+        x = np.stack([np.frombuffer(ebin[i], dtype=np.float64) for i in cut])
+        qids, qmat, *_ = _deref(side)
+        q = qmat[int(np.searchsorted(qids, qid[0]))]
+        cos_q = np.floor((x * q[None, :]) * QUANT).sum(axis=1).astype(np.int64)
+        vcut = vid[cut]
+        top = np.lexsort((vcut, -cos_q))[:TOPK_K]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(top), qid[0], dtype=np.int64)),
+                "vec_id": pa.array(vcut[top], pa.int64()),
+                "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+                "cos_q": pa.array(cos_q[top], pa.int64()),
+            }
+        )
+
+    new_codes = _ann_ref_reader(sf_dir, keep_ref=False)().map_batches(
+        _ivfpq_encode_fn(coarse, cents, bounds),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    all_codes = new_codes.union(
+        rd.read_parquet(
+            os.path.join(state_dir, "codes"),
+            columns=["vec_id", "bucket"]
+            + [f"code_{m}" for m in range(PQ_M)]
+            + ["ebin"],
+        )
+    )
+    partials = all_codes.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("query_id").map_groups(
+        reduce_group, batch_format="pyarrow"
+    )
+
+
+def ann_ivfpq_incremental_oracle_sql() -> str:
+    return _ivfpq_sql(train_where=f"WHERE e.vec_id % {ANN_REF_MOD} = 0")

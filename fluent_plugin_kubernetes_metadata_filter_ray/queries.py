@@ -220,6 +220,7 @@ _DRIVER_PRIORITY = [
     "q_ann_ivfpq",
     "q_token_fertility",
     "q_embed_outliers",
+    "q_ann_ivfpq_incremental",
     # round-3-witnessed queries that fell outside the r4 window: re-witness in r5
     "q_enrich_skip",
     "q_enrich_dedot",

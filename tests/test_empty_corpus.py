@@ -55,6 +55,7 @@ NEW_QUERIES = [
     "q_ann_ivf",
     "q_ann_ivfpq",
     "q_embed_outliers",
+    "q_ann_ivfpq_incremental",
     "q_token_fertility",
     "q_embed_neardup",
     "q_embed_neardup_lsh",

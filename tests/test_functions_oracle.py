@@ -29,6 +29,7 @@ SORT_KEYS = {
     "q_ann_ivf": ["query_id", "rank"],
     "q_ann_ivfpq": ["query_id", "rank"],
     "q_embed_outliers": ["rank"],
+    "q_ann_ivfpq_incremental": ["query_id", "rank"],
     "q_token_fertility": ["lang"],
     "q_embed_neardup": ["vec_a", "vec_b"],
     "q_embed_centroids": ["label", "dim"],
