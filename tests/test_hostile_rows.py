@@ -280,3 +280,78 @@ def test_null_text_docs_rank_like_oracle(ray_session, tmp_path):
     assert st.loc[2, "quality_score"] == 0.3
     assert st.loc[2, "lang_pred"] == "und"
     con.close()
+
+
+def test_hostile_docs_fertility_twin(ray_session, tmp_path):
+    """Null lang, null/blank text and non-ASCII words must agree with the
+    DuckDB twin row for row: null lang is its own group, zero-word langs
+    report NULL fertility, and the BPE ladder sees the same unicode
+    left-to-right replace semantics on both sides."""
+    import duckdb
+    import numpy as np
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import textstats
+
+    d = str(tmp_path / "fertdocs")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "text": pa.array(
+                ["the theme of the another", None, "  ", "añejo über 東京 the",
+                 "in inn inning", ""],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", None, "zz", None, "en", "zz"], pa.string()),
+        }
+    )
+    pq.write_table(t, f"{d}/documents.parquet")
+
+    got = textstats.q_token_fertility(d).to_pandas()
+    got = got.sort_values("lang", na_position="first").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{d}/documents.parquet')"
+    )
+    op = con.execute(textstats.token_fertility_oracle_sql()).df()
+    op = op.sort_values("lang", na_position="first").reset_index(drop=True)
+    assert list(got["lang"].fillna("∅")) == list(op["lang"].fillna("∅"))
+    for c in ("n_docs", "n_words", "n_bpe_tokens"):
+        assert (got[c].to_numpy() == op[c].to_numpy()).all(), c
+    ge, oe = got["fertility"].to_numpy(), op["fertility"].to_numpy()
+    both_nan = np.isnan(ge) & np.isnan(oe)
+    assert ((ge == oe) | both_nan).all()
+    # the zz stratum is all-blank → NULL fertility on both sides
+    assert np.isnan(got.loc[got["lang"] == "zz", "fertility"]).all()
+
+
+def test_embed_outliers_planted_outlier(ray_session, tmp_path):
+    """A single wildly-scaled vector must surface at rank 1 and the ranking
+    must agree with the DuckDB twin exactly."""
+    import duckdb
+    import numpy as np
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import simsearch as ss
+
+    d = str(tmp_path / "outemb")
+    os.makedirs(d)
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((40, 8)).astype(np.float32)
+    mat[17] = 50.0  # planted outlier
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+            "label": pa.array([0] * 40, pa.int32()),
+        }
+    )
+    pq.write_table(t, f"{d}/embeddings.parquet")
+
+    got = ss.q_embed_outliers(d).to_pandas().sort_values("rank").reset_index(drop=True)
+    assert got.loc[0, "vec_id"] == 17
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from read_parquet('{d}/embeddings.parquet')"
+    )
+    op = con.execute(ss.embed_outliers_oracle_sql()).df()
+    op = op.sort_values("rank").reset_index(drop=True)
+    for c in ("vec_id", "dist_q", "rank"):
+        assert (got[c].to_numpy() == op[c].to_numpy()).all(), c
