@@ -88,3 +88,42 @@ def test_ann_incremental_never_rereads_history(ray_session, tmp_path):
         ss.q_ann_ivfpq_incremental(sf2, state_dir=str(tmp_path / "state2"))
     )
     assert not intact.equals(full_corrupt)
+
+
+def test_ivfpq_ragged_dim_twin(ray_session, tmp_path):
+    """dim % PQ_M != 0 exercises the remainder branch of the subspace
+    split (_SQL_SUB_EXPR / _SQL_LDIM_EXPR CASE arithmetic) that the dim-64
+    sf corpora never hit: engine and twin must stay cell-for-cell equal
+    for BOTH the one-shot and the incremental op."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    dim = 13  # 13 % 8 = 5 → five (base+1)-wide subspaces, three base-wide
+    mat = rng.standard_normal((60, dim)).astype(np.float32)
+    d = str(tmp_path / "ragged")
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(mat), pa.int32()),
+        }
+    )
+    pq.write_table(t, f"{d}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"create view embeddings as select * from read_parquet('{d}/embeddings.parquet')"
+    )
+    for fn, sql in (
+        (lambda: ss.q_ann_ivfpq(d), ss.ann_ivfpq_oracle_sql()),
+        (
+            lambda: ss.q_ann_ivfpq_incremental(d, state_dir=str(tmp_path / "rst")),
+            ss.ann_ivfpq_incremental_oracle_sql(),
+        ),
+    ):
+        got = _frame(fn())
+        op = con.execute(sql).df()
+        op = op[sorted(op.columns)].sort_values(sorted(op.columns)).reset_index(drop=True)
+        assert list(op.columns) == list(got.columns)
+        for c in got.columns:
+            assert (op[c].to_numpy() == got[c].to_numpy()).all(), c
