@@ -254,8 +254,9 @@ def run_bench() -> dict:
         # heavy entries (>15 s single wall) get best-of-2 (lower median of
         # two) instead of the full trial count — steal spikes of 2× have
         # been observed on singles (dedup_minhash_big 47 s vs 23-26 s)
-        heavy = {"q_dedup_minhash", "q_dedup_incremental_fuzzy"}
-        for name in ("q_dedup_exact", "q_dedup_minhash", "q_dedup_incremental_fuzzy",
+        heavy = {"q_dedup_minhash", "q_dedup_incremental_fuzzy", "q_dedup_ngram"}
+        for name in ("q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
+                     "q_dedup_incremental_fuzzy",
                      "q_ann_lsh", "q_ann_ivf", "q_embed_neardup_lsh", "q_doc_chunks"):
             timed(name[2:] + "_big",
                   lambda name=name: fq[name](big).materialize(),

@@ -45,6 +45,11 @@ MINHASH_JACCARD_THRESHOLD = 0.5
 # only P(Binom(12, j) = 0) ≈ 0.02% of true j ≥ 0.5 pairs.  Replicated in
 # the oracle SQL — part of the operator's contract, not a silent heuristic.
 MINHASH_PREFILTER_MIN = 5
+# exact n-gram Jaccard similarity join (q_dedup_ngram): threshold 3/5.  All
+# prefix/size math is kept in INTEGERS so both sides agree exactly:
+#   ceil(0.6*sz)      == (3*sz + 4) // 5
+#   min >= 0.6*max    == 5*min >= 3*max
+NGRAM_JACCARD_THRESHOLD = 0.6
 
 _GOLD = 2654435761
 MINHASH_A = [(_GOLD * (2 * i + 1)) % 2**32 for i in range(MINHASH_H)]

@@ -458,43 +458,50 @@ def _dedupe_pairs_batch(batch: pa.Table) -> pa.Table:
     return batch.group_by(["doc_a", "doc_b"]).aggregate([])
 
 
-def _pair_jaccard_batch(batch: pa.Table) -> pa.Table:
+def _make_pair_jaccard(threshold: float):
     """Vectorized-ish per-batch exact Jaccard over joined pair rows
     (s63_a/s63_b packed int64 sets, already distinct per doc): two sorted
     np arrays per pair, intersected in C.  No per-pair map_groups — the
     per-GROUP Python overhead of a tiny-group groupby dwarfs the actual
-    set math (measured ~125 µs/group vs ~10 µs here)."""
-    n = len(batch)
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
-        }
-    )
-    if n == 0:
-        return empty
-    sa_list = batch.column("s63_a").to_pylist()
-    sb_list = batch.column("s63_b").to_pylist()
-    j = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        a = np.frombuffer(sa_list[i], dtype=np.int64)
-        b = np.frombuffer(sb_list[i], dtype=np.int64)
-        inter = np.intersect1d(a, b, assume_unique=True).size
-        union = a.size + b.size - inter
-        j[i] = inter / union if union else 0.0
-    da = batch.column("doc_a").to_numpy(zero_copy_only=False)
-    # the -1 sentinel pair (see q_dedup_minhash) must survive verification so
-    # the final aggregate always sees >=1 typed row; filtered after that
-    keep_np = (j >= cp.MINHASH_JACCARD_THRESHOLD) | (da == SENTINEL_ID)
-    keep = pa.array(keep_np)
-    return pa.table(
-        {
-            "doc_a": batch.column("doc_a").filter(keep),
-            "doc_b": batch.column("doc_b").filter(keep),
-            "jaccard": pa.array(j[keep_np], pa.float64()),
-        }
-    )
+    set math (measured ~125 µs/group vs ~10 µs here).  ``threshold`` keeps
+    the kernel shared between the MinHash (0.5) and exact n-gram (0.6)
+    similarity joins."""
+
+    def _pair_jaccard_batch(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if n == 0:
+            return empty
+        sa_list = batch.column("s63_a").to_pylist()
+        sb_list = batch.column("s63_b").to_pylist()
+        j = np.empty(n, dtype=np.float64)
+        for i in range(n):
+            a = np.frombuffer(sa_list[i], dtype=np.int64)
+            b = np.frombuffer(sb_list[i], dtype=np.int64)
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            j[i] = inter / union if union else 0.0
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        # the -1 sentinel pair (see q_dedup_minhash) must survive
+        # verification so the final aggregate always sees >=1 typed row;
+        # filtered after that
+        keep_np = (j >= threshold) | (da == SENTINEL_ID)
+        keep = pa.array(keep_np)
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(keep),
+                "doc_b": batch.column("doc_b").filter(keep),
+                "jaccard": pa.array(j[keep_np], pa.float64()),
+            }
+        )
+
+    return _pair_jaccard_batch
 
 
 def _join_partitions() -> int:
@@ -540,13 +547,23 @@ def _pairs_pipeline(bands, sets_):
     pair result depends only on the row MULTISET, so a resume run that
     unions checkpointed prior-crawl rows with freshly-shingled new rows is
     value-identical to the full recompute."""
+    cand = bands.sort(["band_idx", "band_val"]).map_batches(
+        _emit_pairs_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_dedupe_pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return _stamp_and_verify(cand, sets_, cp.MINHASH_JACCARD_THRESHOLD)
+
+
+def _stamp_and_verify(cand, sets_, threshold: float):
+    """Shared candidate-pair verification tail: sentinel threading → double
+    set-stamp hash joins → vectorized exact-Jaccard verify at ``threshold``
+    → survivor-only DISTINCT → sentinel drop.  The MinHash candidate shape
+    (sparse buckets, duplicates <= LSH_BANDS per pair) is the one where
+    verify-by-join wins; the exact n-gram join is pair-dense and verifies
+    inside its bucket blocks instead (see q_dedup_ngram)."""
     from ray.data.aggregate import Max as AMax
 
     import ray.data as rd
 
-    cand = bands.sort(["band_idx", "band_val"]).map_batches(
-        _emit_pairs_sorted_block, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(_dedupe_pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
     # Lazy empty-guard: an all-empty join side reaches the hash aggregator
     # as schema-less partitions and acero rejects the key refs.  A driver
     # materialize()+count() here fixes that but serializes the pipeline —
@@ -582,7 +599,7 @@ def _pairs_pipeline(bands, sets_):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     verified = j2.map_batches(
-        _pair_jaccard_batch, batch_format="pyarrow", zero_copy_batch=True
+        _make_pair_jaccard(threshold), batch_format="pyarrow", zero_copy_batch=True
     )
     return verified.groupby(["doc_a", "doc_b"]).aggregate(
         AMax("jaccard", alias_name="jaccard")
@@ -773,6 +790,321 @@ SELECT doc_a, doc_b,
 FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
 WHERE len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s63))
       >= {cp.MINHASH_JACCARD_THRESHOLD}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (prefix filtering)
+# ---------------------------------------------------------------------------
+#
+# The EXACT counterpart of the MinHash pipeline: every pair of documents
+# whose word-3-gram shingle sets have Jaccard >= NGRAM_JACCARD_THRESHOLD,
+# with NO probabilistic candidate loss.  Candidate generation is prefix
+# filtering (Chaudhuri et al. ICDE'06 "primitive operator"; Bayardo et al.
+# WWW'07 All-Pairs): order each doc's distinct shingle hashes by a fixed
+# global total order and index only the first  sz - ceil(t*sz) + 1  of
+# them — two sets with J >= t MUST collide on at least one indexed prefix
+# hash under ANY shared total order, so joining on prefix hashes is a
+# lossless candidate generator.  The order we use is ascending DOCUMENT
+# FREQUENCY (ties by hash) — the canonical All-Pairs choice, and not
+# optional at scale: hash-order prefixes put globally common shingles
+# (boilerplate) into ~every containing doc's prefix, creating hot postings
+# whose capped buckets still emit ~(docs·plen/df)·C(cap,2) junk pairs
+# (measured: >10 min on the 181k-doc bench corpus vs ~20 s with DF order).
+# Size prefilter 5*min(sz) >= 3*max(sz) (J >= 3/5 forces min >= t*max)
+# prunes inside the bucket scan.  All thresholds use integer arithmetic
+# (see corpus.py) so the DuckDB twin is bit-exact, and hot prefix hashes
+# are capped at MAX_BUCKET smallest doc_ids exactly like the LSH buckets —
+# deterministic, counted, replicated in the oracle.
+#
+# Scale shape: instance rows are THIN (doc_id, h); DF is one hash
+# aggregate over them; the df-stamp is a thin hash join; prefix selection
+# is a doc_id sort + in-kernel lexsort (sorted-block contract: sort by the
+# GROUP KEY ALONE so groups stay whole); pair emission is the same
+# sorted-boundary scan as MinHash; a global first-occurrence DISTINCT over
+# the thin candidate pairs (a pair can collide on up to plen prefix
+# hashes, vs <= LSH_BANDS for MinHash) keeps the verify joins linear in
+# TRUE pairs; verification reuses _stamp_and_verify (each doc's packed set
+# crosses the wire once per side).
+
+
+def _ngram_instance_rows(batch: pa.Table) -> pa.Table:
+    """doc → distinct (doc_id, h) shingle-hash instance rows, fully
+    vectorized: factorize-once hashing, then one global ``np.unique`` over
+    packed (row, code) keys for the per-doc distinct."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    fs = _batch_shingles(batch)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())}
+    )
+    if fs is None:
+        return empty
+    rows, codes, uniques = fs
+    w63_u = np.fromiter((cp.w63(u) for u in uniques), np.int64, len(uniques))
+    u_count = len(uniques)
+    combo = np.unique(rows.astype(np.int64) * u_count + codes)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[combo // u_count], pa.int64()),
+            "h": pa.array(w63_u[combo % u_count], pa.int64()),
+        }
+    )
+
+
+def _stamp_df_sorted_block(batch: pa.Table) -> pa.Table:
+    """Document frequency stamped onto instance rows by a run-length scan
+    of a block SORTED by h: equal h is contiguous and never split across
+    blocks (sorted-block contract), so the run length IS the global df.
+    Replaces a groupby at distinct-shingle cardinality + an 8M-row join —
+    the per-group-Python anti-pattern measured >10 min on the 181k-doc
+    bench corpus; this shape is one thin sort + a C-speed scan."""
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+    h = batch.column("h").to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(h[1:] != h[:-1]) + 1
+    starts = np.r_[0, change]
+    lens = np.diff(np.r_[starts, n])
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "h": batch.column("h"),
+            "df": pa.array(np.repeat(lens, lens), pa.int64()),
+        }
+    )
+
+
+def _emit_prefix_sorted_block(batch: pa.Table) -> pa.Table:
+    """Prefix-posting rows (h, doc_id, sz, pos, s63) from a block of
+    df-stamped instance rows SORTED by doc_id (group key alone — the
+    sorted-block contract guarantees each doc arrives whole; (df, h) order
+    is restored by an in-kernel lexsort, exactly like the conv-window
+    kernels restore turn order).  Keeps the first  sz - ceil(t*sz) + 1
+    rows per doc in (df, h) ascending order, each stamped with the doc's
+    PACKED full hash set (same ascending-int64 packing as
+    :func:`_shingle_set_rows`) — the pair-dense corpora this operator
+    exists for make verify-by-join ship two payloads per PAIR, so the
+    payload rides the posting row once per prefix slot and verification
+    happens inside the bucket block (the cosine-LSH lesson,
+    simsearch._nd_bucket_verify_sorted_block)."""
+    n = len(batch)
+    empty = pa.table(
+        {
+            "h": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "s63": pa.array([], pa.binary()),
+        }
+    )
+    if n == 0:
+        return empty
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    h = batch.column("h").to_numpy(zero_copy_only=False)
+    df = batch.column("df").to_numpy(zero_copy_only=False)
+    order = np.lexsort((h, df, ids))
+    ids, h = ids[order], h[order]
+    change = np.flatnonzero(ids[1:] != ids[:-1]) + 1
+    starts = np.r_[0, change]
+    lens = np.diff(np.r_[starts, n])
+    plen = lens - (3 * lens + 4) // 5 + 1  # sz - ceil(0.6*sz) + 1, exact
+    pos = np.arange(n) - np.repeat(starts, lens)
+    keep = pos < np.repeat(plen, lens)
+    # packed per-doc full set: instance h values are distinct per doc, so a
+    # per-doc ascending sort IS the _shingle_set_rows packing
+    packed = [np.sort(chunk).tobytes() for chunk in np.split(h, starts[1:])]
+    doc_idx = np.repeat(np.arange(len(starts)), lens)[keep]
+    return pa.table(
+        {
+            "h": pa.array(h[keep], pa.int64()),
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "s63": pa.array([packed[i] for i in doc_idx], pa.binary()),
+        }
+    )
+
+
+def _expand_run_pairs(run_starts: np.ndarray, run_lens: np.ndarray):
+    """All within-run index pairs (a < b, positions into the parent array)
+    for runs of length >= 2, fully vectorized (no per-run Python): element
+    at in-run position p of a k-run pairs with the k-1-p elements after
+    it."""
+    zero = np.array([], np.int64)
+    if not len(run_lens):
+        return zero, zero
+    total = int(run_lens.sum())
+    # parent-array position of every run element
+    cl = np.cumsum(run_lens)
+    elem = np.repeat(run_starts, run_lens) + (
+        np.arange(total) - np.repeat(cl - run_lens, run_lens)
+    )
+    # fan-out per element: elements remaining after it in its run
+    reps = np.repeat(run_starts + run_lens, run_lens) - elem - 1
+    a_idx = np.repeat(elem, reps)
+    if not a_idx.size:
+        return zero, zero
+    csum = np.cumsum(reps)
+    off = np.arange(csum[-1]) - np.repeat(csum - reps, reps)
+    return a_idx, a_idx + off + 1
+
+
+def _ngram_bucket_verify_sorted_block(batch: pa.Table) -> pa.Table:
+    """Exact-Jaccard survivors from a block of prefix postings SORTED by h:
+    candidate pairs never leave the task — each bucket (equal-h run, capped
+    at MAX_BUCKET smallest doc_ids with the clip counter) verifies ALL its
+    member pairs at once by collision counting: concatenate the members'
+    packed full sets, sort once, expand each equal-hash run into member
+    pairs, and bincount into a g×g intersection matrix.  Cost is the
+    bucket's COLLISION MASS (sum of pairwise intersections), not
+    pairs × set-size × log — the per-pair np.intersect1d loop this
+    replaces measured 65 s on the 181k-doc bench corpus (~200M candidate
+    pairs, ~40k true); materializing candidates for verify-by-join
+    measured >10 min.  The threshold test is integer-exact:
+    J >= 3/5  ⟺  8*inter >= 3*(sz_a + sz_b)."""
+    n = len(batch)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if n == 0:
+        return empty
+    h = batch.column("h").to_numpy(zero_copy_only=False)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    payload = batch.column("s63").to_pylist()
+    change = np.flatnonzero(h[1:] != h[:-1]) + 1
+    starts = np.r_[0, change]
+    ends = np.r_[change, n]
+    out_a, out_b, out_j = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        order = np.argsort(ids[s:e], kind="stable")
+        if len(order) > MAX_BUCKET:
+            _note_bucket_clip(len(order))
+            order = order[:MAX_BUCKET]
+        gidx = (np.arange(s, e)[order]).tolist()
+        g = ids[gidx]
+        arrs = [np.frombuffer(payload[k], dtype=np.int64) for k in gidx]
+        sizes = np.fromiter((a.size for a in arrs), np.int64, len(arrs))
+        gN = len(arrs)
+        hc = np.concatenate(arrs)
+        member = np.repeat(np.arange(gN), sizes)
+        o = np.argsort(hc, kind="stable")  # stable: member asc within ties
+        hs, ms = hc[o], member[o]
+        rch = np.flatnonzero(hs[1:] != hs[:-1]) + 1
+        rst = np.r_[0, rch]
+        rlen = np.diff(np.r_[rst, hs.size])
+        multi = rlen >= 2
+        ai, bi = _expand_run_pairs(rst[multi], rlen[multi])
+        if not ai.size:
+            continue
+        # ms ascending within a run (stable sort) → ms[ai] < ms[bi]
+        flat = ms[ai] * gN + ms[bi]
+        inter = np.bincount(flat, minlength=gN * gN).reshape(gN, gN)
+        szsum = sizes[:, None] + sizes[None, :]
+        ii, jj = np.nonzero(8 * inter >= 3 * szsum)
+        keep = ii < jj  # intersections only accumulate at i<j; guard anyway
+        ii, jj = ii[keep], jj[keep]
+        if not ii.size:
+            continue
+        iv = inter[ii, jj].astype(np.float64)
+        out_a.append(g[ii])
+        out_b.append(g[jj])
+        out_j.append(iv / (szsum[ii, jj] - iv))
+    if not out_a:
+        return empty
+    return pa.table(
+        {
+            "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "jaccard": pa.array(np.concatenate(out_j), pa.float64()),
+        }
+    )
+
+
+def q_dedup_ngram(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs: J(shingles_a, shingles_b) >= 0.6
+    with lossless prefix-filter candidate generation (no LSH recall loss).
+
+    Scale shape (10^12 docs): thin (doc_id, h) instance rows → h sort +
+    run-length DF stamp → doc_id sort + in-kernel prefix selection (packed
+    set + prefix position ride the posting rows) → h sort + in-block
+    size/positional filtering and exact-Jaccard verification (candidates
+    never materialize) → survivor-only DISTINCT.  One corpus read, three
+    thin-row sorts, zero joins."""
+    from ray.data.aggregate import Max as AMax
+
+    import ray.data as rd
+
+    ds = cp.read_augmented(sf_dir)
+    inst = ds.map_batches(
+        _ngram_instance_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # sentinel instance row: keeps every sort/aggregate input typed even on
+    # a shingle-free corpus (w63 >= 0, so h=-1 is its own singleton posting
+    # bucket — never emits a pair)
+    inst = inst.union(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "h": pa.array([-1], pa.int64())}
+    )))
+    stamped = inst.sort("h").map_batches(
+        _stamp_df_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    posts = stamped.sort("doc_id").map_batches(
+        _emit_prefix_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    verified = posts.sort("h").map_batches(
+        _ngram_bucket_verify_sorted_block,
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    # a true pair is verified once per shared prefix bucket that survives
+    # the filters (>=1, <= plen) — collapse to one row; the sentinel pair
+    # keeps the aggregate input typed on a pair-free corpus
+    verified = verified.union(rd.from_arrow(pa.table(
+        {"doc_a": pa.array([SENTINEL_ID], pa.int64()),
+         "doc_b": pa.array([SENTINEL_ID], pa.int64()),
+         "jaccard": pa.array([0.0], pa.float64())}
+    )))
+    return verified.groupby(["doc_a", "doc_b"]).aggregate(
+        AMax("jaccard", alias_name="jaccard")
+    ).map_batches(_drop_sentinel_pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_ngram_oracle_sql() -> str:
+    t = cp.NGRAM_JACCARD_THRESHOLD
+    return f"""
+WITH {cp.AUG_DOCS_CTE},
+{_sql_shingle_cte()},
+inst AS (SELECT doc_id, unnest(s63) AS h FROM hs),
+dfreq AS (SELECT h, count(*)::BIGINT AS df FROM inst GROUP BY h),
+ranked AS (
+  SELECT i.doc_id, i.h,
+    row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.h) AS rk,
+    count(*) OVER (PARTITION BY i.doc_id) AS sz
+  FROM inst i JOIN dfreq d USING (h)
+),
+pref AS (
+  SELECT doc_id, sz, h FROM ranked WHERE rk <= sz - ((3*sz + 4) // 5) + 1
+),
+pref_r AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM pref
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM pref_r x JOIN pref_r y ON x.h = y.h AND x.doc_id < y.doc_id
+  WHERE x.rn <= {MAX_BUCKET} AND y.rn <= {MAX_BUCKET}
+    AND 5 * least(x.sz, y.sz) >= 3 * greatest(x.sz, y.sz)
+)
+SELECT doc_a, doc_b,
+  len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s63)) AS jaccard
+FROM cand JOIN hs a ON a.doc_id = doc_a JOIN hs b ON b.doc_id = doc_b
+WHERE len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s63)) >= {t}
 """.strip()
 
 

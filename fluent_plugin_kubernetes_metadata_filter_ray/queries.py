@@ -216,6 +216,7 @@ def _rawlog_oracle() -> str:
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-witnessed) go FIRST
     # (appended as they land this round)
+    "q_dedup_ngram",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",

@@ -225,3 +225,63 @@ def test_cluster_assign_200_link_chain_converges(ray_session, caplog):
     assert "CLUSTER_MAX_ITERS" not in caplog.text  # converged, no warning
     assert (out["canonical_id"] == 0).all()
     assert out["is_kept"].tolist() == [1] + [0] * (n - 1)
+
+
+def test_ngram_jaccard_prefix_filter_lossless(ray_session, tmp_path):
+    """The prefix filter is an EXACT candidate generator: every pair with
+    true shingle-set Jaccard >= 0.6 must appear (no LSH recall loss), with
+    exactly the brute-force Jaccard values.  Brute force recomputed here
+    independently of the oracle SQL."""
+    import itertools
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import corpus as cp
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+
+    # texts engineered across the threshold: near-identical, one-token edits,
+    # disjoint, plus short docs near the shingle-length gate
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",   # 1-gram tail edit
+        "alpha beta gamma delta epsilon zeta eta theta",  # exact dup of 0
+        "one two three four five six",
+        "one two three four five seven",
+        "totally different words here entirely",
+        "alpha beta gamma",                                # single shingle
+        "alpha beta gamma",                                # its dup
+        "", "tiny doc",                                    # no shingles
+    ]
+    sf, con = _mini_sf(tmp_path, texts)
+
+    def sset(text):
+        toks = text.split()
+        return {cp.w63(s) for s in cp.shingles(toks)}
+
+    # brute force over the AUGMENTED corpus (the query reads it augmented)
+    docs = {}
+    for i, t in enumerate(texts):
+        docs[i] = t
+        if i % cp.AUG_MOD == 0:
+            docs[i + cp.AUG_OFFSET] = " ".join(t.split()[1:])
+        if i % cp.EXACT_MOD == 0:
+            docs[i + 2 * cp.AUG_OFFSET] = t
+    sets = {i: sset(t) for i, t in docs.items() if sset(t)}
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j = inter / union if union else 0.0
+        if j >= cp.NGRAM_JACCARD_THRESHOLD:
+            expect[(a, b)] = j
+
+    got = dedup.q_dedup_ngram(sf).to_pandas()
+    got_pairs = {
+        (int(r.doc_a), int(r.doc_b)): float(r.jaccard) for r in got.itertuples()
+    }
+    assert got_pairs.keys() == expect.keys(), (
+        f"missing={expect.keys() - got_pairs.keys()} "
+        f"extra={got_pairs.keys() - expect.keys()}"
+    )
+    for k, v in expect.items():
+        assert got_pairs[k] == v
+    # and the DuckDB twin agrees bit-for-bit
+    _compare(dedup.q_dedup_ngram(sf), con, dedup.dedup_ngram_oracle_sql())

@@ -49,6 +49,7 @@ NEW_QUERIES = [
     "q_doc_sample_weighted",
     "q_decontaminate",
     "q_dedup_minhash",
+    "q_dedup_ngram",
     "q_doc_rank",
     "q_ann_topk",
     "q_ann_lsh",
