@@ -1461,3 +1461,192 @@ SELECT lang, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_words,
   END AS fertility
 FROM per GROUP BY lang
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve (T80)
+# ---------------------------------------------------------------------------
+#
+# Per doc-ordinal bucket (doc_id // VG_BUCKET_DOCS): docs, token instances,
+# NEW distinct tokens (tokens whose first-occurrence doc falls in the
+# bucket), plus cumulative vocabulary / token totals — the corpus-health
+# curve that shows whether the vocabulary is still growing (Heaps' law
+# V ~ n^beta) or the crawl has started re-collecting the same material.
+#
+# Scale shape: per-batch partial (token-hash, min doc_id) rows — the batch
+# collapses to <= |batch vocab| rows before any exchange; a single h sort
+# + run-min boundary scan finds exact global first occurrences (the
+# q_source_diversity lesson: never a groupby at vocab cardinality); both
+# aggregates move <= buckets-per-block rows; the cumulative sums run over
+# the final <= max_doc/VG_BUCKET_DOCS-row curve in ONE block (the report
+# is the output — tune VG_BUCKET_DOCS up at extreme scale).
+
+VG_BUCKET_DOCS = 256
+
+
+def _vg_firsts_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (h = w63(token), fd = min doc_id) — one row per DISTINCT
+    token per batch, hashed once via factorize."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    s = pd.Series(batch.column("text").to_pandas())
+    ex = s.str.split().explode().dropna()
+    empty = pa.table(
+        {"h": pa.array([], pa.int64()), "fd": pa.array([], pa.int64())}
+    )
+    if not len(ex):
+        return empty
+    codes, uniques = pd.factorize(ex.to_numpy())
+    docids = ids[ex.index.to_numpy(dtype=np.int64)]
+    order = np.argsort(codes, kind="stable")
+    c_s, d_s = codes[order], docids[order]
+    starts = np.r_[0, np.flatnonzero(np.diff(c_s)) + 1]
+    fd = np.minimum.reduceat(d_s, starts)
+    hw = np.fromiter((cp.w63(u) for u in uniques), np.int64, len(uniques))
+    return pa.table(
+        {
+            "h": pa.array(hw[c_s[starts]], pa.int64()),
+            "fd": pa.array(fd, pa.int64()),
+        }
+    )
+
+
+def _vg_new_sorted_block(batch: pa.Table) -> pa.Table:
+    """Block sorted by h: global min(fd) per token via run boundaries
+    (equal h never splits across blocks), bucketed and bincounted to
+    <= buckets-per-block (bucket, n_new_types, 0, 0) partial rows."""
+    n = len(batch)
+    empty = pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_new_types": pa.array([], pa.int64()),
+        }
+    )
+    if n == 0:
+        return empty
+    h = batch.column("h").to_numpy(zero_copy_only=False)
+    fd = batch.column("fd").to_numpy(zero_copy_only=False)
+    starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1]
+    bucket = np.minimum.reduceat(fd, starts) // VG_BUCKET_DOCS
+    ub, cnt = np.unique(bucket, return_counts=True)
+    z = np.zeros(len(ub), np.int64)
+    return pa.table(
+        {
+            "bucket": pa.array(ub, pa.int64()),
+            "n_docs": pa.array(z, pa.int64()),
+            "n_tokens": pa.array(z, pa.int64()),
+            "n_new_types": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def _vg_totals_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (bucket, n_docs, n_tokens, 0) — empty/null-text docs count
+    toward n_docs with zero tokens."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    s = pd.Series(batch.column("text").to_pandas())
+    ntok = s.str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
+    bucket = ids // VG_BUCKET_DOCS
+    ub, inv = np.unique(bucket, return_inverse=True)
+    return pa.table(
+        {
+            "bucket": pa.array(ub, pa.int64()),
+            "n_docs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            "n_tokens": pa.array(np.bincount(inv, weights=ntok).astype(np.int64),
+                                 pa.int64()),
+            "n_new_types": pa.array(np.zeros(len(ub), np.int64), pa.int64()),
+        }
+    )
+
+
+def _vg_final(t: pa.Table) -> pa.Table:
+    """One-block finish: order by bucket, drop the sentinel, cumulative
+    vocabulary / token sums."""
+    b = t.column("bucket").to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    keep = b[order] >= 0
+    order = order[keep]
+    nd = t.column("n_docs").to_numpy(zero_copy_only=False)[order]
+    nt = t.column("n_tokens").to_numpy(zero_copy_only=False)[order]
+    nn = t.column("n_new_types").to_numpy(zero_copy_only=False)[order]
+    return pa.table(
+        {
+            "bucket": pa.array(b[order], pa.int64()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_new_types": pa.array(nn, pa.int64()),
+            "vocab_cum": pa.array(np.cumsum(nn), pa.int64()),
+            "tokens_cum": pa.array(np.cumsum(nt), pa.int64()),
+        }
+    )
+
+
+def q_token_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: per doc-ordinal bucket, new distinct
+    tokens + cumulative vocabulary vs cumulative token instances."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    docs = cp.read_documents(sf_dir)
+    firsts = docs.map_batches(
+        _vg_firsts_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(pa.table(
+        # sentinel: own h run, bucket -VG_BUCKET_DOCS//VG_BUCKET_DOCS = -1,
+        # dropped in the finish — keeps the sort/aggregate inputs typed on
+        # an empty corpus
+        {"h": pa.array([-1], pa.int64()),
+         "fd": pa.array([-VG_BUCKET_DOCS], pa.int64())}
+    )))
+    news = firsts.sort("h").map_batches(
+        _vg_new_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = docs.map_batches(
+        _vg_totals_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    curve = news.union(totals).groupby("bucket").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_new_types", alias_name="n_new_types"),
+    )
+    return curve.repartition(1).map_batches(
+        _vg_final, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def token_vocab_growth_oracle_sql() -> str:
+    b = VG_BUCKET_DOCS
+    h = cp.SQL_W63.format(s="token")
+    toks = cp.SQL_TOKS.format(t="text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {h} AS h
+  FROM (SELECT doc_id, unnest({toks}) AS token FROM documents)
+),
+firsts AS (SELECT h, min(doc_id) AS fd FROM tok GROUP BY h),
+newb AS (
+  SELECT fd // {b} AS bucket, count(*)::BIGINT AS n_new_types
+  FROM firsts GROUP BY 1
+),
+docsb AS (
+  SELECT doc_id // {b} AS bucket, count(*)::BIGINT AS n_docs
+  FROM documents GROUP BY 1
+),
+tokb AS (
+  SELECT doc_id // {b} AS bucket, count(*)::BIGINT AS n_tokens
+  FROM tok GROUP BY 1
+),
+base AS (
+  SELECT d.bucket, d.n_docs,
+    coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+    coalesce(nb.n_new_types, 0)::BIGINT AS n_new_types
+  FROM docsb d
+  LEFT JOIN tokb t USING (bucket)
+  LEFT JOIN newb nb USING (bucket)
+)
+SELECT bucket, n_docs, n_tokens, n_new_types,
+  CAST(sum(n_new_types) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum,
+  CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum
+FROM base
+""".strip()

@@ -44,7 +44,7 @@ def _compare(res_ds, con, sql):
 
 @pytest.mark.parametrize("qname", ["q_doc_stats", "q_doc_fingerprint",
                                    "q_token_freq", "q_doc_normalize",
-                                   "q_doc_tokens_bpe"])
+                                   "q_doc_tokens_bpe", "q_token_vocab_growth"])
 def test_empty_text_twins(ray_session, tmp_path, qname):
     """Python ''.split() yields 0 tokens; the SQL twins must agree (bare
     regexp_split_to_array(trim(''), ..) would yield [''])."""

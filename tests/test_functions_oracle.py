@@ -32,6 +32,7 @@ SORT_KEYS = {
     "q_embed_outliers": ["rank"],
     "q_ann_ivfpq_incremental": ["query_id", "rank"],
     "q_token_fertility": ["lang"],
+    "q_token_vocab_growth": ["bucket"],
     "q_embed_neardup": ["vec_a", "vec_b"],
     "q_embed_centroids": ["label", "dim"],
     "q_embed_neardup_lsh": ["vec_a", "vec_b"],
