@@ -321,3 +321,77 @@ def test_wav_header_parser_truncation_and_fuzz(data):
     # arbitrary garbage never crashes
     junk = data.draw(st.binary(max_size=64))
     mm.parse_wav_header(junk)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    sets_=st.lists(
+        st.frozensets(st.integers(0, 30), min_size=1, max_size=12),
+        min_size=1, max_size=20,
+    ),
+)
+def test_ngram_bucket_counting_verify_matches_bruteforce(sets_):
+    """The collision-counting verify (concat-sort-bincount into a g×g
+    intersection matrix) must equal per-pair set intersection exactly —
+    for every bucket layout, including duplicate member sets and the
+    integer threshold boundary 8*inter == 3*(sza+szb)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.dedup import (
+        _ngram_bucket_verify_sorted_block,
+    )
+
+    # one bucket (equal h) holding every member, ids = position
+    packed = [
+        np.sort(np.array(sorted(s), dtype=np.int64)).tobytes() for s in sets_
+    ]
+    batch = pa.table(
+        {
+            "h": pa.array([7] * len(sets_), pa.int64()),
+            "doc_id": pa.array(range(len(sets_)), pa.int64()),
+            "s63": pa.array(packed, pa.binary()),
+        }
+    )
+    got = _ngram_bucket_verify_sorted_block(batch)
+    got_pairs = {
+        (a, b): j
+        for a, b, j in zip(
+            got.column("doc_a").to_pylist(),
+            got.column("doc_b").to_pylist(),
+            got.column("jaccard").to_pylist(),
+        )
+    }
+    expect = {}
+    for i in range(len(sets_)):
+        for j in range(i + 1, len(sets_)):
+            inter = len(sets_[i] & sets_[j])
+            union = len(sets_[i] | sets_[j])
+            jac = inter / union
+            if 8 * inter >= 3 * (len(sets_[i]) + len(sets_[j])):
+                expect[(i, j)] = jac
+    assert got_pairs == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    run_lens=st.lists(st.integers(2, 9), min_size=0, max_size=12),
+    gaps=st.lists(st.integers(0, 3), min_size=12, max_size=12),
+)
+def test_expand_run_pairs_matches_bruteforce(run_lens, gaps):
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.dedup import (
+        _expand_run_pairs,
+    )
+
+    starts, pos = [], 0
+    for k, gap in zip(run_lens, gaps):
+        pos += gap
+        starts.append(pos)
+        pos += k
+    rs = np.array(starts, dtype=np.int64)
+    rl = np.array(run_lens, dtype=np.int64)
+    a, b = _expand_run_pairs(rs, rl)
+    expect = [
+        (x, y)
+        for s, k in zip(starts, run_lens)
+        for x in range(s, s + k)
+        for y in range(x + 1, s + k)
+    ]
+    assert list(zip(a.tolist(), b.tolist())) == expect
