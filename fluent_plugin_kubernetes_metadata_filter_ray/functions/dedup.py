@@ -1134,6 +1134,31 @@ def q_dedup_clusters(sf_dir: str):
     return cluster_assign(q_dedup_minhash(sf_dir), cp.read_augmented_ids(sf_dir))
 
 
+def q_dedup_ngram_clusters(sf_dir: str):
+    """The LOSSLESS dedup decision: connected components over the exact
+    n-gram Jaccard pairs (q_dedup_ngram) instead of the MinHash ones — no
+    LSH-missed pair can under-merge a cluster, so the keep/drop flags are
+    exactly the J >= 0.6 transitive closure.  Same distributed
+    pointer-jumping label propagation (:func:`cluster_assign`)."""
+    return cluster_assign(q_dedup_ngram(sf_dir), cp.read_augmented_ids(sf_dir))
+
+
+def dedup_ngram_clusters_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE p AS ({dedup_ngram_oracle_sql()}),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+nodes AS ({cp.AUG_IDS_SQL}),
+reach AS (
+  SELECT doc_id AS doc, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc AS doc_id, min(lbl) AS canonical_id,
+  CAST(min(lbl) = doc AS BIGINT) AS is_kept
+FROM reach GROUP BY doc
+""".strip()
+
+
 def cluster_assign(pairs, ids_ds):
     """Connected-components dedup decision over an arbitrary near-dup pair
     Dataset(doc_a, doc_b, …) and node universe Dataset(doc_id) — shared by

@@ -217,6 +217,7 @@ _DRIVER_PRIORITY = [
     # round-5 additions (never driver-witnessed) go FIRST
     # (appended as they land this round)
     "q_dedup_ngram",
+    "q_dedup_ngram_clusters",
     "q_token_vocab_growth",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",

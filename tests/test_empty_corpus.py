@@ -50,6 +50,7 @@ NEW_QUERIES = [
     "q_decontaminate",
     "q_dedup_minhash",
     "q_dedup_ngram",
+    "q_dedup_ngram_clusters",
     "q_doc_rank",
     "q_ann_topk",
     "q_ann_lsh",
