@@ -2759,3 +2759,115 @@ def q_ann_ivfpq_incremental(sf_dir: str, state_dir: str | None = None):
 
 def ann_ivfpq_incremental_oracle_sql() -> str:
     return _ivfpq_sql(train_where=f"WHERE e.vec_id % {ANN_REF_MOD} = 0")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report (T81): approximate-vs-exact quality as a TABLE
+# ---------------------------------------------------------------------------
+#
+# recall@k of the hyperplane-LSH ANN against the exact brute-force top-k,
+# per query — the monitoring table an ANN deployment watches (bench.py
+# tracks the same number for the IVF variants; this makes it a first-class
+# driver-checkable query).  Composes the two oracle-green pipelines; every
+# intermediate is <= N_QUERIES * TOPK_K rows, so the aggregates are tiny by
+# construction at any corpus size.
+
+_RECALL_SENT = -1
+
+
+def q_ann_recall(sf_dir: str):
+    """Per-query recall@k: |LSH top-k ∩ exact top-k| / |exact top-k|."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    exact = q_ann_topk(sf_dir)
+    approx = q_ann_lsh(sf_dir)
+
+    def _tag(in_exact: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            ones = np.ones(n, np.int64)
+            zeros = np.zeros(n, np.int64)
+            return pa.table(
+                {
+                    "query_id": t.column("query_id").cast(pa.int64()),
+                    "vec_id": t.column("vec_id").cast(pa.int64()),
+                    "in_exact": pa.array(ones if in_exact else zeros, pa.int64()),
+                    "in_ann": pa.array(zeros if in_exact else ones, pa.int64()),
+                }
+            )
+
+        return fn
+
+    u = exact.map_batches(
+        _tag(True), batch_format="pyarrow", zero_copy_batch=True
+    ).union(approx.map_batches(
+        _tag(False), batch_format="pyarrow", zero_copy_batch=True
+    ))
+    # sentinel row: keeps both aggregates typed on an empty embeddings table
+    u = u.union(rd.from_arrow(pa.table(
+        {
+            "query_id": pa.array([_RECALL_SENT], pa.int64()),
+            "vec_id": pa.array([_RECALL_SENT], pa.int64()),
+            "in_exact": pa.array([0], pa.int64()),
+            "in_ann": pa.array([0], pa.int64()),
+        }
+    )))
+    per_vec = u.groupby(["query_id", "vec_id"]).aggregate(
+        Sum("in_exact", alias_name="in_exact"),
+        Sum("in_ann", alias_name="in_ann"),
+    )
+
+    def _hit(t: pa.Table) -> pa.Table:
+        ie = t.column("in_exact").to_numpy(zero_copy_only=False)
+        ia = t.column("in_ann").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": t.column("query_id"),
+                "in_exact": pa.array(ie, pa.int64()),
+                "hit": pa.array(ie * ia, pa.int64()),
+            }
+        )
+
+    per_q = per_vec.map_batches(
+        _hit, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("query_id").aggregate(
+        Sum("in_exact", alias_name="k"),
+        Sum("hit", alias_name="n_hits"),
+    )
+
+    def _fin(t: pa.Table) -> pa.Table:
+        q = t.column("query_id").to_numpy(zero_copy_only=False)
+        keep = q != _RECALL_SENT
+        k = t.column("k").to_numpy(zero_copy_only=False)[keep]
+        nh = t.column("n_hits").to_numpy(zero_copy_only=False)[keep]
+        # int64/int64 true-divide: both sides compute the same exact
+        # division of small integers
+        rec = nh / np.where(k == 0, 1, k)
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "k": pa.array(k, pa.int64()),
+                "n_hits": pa.array(nh, pa.int64()),
+                "recall": pa.array(rec, pa.float64()),
+            }
+        )
+
+    return per_q.map_batches(_fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_recall_oracle_sql() -> str:
+    return f"""
+WITH ex AS ({ann_topk_oracle_sql()}),
+ap AS ({ann_lsh_oracle_sql()}),
+hits AS (
+  SELECT e.query_id, count(*)::BIGINT AS n_hits
+  FROM ex e JOIN ap a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY e.query_id
+),
+base AS (SELECT query_id, count(*)::BIGINT AS k FROM ex GROUP BY query_id)
+SELECT b.query_id, b.k, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+  coalesce(h.n_hits, 0)::DOUBLE / b.k AS recall
+FROM base b LEFT JOIN hits h USING (query_id)
+""".strip()

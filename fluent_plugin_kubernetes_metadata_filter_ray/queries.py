@@ -219,6 +219,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_ngram",
     "q_dedup_ngram_clusters",
     "q_token_vocab_growth",
+    "q_ann_recall",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",
