@@ -1134,6 +1134,34 @@ def q_dedup_clusters(sf_dir: str):
     return cluster_assign(q_dedup_minhash(sf_dir), cp.read_augmented_ids(sf_dir))
 
 
+def q_dedup_ngram_incremental(sf_dir: str):
+    """LOSSLESS incremental fuzzy dedup: flag new-split docs whose shingle
+    set has exact Jaccard >= 0.6 with ANY reference-split doc — the
+    q_dedup_incremental_fuzzy contract without LSH recall loss (a
+    re-crawled page the MinHash bands happen to miss still gets flagged).
+    Composes the exact n-gram pair pipeline with the shared cross-split
+    tail; the extra stages shuffle only (doc_id, count) rows."""
+    return _incremental_fuzzy_from_pairs(q_dedup_ngram(sf_dir), sf_dir)
+
+
+def dedup_ngram_incremental_oracle_sql() -> str:
+    return f"""
+WITH {cp.AUG_DOCS_CTE},
+pairs AS (SELECT doc_a, doc_b FROM ({dedup_ngram_oracle_sql()}) p),
+crossm AS (
+  SELECT CASE WHEN doc_a % {INCR_REF_MOD} = 0 THEN doc_b ELSE doc_a END AS doc_id
+  FROM pairs
+  WHERE (doc_a % {INCR_REF_MOD} = 0) <> (doc_b % {INCR_REF_MOD} = 0)
+),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n FROM crossm GROUP BY doc_id),
+newd AS (SELECT doc_id FROM docs_aug WHERE doc_id % {INCR_REF_MOD} <> 0)
+SELECT n.doc_id,
+  coalesce(a.n, 0) AS n_ref_matches,
+  coalesce(a.n, 0) > 0 AS is_fuzzy_dup
+FROM newd n LEFT JOIN agg a USING (doc_id)
+""".strip()
+
+
 def q_dedup_ngram_clusters(sf_dir: str):
     """The LOSSLESS dedup decision: connected components over the exact
     n-gram Jaccard pairs (q_dedup_ngram) instead of the MinHash ones — no

@@ -218,6 +218,7 @@ _DRIVER_PRIORITY = [
     # (appended as they land this round)
     "q_dedup_ngram",
     "q_dedup_ngram_clusters",
+    "q_dedup_ngram_incremental",
     "q_token_vocab_growth",
     "q_ann_recall",
     "q_doc_tokens_bpe",

@@ -51,6 +51,7 @@ NEW_QUERIES = [
     "q_dedup_minhash",
     "q_dedup_ngram",
     "q_dedup_ngram_clusters",
+    "q_dedup_ngram_incremental",
     "q_doc_rank",
     "q_ann_topk",
     "q_ann_lsh",
