@@ -2871,3 +2871,127 @@ SELECT b.query_id, b.k, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
   coalesce(h.n_hits, 0)::DOUBLE / b.k AS recall
 FROM base b LEFT JOIN hits h USING (query_id)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T82: embedding covariance matrix — the whitening / PCA building block
+# ---------------------------------------------------------------------------
+#
+# Population covariance per dimension pair (upper triangle incl diagonal;
+# the diagonal IS q_embed_dim_stats' variance) over the same DIM_Q-quantized
+# elements.  Per-batch partials are ONE float64 Q^T Q matmul (BLAS; exact —
+# integer-valued products <= 1e8 summed over a <= 2^45-row batch stay below
+# 2^53), cast to int64 for the global Sum; the exchange moves
+# dim*(dim+1)/2 short rows per batch and the aggregate has the same
+# cardinality — corpus-size-independent driver state, like dim_stats.
+
+
+def _cov_partial(batch: pa.Table) -> pa.Table:
+    empty = pa.table(
+        {
+            "dim_i": pa.array([], pa.int64()),
+            "dim_j": pa.array([], pa.int64()),
+            "sxy": pa.array([], pa.int64()),
+            "si": pa.array([], pa.int64()),
+            "sj": pa.array([], pa.int64()),
+            "n_vecs": pa.array([], pa.int64()),
+        }
+    )
+    n = len(batch)
+    if not n:
+        return empty
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    m = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
+    m = m.reshape(n, -1)
+    qf = np.floor(m * DIM_Q)  # stays float64: exact ints, BLAS-able
+    s = qf.T @ qf
+    col = qf.sum(axis=0)
+    dim = qf.shape[1]
+    iu, ju = np.triu_indices(dim)
+    return pa.table(
+        {
+            "dim_i": pa.array((iu + 1).astype(np.int64), pa.int64()),
+            "dim_j": pa.array((ju + 1).astype(np.int64), pa.int64()),
+            "sxy": pa.array(s[iu, ju].astype(np.int64), pa.int64()),
+            "si": pa.array(col[iu].astype(np.int64), pa.int64()),
+            "sj": pa.array(col[ju].astype(np.int64), pa.int64()),
+            "n_vecs": pa.array(np.full(len(iu), n, np.int64), pa.int64()),
+        }
+    )
+
+
+def q_embed_covariance(sf_dir: str):
+    """Population covariance per (dim_i <= dim_j) pair of embedding
+    dimensions — correlated/redundant-dimension detector and the input to
+    whitening/PCA decisions."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        cp.read_embeddings(sf_dir, columns=("vec_id", "embedding"))
+        .map_batches(_cov_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {
+                "dim_i": pa.array([-1], pa.int64()),
+                "dim_j": pa.array([-1], pa.int64()),
+                "sxy": pa.array([0], pa.int64()),
+                "si": pa.array([0], pa.int64()),
+                "sj": pa.array([0], pa.int64()),
+                "n_vecs": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["dim_i", "dim_j"])
+        .aggregate(
+            Sum("sxy", alias_name="sxy"),
+            Sum("si", alias_name="si"),
+            Sum("sj", alias_name="sj"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+    import pyarrow.compute as pc_
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.greater(t.column("dim_i"), 0))
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False).astype(np.float64)
+        si = t.column("si").to_numpy(zero_copy_only=False).astype(np.float64)
+        sj = t.column("sj").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.float64)
+        cov = (sxy / n - (si / n) * (sj / n)) / (DIM_Q * DIM_Q)
+        return pa.table(
+            {
+                "dim_i": t.column("dim_i"),
+                "dim_j": t.column("dim_j"),
+                "n_vecs": t.column("n_vecs").cast(pa.int64()),
+                "cov": pa.array(cov, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embed_covariance_oracle_sql() -> str:
+    q = f"{DIM_Q:.0f}.0"
+    return f"""
+WITH dims AS (SELECT DISTINCT unnest(generate_series(1, len(embedding))) AS dim
+              FROM embeddings),
+el AS (
+  SELECT e.vec_id, d.dim::BIGINT AS dim,
+    floor(e.embedding[d.dim]::DOUBLE * {q})::BIGINT AS qx
+  FROM embeddings e CROSS JOIN dims d
+),
+pr AS (
+  SELECT a.dim AS dim_i, b.dim AS dim_j, count(*)::BIGINT AS n_vecs,
+    sum(a.qx * b.qx)::BIGINT AS sxy,
+    sum(a.qx)::BIGINT AS si, sum(b.qx)::BIGINT AS sj
+  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+  GROUP BY 1, 2
+)
+SELECT dim_i, dim_j, n_vecs,
+  (sxy::DOUBLE / n_vecs - (si::DOUBLE / n_vecs) * (sj::DOUBLE / n_vecs))
+    / ({q} * {q}) AS cov
+FROM pr
+""".strip()

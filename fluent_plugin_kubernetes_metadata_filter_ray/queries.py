@@ -221,6 +221,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_ngram_incremental",
     "q_token_vocab_growth",
     "q_ann_recall",
+    "q_embed_covariance",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",

@@ -60,6 +60,7 @@ NEW_QUERIES = [
     "q_embed_outliers",
     "q_ann_ivfpq_incremental",
     "q_ann_recall",
+    "q_embed_covariance",
     "q_token_fertility",
     "q_token_vocab_growth",
     "q_embed_neardup",

@@ -34,6 +34,7 @@ SORT_KEYS = {
     "q_embed_outliers": ["rank"],
     "q_ann_ivfpq_incremental": ["query_id", "rank"],
     "q_ann_recall": ["query_id"],
+    "q_embed_covariance": ["dim_i", "dim_j"],
     "q_token_fertility": ["lang"],
     "q_token_vocab_growth": ["bucket"],
     "q_embed_neardup": ["vec_a", "vec_b"],
