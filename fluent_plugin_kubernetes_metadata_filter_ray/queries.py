@@ -184,6 +184,12 @@ def _q_transcripts_rawlog(sf_dir: str):
     return rawlog.q_transcripts_rawlog(sf_dir)
 
 
+def _q_transcripts_rawlog_resume(sf_dir: str):
+    from .sources import rawlog
+
+    return rawlog.q_transcripts_rawlog_resume(sf_dir)
+
+
 def _q_transcripts_csv(sf_dir: str):
     from .sources import csvsrc
 
@@ -222,6 +228,7 @@ _DRIVER_PRIORITY = [
     "q_token_vocab_growth",
     "q_ann_recall",
     "q_embed_covariance",
+    "q_transcripts_rawlog_resume",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",
@@ -316,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_stats": _q_tool_stats,
         "q_turn_novelty": _q_turn_novelty,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
+        "q_transcripts_rawlog_resume": _q_transcripts_rawlog_resume,
         "q_transcripts_csv": _q_transcripts_csv,
         "q_transcripts_orc": _q_transcripts_orc,
         "q_transcripts_jsonl_gz": _q_transcripts_jsonl_gz,
@@ -357,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tool_stats": _la.tool_stats_oracle_sql(),
         "q_turn_novelty": _la.turn_novelty_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
+        "q_transcripts_rawlog_resume": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),
         "q_transcripts_orc": dg.transcripts_sql(),
         "q_transcripts_jsonl_gz": dg.transcripts_sql(),

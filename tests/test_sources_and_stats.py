@@ -671,3 +671,60 @@ def test_jsonl_gz_source_round_trip(ray_session, sf_dir, tmp_path):
     # null and empty string survived as DIFFERENT values
     z = back[back["conv_id"] == "z"].sort_values("turn_idx")
     assert z["text"].tolist()[1] == "" and pd.isna(z["text"].tolist()[0])
+
+
+def test_rawlog_pos_file_exactly_once(ray_session, tmp_path):
+    """The in_tail pos_file contract: across runs with appended lines,
+    grown files, and brand-new files, every log line is ingested EXACTLY
+    once — and size-unchanged files are never even opened (asserted by
+    corrupting one after commit: a skip-path re-read would crash)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.sources.rawlog import (
+        commit_pos,
+        ingest_container_logs,
+        read_container_logs,
+    )
+
+    log_dir = str(tmp_path / "logs")
+    pos = str(tmp_path / "pos.json")
+    f1 = os.path.join(log_dir, "var/log/containers/a_ns1_app-" + "0" * 64 + ".log")
+    f2 = os.path.join(log_dir, "var/log/containers/b_ns2_app-" + "1" * 64 + ".log")
+    os.makedirs(os.path.dirname(f1), exist_ok=True)
+
+    def line(i):
+        return json.dumps({"log": f"msg {i}", "stream": "stdout",
+                           "time": "2026-01-01T00:00:0%d.5Z" % (i % 10)}) + "\n"
+
+    with open(f1, "w") as f:
+        f.write(line(0) + line(1))
+    r1 = ingest_container_logs(log_dir, pos).to_pandas()
+    assert sorted(r1["text"]) == ["msg 0", "msg 1"]
+    commit_pos(log_dir, pos)
+
+    # run 2: nothing changed → zero rows, no file opened
+    r2 = ingest_container_logs(log_dir, pos)
+    assert r2.count() == 0
+
+    # run 3: f1 grows by two lines, f2 is new
+    with open(f1, "a") as f:
+        f.write(line(2) + line(3))
+    with open(f2, "w") as f:
+        f.write(line(7))
+    r3 = ingest_container_logs(log_dir, pos).to_pandas()
+    assert sorted(r3["text"]) == ["msg 2", "msg 3", "msg 7"]
+    commit_pos(log_dir, pos)
+
+    # skip proof: make f1 UNPARSEABLE without changing its size; a run that
+    # wrongly re-opened it would crash in the JSON reader
+    size = os.path.getsize(f1)
+    with open(f1, "w") as f:
+        f.write("{" * (size - 1) + "\n")
+    assert os.path.getsize(f1) == size
+    r4 = ingest_container_logs(log_dir, pos)
+    assert r4.count() == 0
+
+    # union across runs == one full tail read (restore f1 first)
+    with open(f1, "w") as f:
+        f.write(line(0) + line(1) + line(2) + line(3))
+    full = read_container_logs(log_dir).to_pandas()
+    got = sorted(list(r1["text"]) + list(r3["text"]))
+    assert got == sorted(full["text"])
