@@ -1187,6 +1187,63 @@ FROM reach GROUP BY doc
 """.strip()
 
 
+def q_dedup_cluster_sizes(sf_dir: str):
+    """Near-dup cluster-size histogram: (cluster_size, n_clusters) over
+    the MinHash connected components — the one-page dedup report
+    (singleton mass vs heavy boilerplate clusters) behind the keep/drop
+    decision.  Two counting aggregates over thin int columns; sentinel
+    rows keep both typed on an empty corpus."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    cl = q_dedup_clusters(sf_dir)
+    sizes = (
+        cl.union(rd.from_arrow(pa.table(
+            {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+             "canonical_id": pa.array([SENTINEL_ID], pa.int64()),
+             "is_kept": pa.array([0], pa.int64())}
+        )))
+        .groupby("canonical_id")
+        .aggregate(Count(alias_name="cluster_size"))
+    )
+
+    def drop_sent(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return pa.table(
+            {"cluster_size": t.filter(
+                pc_.not_equal(t.column("canonical_id"), SENTINEL_ID)
+            ).column("cluster_size").cast(pa.int64())}
+        )
+
+    hist = (
+        sizes.map_batches(drop_sent, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"cluster_size": pa.array([SENTINEL_ID], pa.int64())}
+        )))
+        .groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.filter(pc_.not_equal(t.column("cluster_size"), SENTINEL_ID))
+
+    return hist.map_batches(fin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_cluster_sizes_oracle_sql() -> str:
+    return f"""
+WITH RECURSIVE cl AS ({dedup_clusters_oracle_sql()}),
+sizes AS (SELECT canonical_id, count(*)::BIGINT AS cluster_size
+          FROM cl GROUP BY canonical_id)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters
+FROM sizes GROUP BY cluster_size
+""".strip()
+
+
 def cluster_assign(pairs, ids_ds):
     """Connected-components dedup decision over an arbitrary near-dup pair
     Dataset(doc_a, doc_b, …) and node universe Dataset(doc_id) — shared by

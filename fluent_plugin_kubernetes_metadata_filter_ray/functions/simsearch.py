@@ -2995,3 +2995,100 @@ SELECT dim_i, dim_j, n_vecs,
     / ({q} * {q}) AS cov
 FROM pr
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T83: IVF bucket-balance report — index-health for the ANN scale path
+# ---------------------------------------------------------------------------
+#
+# Per coarse-quantizer bucket: assigned-vector count + corpus fraction,
+# INCLUDING empty (dead) buckets — assignment skew is what turns an IVF
+# probe into a full scan, and dead buckets waste probe budget.  One
+# stateless assignment pass (same integer-quantized argmax as q_ann_ivf),
+# per-batch bincount partials, a <= IVF_N_CENTROIDS-row aggregate, and a
+# single-block finish that fills in missing buckets.
+
+
+def q_embed_ivf_balance(sf_dir: str):
+    import ray
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    C = IVF_N_CENTROIDS
+    n, dim = _corpus_size_and_dim(sf_dir)
+    codebook = _md5_grid(C, dim, "ivfcent")
+    cb_ref = ray.put(codebook)
+
+    def part(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids, m = _matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "n_vecs": pa.array([], pa.int64())}
+            )
+        dots = _qdots(m, _ray.get(cb_ref))
+        bucket = np.argmax(dots, axis=1)  # first max == list_position tie-break
+        cnt = np.bincount(bucket, minlength=C)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(C, dtype=np.int64), pa.int64()),
+                "n_vecs": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        cp.read_embeddings(sf_dir)
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {"bucket": pa.array(np.arange(C, dtype=np.int64), pa.int64()),
+             "n_vecs": pa.array(np.zeros(C, np.int64), pa.int64())}
+        )))
+        .groupby("bucket")
+        .aggregate(Sum("n_vecs", alias_name="n_vecs"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nv = t.column("n_vecs").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = nv.sum()
+        frac = (
+            np.full(len(nv), np.nan)
+            if total == 0
+            else nv / np.float64(total)
+        )
+        return pa.table(
+            {
+                "bucket": t.column("bucket").cast(pa.int64()),
+                "n_vecs": pa.array(nv, pa.int64()),
+                "frac": pa.array(frac, pa.float64()),
+                "is_dead": pa.array(nv == 0),
+            }
+        )
+
+    # the aggregate is <= C rows; one block so total/frac see all buckets
+    return agg.repartition(1).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+def embed_ivf_balance_oracle_sql() -> str:
+    dots = _sql_qdots("ivfcent", IVF_N_CENTROIDS)
+    return f"""
+WITH ed AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS emb FROM embeddings
+),
+bk AS (
+  SELECT (list_position({dots}, list_max({dots})) - 1)::BIGINT AS bucket FROM ed
+),
+cnt AS (SELECT bucket, count(*)::BIGINT AS n_vecs FROM bk GROUP BY bucket),
+allb AS (SELECT g.c::BIGINT AS bucket
+         FROM generate_series(0, {IVF_N_CENTROIDS} - 1) g(c)),
+tot AS (SELECT count(*)::BIGINT AS n FROM ed)
+SELECT a.bucket, coalesce(c.n_vecs, 0)::BIGINT AS n_vecs,
+  CASE WHEN t.n = 0 THEN NULL
+       ELSE coalesce(c.n_vecs, 0)::DOUBLE / t.n::DOUBLE END AS frac,
+  coalesce(c.n_vecs, 0) = 0 AS is_dead
+FROM allb a LEFT JOIN cnt c USING (bucket) CROSS JOIN tot t
+""".strip()

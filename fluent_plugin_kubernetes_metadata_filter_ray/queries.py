@@ -229,6 +229,8 @@ _DRIVER_PRIORITY = [
     "q_ann_recall",
     "q_embed_covariance",
     "q_transcripts_rawlog_resume",
+    "q_dedup_cluster_sizes",
+    "q_embed_ivf_balance",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",
