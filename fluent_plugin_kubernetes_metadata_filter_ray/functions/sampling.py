@@ -813,3 +813,123 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 WHERE d.doc_id % {DSIR_TARGET_MOD} != 0
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T84: Gopher quality rules (Rae et al. 2021, appendix A1.1) — the published
+# standard rule set, per-rule flags + overall pass, one stateless pass.
+# Every ratio threshold is evaluated in INTEGERS (10*x <= 9*n style) so the
+# DuckDB twin is bit-exact with no float division anywhere.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+
+
+def _gopher_batch(batch: pa.Table) -> pa.Table:
+    import re
+
+    ids = batch.column("doc_id")
+    s = pd.Series(batch.column("text").to_pandas())
+    idx = s.index
+
+    def agg(series, how="sum"):
+        if not len(series):
+            return np.zeros(len(s), np.int64)
+        g = series.groupby(level=0)
+        out = (g.nunique() if how == "nunique" else g.sum())
+        return out.reindex(idx, fill_value=0).to_numpy(dtype=np.int64)
+
+    toks = s.str.split()
+    ex = toks.explode().dropna()
+    n_words = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    sum_len = agg(ex.str.len())
+    n_alpha = agg(ex.str.contains(r"[a-zA-Z]", regex=True))
+    low = ex.str.lower()
+    n_stop = agg(low[low.isin(GOPHER_STOPWORDS)], how="nunique")
+    # literal non-overlapping counts — same semantics as the SQL
+    # replace()-based counting ('....' counts one ellipsis on both sides)
+    n_hash = s.str.count("#").fillna(0).to_numpy(dtype=np.int64)
+    n_ell = s.str.count(re.escape("...")).fillna(0).to_numpy(dtype=np.int64)
+    lines = s.str.split("\n")
+    lx = lines.explode().dropna()
+    n_lines = lines.str.len().fillna(0).to_numpy(dtype=np.int64)
+    n_bullet = agg(lx.str.startswith(("- ", "• ")))
+    n_ell_lines = agg(lx.str.endswith("..."))
+
+    r_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mwl = (n_words > 0) & (3 * n_words <= sum_len) & (sum_len <= 10 * n_words)
+    r_sym = (n_words > 0) & (10 * (n_hash + n_ell) <= n_words)
+    r_bul = (n_lines > 0) & (10 * n_bullet <= 9 * n_lines)
+    r_ell = (n_lines > 0) & (10 * n_ell_lines <= 3 * n_lines)
+    r_alp = (n_words > 0) & (5 * n_alpha >= 4 * n_words)
+    r_stp = n_stop >= 2
+    ok = r_wc & r_mwl & r_sym & r_bul & r_ell & r_alp & r_stp
+    return pa.table(
+        {
+            "doc_id": ids,
+            "n_words": pa.array(n_words, pa.int64()),
+            "r_word_count": pa.array(r_wc),
+            "r_mean_word_len": pa.array(r_mwl),
+            "r_symbol_ratio": pa.array(r_sym),
+            "r_bullet_lines": pa.array(r_bul),
+            "r_ellipsis_lines": pa.array(r_ell),
+            "r_alpha_words": pa.array(r_alp),
+            "r_stopwords": pa.array(r_stp),
+            "pass_gopher": pa.array(ok),
+        }
+    )
+
+
+def q_doc_gopher_flags(sf_dir: str):
+    """Gopher quality rules per doc: word count 50–100k, mean word length
+    3–10, (# + ellipsis)/words ≤ 0.1, bullet-start lines ≤ 90%,
+    ellipsis-end lines ≤ 30%, words-with-alpha ≥ 80%, ≥ 2 distinct
+    required stopwords — per-rule flags + overall pass."""
+    return cp.read_documents(sf_dir).map_batches(
+        _gopher_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_gopher_flags_oracle_sql() -> str:
+    toks = cp.SQL_TOKS.format(t="text")
+    stop = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS toks,
+    CASE WHEN text IS NULL THEN NULL ELSE string_split(text, chr(10)) END AS lines
+  FROM documents
+),
+per AS (
+  SELECT doc_id,
+    coalesce(len(toks), 0)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(toks, t -> len(t))), 0)::BIGINT AS sum_len,
+    coalesce(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))), 0)::BIGINT AS n_alpha,
+    coalesce(len(list_distinct(list_filter(list_transform(toks, t -> lower(t)),
+      t -> t IN ({stop})))), 0)::BIGINT AS n_stop,
+    CASE WHEN text IS NULL THEN 0
+         ELSE len(text) - len(replace(text, '#', '')) END::BIGINT AS n_hash,
+    CASE WHEN text IS NULL THEN 0
+         ELSE (len(text) - len(replace(text, '...', ''))) // 3 END::BIGINT AS n_ell,
+    coalesce(len(lines), 0)::BIGINT AS n_lines,
+    coalesce(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '• %')), 0)::BIGINT AS n_bullet,
+    coalesce(len(list_filter(lines, l -> l LIKE '%...')), 0)::BIGINT AS n_ell_lines
+  FROM base
+)
+SELECT doc_id, n_words,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}) AS r_word_count,
+  (n_words > 0 AND 3*n_words <= sum_len AND sum_len <= 10*n_words) AS r_mean_word_len,
+  (n_words > 0 AND 10*(n_hash + n_ell) <= n_words) AS r_symbol_ratio,
+  (n_lines > 0 AND 10*n_bullet <= 9*n_lines) AS r_bullet_lines,
+  (n_lines > 0 AND 10*n_ell_lines <= 3*n_lines) AS r_ellipsis_lines,
+  (n_words > 0 AND 5*n_alpha >= 4*n_words) AS r_alpha_words,
+  (n_stop >= 2) AS r_stopwords,
+  ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+   AND (n_words > 0 AND 3*n_words <= sum_len AND sum_len <= 10*n_words)
+   AND (n_words > 0 AND 10*(n_hash + n_ell) <= n_words)
+   AND (n_lines > 0 AND 10*n_bullet <= 9*n_lines)
+   AND (n_lines > 0 AND 10*n_ell_lines <= 3*n_lines)
+   AND (n_words > 0 AND 5*n_alpha >= 4*n_words)
+   AND (n_stop >= 2)) AS pass_gopher
+FROM per
+""".strip()

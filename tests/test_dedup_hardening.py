@@ -285,3 +285,41 @@ def test_ngram_jaccard_prefix_filter_lossless(ray_session, tmp_path):
         assert got_pairs[k] == v
     # and the DuckDB twin agrees bit-for-bit
     _compare(dedup.q_dedup_ngram(sf), con, dedup.dedup_ngram_oracle_sql())
+
+
+def test_gopher_flags_hostile_twins(ray_session, tmp_path):
+    """Gopher rule edges: null text, empty, unicode digits, bullet-only
+    lines, ellipsis runs ('....' counts ONE on both sides), exact
+    threshold boundaries (integer forms must agree with the SQL)."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import sampling
+
+    texts = [
+        None,
+        "",
+        "- bullet one\n- bullet two\n- bullet three",
+        "trailing dots...\nand more....\nplain line",
+        "the be to of and that have with " + "word " * 50,
+        "#### #hash heavy # " + "a " * 20,
+        "• unicode bullet\n•no-space bullet\nnormal",
+        ("xx " * 50).strip(),          # mean word len 2 → fails r2
+        ("abc " * 50).strip(),         # mean word len 3 → boundary pass
+        "²³ ¼½ unicode digits only",
+        "one\n\n\nthree",               # empty lines
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(t, os.path.join(sf, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    _compare(
+        sampling.q_doc_gopher_flags(sf), con,
+        sampling.doc_gopher_flags_oracle_sql(),
+    )

@@ -54,6 +54,7 @@ NEW_QUERIES = [
     "q_dedup_ngram_incremental",
     "q_dedup_cluster_sizes",
     "q_embed_ivf_balance",
+    "q_doc_gopher_flags",
     "q_doc_rank",
     "q_ann_topk",
     "q_ann_lsh",
