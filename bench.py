@@ -275,6 +275,13 @@ def run_bench() -> dict:
         timed("dedup_incremental_fuzzy_resume_big",
               lambda: _dd.q_dedup_incremental_fuzzy_resume(big).materialize(),
               trials=2, shuffle=True)
+        # exact-join twin of the same recurring-ingestion contract: the
+        # checkpoint is the thin (doc_id, h) instance table; crawl N+1
+        # shingles only the new split
+        _dd.ngram_state_write(big, _dd.default_ngram_state_dir(big))
+        timed("dedup_ngram_incremental_resume_big",
+              lambda: _dd.q_dedup_ngram_incremental_resume(big).materialize(),
+              trials=2, shuffle=True)
 
         # trained-IVF production path (VERDICT r3 task 5): spherical-k-means
         # codebook over a driver-side 4096-vector sample, plus recall@k of

@@ -1034,18 +1034,25 @@ def q_dedup_ngram(sf_dir: str):
 
     Scale shape (10^12 docs): thin (doc_id, h) instance rows → h sort +
     run-length DF stamp → doc_id sort + in-kernel prefix selection (packed
-    set + prefix position ride the posting rows) → h sort + in-block
-    size/positional filtering and exact-Jaccard verification (candidates
-    never materialize) → survivor-only DISTINCT.  One corpus read, three
-    thin-row sorts, zero joins."""
+    set rides the posting rows) → h sort + in-block collision-counting
+    verification (candidates never materialize) → survivor-only DISTINCT.
+    One corpus read, three thin-row sorts, zero joins."""
+    inst = cp.read_augmented(sf_dir).map_batches(
+        _ngram_instance_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _ngram_pairs_from_instances(inst)
+
+
+def _ngram_pairs_from_instances(inst):
+    """Shared exact-join tail over a Dataset of distinct (doc_id, h)
+    instance rows — used by the live pipeline and the persisted-state
+    resume (whose instance rows come from a parquet checkpoint ∪ the new
+    split; DF, prefixes and buckets depend only on the row multiset, so
+    both paths are value-identical)."""
     from ray.data.aggregate import Max as AMax
 
     import ray.data as rd
 
-    ds = cp.read_augmented(sf_dir)
-    inst = ds.map_batches(
-        _ngram_instance_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
     # sentinel instance row: keeps every sort/aggregate input typed even on
     # a shingle-free corpus (w63 >= 0, so h=-1 is its own singleton posting
     # bucket — never emits a pair)
@@ -1160,6 +1167,69 @@ SELECT n.doc_id,
   coalesce(a.n, 0) > 0 AS is_fuzzy_dup
 FROM newd n LEFT JOIN agg a USING (doc_id)
 """.strip()
+
+
+def default_ngram_state_dir(sf_dir: str) -> str:
+    import hashlib
+
+    return os.path.join(
+        _CACHE_ROOT,
+        "ngram_state_"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12],
+    )
+
+
+def ngram_state_write(sf_dir: str, state_dir: str) -> str:
+    """Checkpoint the prior-crawl split's (doc_id, h) instance rows under
+    ``state_dir`` (``inst/`` parquet + ``.done`` marker; atomic tmp-dir
+    swap).  The exact join's ENTIRE derived state is these thin rows — DF
+    stamps, prefixes, packed sets and buckets are all recomputed from the
+    instance multiset, so the checkpoint is one table (vs the LSH state's
+    bands+sets pair).  Sentinel h=-2 keeps an empty-ref checkpoint typed
+    (distinct from the pipeline's own h=-1 sentinel so doc -1 never forms
+    a multi-row bucket)."""
+    import shutil
+
+    done = state_dir + ".done"
+    if os.path.exists(done):
+        return state_dir
+    work = state_dir + ".deriving"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(os.path.join(work, "inst"))
+    import ray.data as rd
+
+    sent = pa.table(
+        {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+         "h": pa.array([-2], pa.int64())}
+    )
+    _split_augmented(sf_dir, keep_ref=True).map_batches(
+        _ngram_instance_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.from_arrow(sent)).repartition(8).write_parquet(
+        os.path.join(work, "inst")
+    )
+    shutil.rmtree(state_dir, ignore_errors=True)
+    os.replace(work, state_dir)
+    with open(done, "w") as f:
+        f.write("ok")
+    return state_dir
+
+
+def q_dedup_ngram_incremental_resume(sf_dir: str, state_dir: str | None = None):
+    """Persisted-state variant of :func:`q_dedup_ngram_incremental`: reads
+    the prior crawl's checkpointed instance rows (writing the checkpoint
+    first if absent), tokenizes/shingles/hashes ONLY the new split, and
+    runs the identical exact-join + cross-split tail.  Value-identical to
+    the full recompute — DF order, prefixes and bucket caps depend only on
+    the instance-row multiset, which is the same either way."""
+    import ray.data as rd
+
+    state_dir = state_dir or default_ngram_state_dir(sf_dir)
+    ngram_state_write(sf_dir, state_dir)
+    inst = _split_augmented(sf_dir, keep_ref=False).map_batches(
+        _ngram_instance_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(rd.read_parquet(os.path.join(state_dir, "inst"),
+                            columns=["doc_id", "h"]))
+    return _incremental_fuzzy_from_pairs(_ngram_pairs_from_instances(inst), sf_dir)
 
 
 def q_dedup_ngram_clusters(sf_dir: str):

@@ -232,6 +232,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_cluster_sizes",
     "q_embed_ivf_balance",
     "q_doc_gopher_flags",
+    "q_dedup_ngram_incremental_resume",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",

@@ -113,3 +113,67 @@ def test_fuzzy_resume_never_reshingles_history(ray_session, tmp_path):
     # the corrupted corpus disagrees (i.e. the assertion above has teeth)
     full_corrupt = _frame(dedup.q_dedup_incremental_fuzzy(sf2))
     assert not full_intact.equals(full_corrupt)
+
+
+def test_ngram_resume_matches_full_and_oracle(ray_session, tmp_path):
+    """The exact-join resume tier: value-identical to the full recompute
+    (DF order, prefixes and bucket caps depend only on the instance-row
+    multiset) and to the shared oracle."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+
+    sf = _write_sf(str(tmp_path / "sf"), _texts())
+    full = _frame(dedup.q_dedup_ngram_incremental(sf))
+    assert full["is_fuzzy_dup"].any()
+    resume = _frame(
+        dedup.q_dedup_ngram_incremental_resume(sf, state_dir=str(tmp_path / "st"))
+    )
+    assert full.equals(resume), f"full:\n{full}\nresume:\n{resume}"
+    assert os.path.exists(str(tmp_path / "st") + ".done")
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from read_parquet('{sf}/documents.parquet')"
+    )
+    op = con.execute(dedup.dedup_ngram_incremental_oracle_sql()).df()
+    cols = sorted(op.columns)
+    op = op[cols].sort_values(cols).reset_index(drop=True)
+    assert list(full.columns) == cols and len(full) == len(op)
+
+
+def test_ngram_resume_never_reshingles_history(ray_session, tmp_path):
+    """Corrupt every ref-only family's text after the instance checkpoint:
+    the resume must still return the intact-corpus result — only possible
+    if history text is never re-tokenized."""
+    import numpy as np
+
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions.corpus import (
+        AUG_MOD,
+        AUG_OFFSET,
+        EXACT_MOD,
+    )
+
+    texts = _texts()
+    sf = _write_sf(str(tmp_path / "sf"), texts)
+    state = str(tmp_path / "state")
+    dedup.ngram_state_write(sf, state)
+
+    corrupt, n_corrupted = list(texts), 0
+    for i in np.arange(len(texts)):
+        fam = [i]
+        if i % AUG_MOD == 0:
+            fam.append(i + AUG_OFFSET)
+        if i % EXACT_MOD == 0:
+            fam.append(i + 2 * AUG_OFFSET)
+        if all(j % dedup.INCR_REF_MOD == 0 for j in fam):
+            corrupt[i] = f"corrupted corrupted corrupted {i} zzz qqq www"
+            n_corrupted += 1
+    assert n_corrupted > 0
+
+    sf2 = _write_sf(str(tmp_path / "sf2"), corrupt)
+    full_intact = _frame(dedup.q_dedup_ngram_incremental(sf))
+    resumed = _frame(
+        dedup.q_dedup_ngram_incremental_resume(sf2, state_dir=state)
+    )
+    assert full_intact.equals(resumed), (
+        "resume result drifted — the prior-crawl text was re-read"
+    )
