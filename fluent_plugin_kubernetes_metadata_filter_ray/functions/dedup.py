@@ -1225,10 +1225,16 @@ def q_dedup_ngram_incremental_resume(sf_dir: str, state_dir: str | None = None):
 
     state_dir = state_dir or default_ngram_state_dir(sf_dir)
     ngram_state_write(sf_dir, state_dir)
+    # right-size the checkpoint read: without override_num_blocks Ray
+    # re-splits each shard per row group (8 files → 64 tiny blocks), and
+    # the inflated block count rides through every sort into the final
+    # hash aggregate's partition count — ~97 aggregator actors at ~2 s
+    # import each (measured: resume 30 s vs full 17.5 s from this alone)
     inst = _split_augmented(sf_dir, keep_ref=False).map_batches(
         _ngram_instance_rows, batch_format="pyarrow", zero_copy_batch=True
     ).union(rd.read_parquet(os.path.join(state_dir, "inst"),
-                            columns=["doc_id", "h"]))
+                            columns=["doc_id", "h"],
+                            override_num_blocks=8))
     return _incremental_fuzzy_from_pairs(_ngram_pairs_from_instances(inst), sf_dir)
 
 
