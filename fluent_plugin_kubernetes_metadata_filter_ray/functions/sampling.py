@@ -933,3 +933,88 @@ SELECT doc_id, n_words,
    AND (n_stop >= 2)) AS pass_gopher
 FROM per
 """.strip()
+
+
+# per-source curation dashboard over the Gopher rules: mixing decisions are
+# made per SOURCE, so the pass rate has to be reported there too
+
+_SQR_SENT = "\x00\x00sqr-sent"
+
+
+def _source_quality_partial(batch: pa.Table) -> pa.Table:
+    from ..stages.aggregate import _NULL_KEY
+
+    flags = _gopher_batch(batch)  # row-aligned with the input batch
+    ok = flags.column("pass_gopher").to_numpy(zero_copy_only=False)
+    src = pd.Series(batch.column("source").to_pandas()).fillna(_NULL_KEY)
+    codes, uniq = pd.factorize(src.to_numpy(dtype=object), sort=False)
+    return pa.table(
+        {
+            "source": pa.array(uniq.astype(object), pa.string()),
+            "n_docs": pa.array(np.bincount(codes, minlength=len(uniq))
+                               .astype(np.int64), pa.int64()),
+            "n_pass": pa.array(
+                np.bincount(codes, weights=ok.astype(np.float64),
+                            minlength=len(uniq)).astype(np.int64),
+                pa.int64()),
+        }
+    )
+
+
+def q_source_quality_report(sf_dir: str):
+    """Per-source Gopher pass rates: (source, n_docs, n_pass, pass_rate) —
+    the curation dashboard behind per-source mixing decisions.  Pure
+    combiner (≤ |sources| rows per batch)."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import _unmask_col
+
+    agg = (
+        cp.read_documents(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(
+            _source_quality_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "source": pa.array([_SQR_SENT], pa.string()),
+                "n_docs": pa.array([0], pa.int64()),
+                "n_pass": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_pass", alias_name="n_pass"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc_.not_equal(t.column("source"), _SQR_SENT))
+        nd = t.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        np_ = t.column("n_pass").to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np_ / np.where(nd == 0, 1, nd)  # int/int division, exact twin
+        return pa.table(
+            {
+                "source": _unmask_col(t.column("source")),
+                "n_docs": pa.array(nd, pa.int64()),
+                "n_pass": pa.array(np_, pa.int64()),
+                "pass_rate": pa.array(rate, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_quality_report_oracle_sql() -> str:
+    return f"""
+WITH g AS ({doc_gopher_flags_oracle_sql()})
+SELECT d.source, count(*)::BIGINT AS n_docs,
+  sum(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+  (sum(CASE WHEN g.pass_gopher THEN 1 ELSE 0 END)::BIGINT)::DOUBLE
+    / (count(*)::BIGINT)::DOUBLE AS pass_rate
+FROM documents d JOIN g USING (doc_id)
+GROUP BY d.source
+""".strip()

@@ -178,6 +178,10 @@ def _q_turn_novelty(sf_dir: str):
     return _la.turn_novelty(flagship.read_transcripts(sf_dir))
 
 
+def _q_turn_pii_density(sf_dir: str):
+    return _la.turn_pii_density(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -233,6 +237,8 @@ _DRIVER_PRIORITY = [
     "q_embed_ivf_balance",
     "q_doc_gopher_flags",
     "q_dedup_ngram_incremental_resume",
+    "q_turn_pii_density",
+    "q_source_quality_report",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",
@@ -326,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_response_latency": _q_response_latency,
         "q_tool_stats": _q_tool_stats,
         "q_turn_novelty": _q_turn_novelty,
+        "q_turn_pii_density": _q_turn_pii_density,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_rawlog_resume": _q_transcripts_rawlog_resume,
         "q_transcripts_csv": _q_transcripts_csv,
@@ -368,6 +375,7 @@ def oracle_sql() -> dict[str, str]:
         "q_response_latency": _la.response_latency_oracle_sql(),
         "q_tool_stats": _la.tool_stats_oracle_sql(),
         "q_turn_novelty": _la.turn_novelty_oracle_sql(),
+        "q_turn_pii_density": _la.turn_pii_density_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_rawlog_resume": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),

@@ -1548,3 +1548,117 @@ SELECT o.conv_id, o.turn_idx,
 FROM o LEFT JOIN per p ON p.conv_id IS NOT DISTINCT FROM o.conv_id
                       AND p.ord = o.ord
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Per-role PII density over TRANSCRIPTS (the conversational twin of the
+# document-level q_pii_density): which ROLE leaks which PII class — user
+# turns pasting emails vs tool outputs echoing bearer tokens are different
+# governance problems.  Same RE2 patterns as the redaction stage, so the
+# report and the scrubber can never disagree.  Pure combiner: each batch
+# collapses to <= roles x patterns rows.
+# --------------------------------------------------------------------------
+
+_TPII_SENT = "\x00\x00tpii-sent"
+
+
+def _turn_pii_partial(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    from .redact import REDACT_PATTERNS
+
+    role = pd.Series(batch.column("role").to_pandas()).fillna(_NULL_KEY)
+    codes, uniq = pd.factorize(role.to_numpy(dtype=object), sort=False)
+    text = batch.column("text")
+    out_r, out_p, out_h, out_t = [], [], [], []
+    for name, pat, _ in REDACT_PATTERNS:
+        n = pc.fill_null(
+            pc.count_substring_regex(text, pat), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        out_r.append(uniq)
+        out_p.extend([name] * len(uniq))
+        out_h.append(np.bincount(codes, weights=n.astype(np.float64),
+                                 minlength=len(uniq)).astype(np.int64))
+        out_t.append(np.bincount(codes, weights=(n > 0).astype(np.float64),
+                                 minlength=len(uniq)).astype(np.int64))
+    if not out_r:
+        return pa.table(
+            {
+                "role": pa.array([], pa.string()),
+                "pattern": pa.array([], pa.string()),
+                "n_hits": pa.array([], pa.int64()),
+                "n_turns_affected": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "role": pa.array(np.concatenate(out_r).astype(object), pa.string()),
+            "pattern": pa.array(out_p, pa.string()),
+            "n_hits": pa.array(np.concatenate(out_h)),
+            "n_turns_affected": pa.array(np.concatenate(out_t)),
+        }
+    )
+
+
+def turn_pii_density(ds):
+    """Per-(role, pattern) PII report over transcripts:
+    (role, pattern, n_hits, n_turns_affected)."""
+    import ray.data as rd
+
+    agg = (
+        ds.map_batches(
+            _turn_pii_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "role": pa.array([_TPII_SENT], pa.string()),
+                "pattern": pa.array([_TPII_SENT], pa.string()),
+                "n_hits": pa.array([0], pa.int64()),
+                "n_turns_affected": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["role", "pattern"])
+        .aggregate(
+            Sum("n_hits", alias_name="n_hits"),
+            Sum("n_turns_affected", alias_name="n_turns_affected"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        from .aggregate import _unmask_col
+
+        t = t.filter(pc.not_equal(t.column("role"), _TPII_SENT))
+        return pa.table(
+            {
+                "role": _unmask_col(t.column("role")),
+                "pattern": t.column("pattern"),
+                "n_hits": t.column("n_hits").cast(pa.int64()),
+                "n_turns_affected": t.column("n_turns_affected").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def turn_pii_density_oracle_sql() -> str:
+    from .. import datagen as dg
+    from .redact import REDACT_PATTERNS
+
+    def _q(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"('{_q(name)}', '{_q(pat)}')" for name, pat, _ in REDACT_PATTERNS
+    )
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+p AS (SELECT * FROM (VALUES {vals}) AS v(pattern, rx)),
+h AS (
+  SELECT t.role, p.pattern,
+    coalesce(len(regexp_extract_all(t.text, p.rx)), 0)::BIGINT AS n
+  FROM transcripts_t t CROSS JOIN p
+)
+SELECT role, pattern, sum(n)::BIGINT AS n_hits,
+  sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_turns_affected
+FROM h GROUP BY 1, 2
+""".strip()

@@ -55,6 +55,7 @@ NEW_QUERIES = [
     "q_dedup_cluster_sizes",
     "q_embed_ivf_balance",
     "q_doc_gopher_flags",
+    "q_source_quality_report",
     "q_doc_rank",
     "q_ann_topk",
     "q_ann_lsh",

@@ -19,6 +19,7 @@ SORT_KEYS = {
     "q_doc_sample_stratified": ["source", "doc_id"],
     "q_doc_quality_filter": ["doc_id"],
     "q_doc_gopher_flags": ["doc_id"],
+    "q_source_quality_report": ["source"],
     "q_dedup_exact": ["text_hash"],
     "q_dedup_incremental": ["doc_id"],
     "q_dedup_incremental_fuzzy": ["doc_id"],
