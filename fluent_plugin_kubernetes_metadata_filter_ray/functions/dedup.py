@@ -458,50 +458,45 @@ def _dedupe_pairs_batch(batch: pa.Table) -> pa.Table:
     return batch.group_by(["doc_a", "doc_b"]).aggregate([])
 
 
-def _make_pair_jaccard(threshold: float):
+def _pair_jaccard_batch(batch: pa.Table) -> pa.Table:
     """Vectorized-ish per-batch exact Jaccard over joined pair rows
     (s63_a/s63_b packed int64 sets, already distinct per doc): two sorted
     np arrays per pair, intersected in C.  No per-pair map_groups — the
     per-GROUP Python overhead of a tiny-group groupby dwarfs the actual
-    set math (measured ~125 µs/group vs ~10 µs here).  ``threshold`` keeps
-    the kernel shared between the MinHash (0.5) and exact n-gram (0.6)
-    similarity joins."""
-
-    def _pair_jaccard_batch(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64()),
-            }
-        )
-        if n == 0:
-            return empty
-        sa_list = batch.column("s63_a").to_pylist()
-        sb_list = batch.column("s63_b").to_pylist()
-        j = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            a = np.frombuffer(sa_list[i], dtype=np.int64)
-            b = np.frombuffer(sb_list[i], dtype=np.int64)
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            union = a.size + b.size - inter
-            j[i] = inter / union if union else 0.0
-        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        # the -1 sentinel pair (see q_dedup_minhash) must survive
-        # verification so the final aggregate always sees >=1 typed row;
-        # filtered after that
-        keep_np = (j >= threshold) | (da == SENTINEL_ID)
-        keep = pa.array(keep_np)
-        return pa.table(
-            {
-                "doc_a": batch.column("doc_a").filter(keep),
-                "doc_b": batch.column("doc_b").filter(keep),
-                "jaccard": pa.array(j[keep_np], pa.float64()),
-            }
-        )
-
-    return _pair_jaccard_batch
+    set math (measured ~125 µs/group vs ~10 µs here).  MinHash-only: the
+    exact n-gram join never reaches this kernel (its pair-dense buckets
+    verify in-block by collision counting instead)."""
+    n = len(batch)
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if n == 0:
+        return empty
+    sa_list = batch.column("s63_a").to_pylist()
+    sb_list = batch.column("s63_b").to_pylist()
+    j = np.empty(n, dtype=np.float64)
+    for i in range(n):
+        a = np.frombuffer(sa_list[i], dtype=np.int64)
+        b = np.frombuffer(sb_list[i], dtype=np.int64)
+        inter = np.intersect1d(a, b, assume_unique=True).size
+        union = a.size + b.size - inter
+        j[i] = inter / union if union else 0.0
+    da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    # the -1 sentinel pair (see q_dedup_minhash) must survive verification
+    # so the final aggregate always sees >=1 typed row; filtered after that
+    keep_np = (j >= cp.MINHASH_JACCARD_THRESHOLD) | (da == SENTINEL_ID)
+    keep = pa.array(keep_np)
+    return pa.table(
+        {
+            "doc_a": batch.column("doc_a").filter(keep),
+            "doc_b": batch.column("doc_b").filter(keep),
+            "jaccard": pa.array(j[keep_np], pa.float64()),
+        }
+    )
 
 
 def _join_partitions() -> int:
@@ -550,13 +545,13 @@ def _pairs_pipeline(bands, sets_):
     cand = bands.sort(["band_idx", "band_val"]).map_batches(
         _emit_pairs_sorted_block, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(_dedupe_pairs_batch, batch_format="pyarrow", zero_copy_batch=True)
-    return _stamp_and_verify(cand, sets_, cp.MINHASH_JACCARD_THRESHOLD)
+    return _stamp_and_verify(cand, sets_)
 
 
-def _stamp_and_verify(cand, sets_, threshold: float):
+def _stamp_and_verify(cand, sets_):
     """Shared candidate-pair verification tail: sentinel threading → double
-    set-stamp hash joins → vectorized exact-Jaccard verify at ``threshold``
-    → survivor-only DISTINCT → sentinel drop.  The MinHash candidate shape
+    set-stamp hash joins → vectorized exact-Jaccard verify at the MinHash
+    threshold → survivor-only DISTINCT → sentinel drop.  The MinHash candidate shape
     (sparse buckets, duplicates <= LSH_BANDS per pair) is the one where
     verify-by-join wins; the exact n-gram join is pair-dense and verifies
     inside its bucket blocks instead (see q_dedup_ngram)."""
@@ -599,7 +594,7 @@ def _stamp_and_verify(cand, sets_, threshold: float):
         batch_format="pyarrow", zero_copy_batch=True,
     )
     verified = j2.map_batches(
-        _make_pair_jaccard(threshold), batch_format="pyarrow", zero_copy_batch=True
+        _pair_jaccard_batch, batch_format="pyarrow", zero_copy_batch=True
     )
     return verified.groupby(["doc_a", "doc_b"]).aggregate(
         AMax("jaccard", alias_name="jaccard")
@@ -810,28 +805,33 @@ WHERE len(list_intersect(a.s63, b.s63))::DOUBLE / len(list_distinct(a.s63 || b.s
 # optional at scale: hash-order prefixes put globally common shingles
 # (boilerplate) into ~every containing doc's prefix, creating hot postings
 # whose capped buckets still emit ~(docs·plen/df)·C(cap,2) junk pairs
-# (measured: >10 min on the 181k-doc bench corpus vs ~20 s with DF order).
-# Size prefilter 5*min(sz) >= 3*max(sz) (J >= 3/5 forces min >= t*max)
-# prunes inside the bucket scan.  All thresholds use integer arithmetic
-# (see corpus.py) so the DuckDB twin is bit-exact, and hot prefix hashes
-# are capped at MAX_BUCKET smallest doc_ids exactly like the LSH buckets —
-# deterministic, counted, replicated in the oracle.
+# (measured: >10 min on the 181k-doc bench corpus vs ~15 s with DF order).
+# All thresholds use integer arithmetic (see corpus.py) so the DuckDB twin
+# is bit-exact, and hot prefix hashes are capped at MAX_BUCKET smallest
+# doc_ids exactly like the LSH buckets — deterministic, counted,
+# replicated in the oracle.  (The oracle's cand CTE additionally carries
+# the size prefilter 5*min(sz) >= 3*max(sz) to keep the SQL self-join
+# tractable; the engine doesn't need it — the exact J >= 3/5 test
+# subsumes it, so the twins agree.)
 #
-# Scale shape: instance rows are THIN (doc_id, h); DF is one hash
-# aggregate over them; the df-stamp is a thin hash join; prefix selection
-# is a doc_id sort + in-kernel lexsort (sorted-block contract: sort by the
-# GROUP KEY ALONE so groups stay whole); pair emission is the same
-# sorted-boundary scan as MinHash; a global first-occurrence DISTINCT over
-# the thin candidate pairs (a pair can collide on up to plen prefix
-# hashes, vs <= LSH_BANDS for MinHash) keeps the verify joins linear in
-# TRUE pairs; verification reuses _stamp_and_verify (each doc's packed set
-# crosses the wire once per side).
+# Scale shape: instance rows are THIN (doc_id, h); DF is a run-length
+# stamp over an h-sorted block scan (never a distinct-shingle-cardinality
+# groupby or join); prefix selection is a doc_id sort + in-kernel lexsort
+# (sorted-block contract: sort by the GROUP KEY ALONE so groups stay
+# whole) with the doc's packed set riding each posting row; verification
+# happens INSIDE each h-bucket by collision counting, so the candidate
+# multiset (~200M pairs on the bench corpus, duplicated up to plen per
+# true pair vs <= LSH_BANDS for MinHash) never materializes and no join
+# ever runs.
 
 
 def _ngram_instance_rows(batch: pa.Table) -> pa.Table:
     """doc → distinct (doc_id, h) shingle-hash instance rows, fully
-    vectorized: factorize-once hashing, then one global ``np.unique`` over
-    packed (row, code) keys for the per-doc distinct."""
+    vectorized: factorize-once hashing, then a per-doc distinct over the
+    HASH values (lexsort + lag scan) — by hash, not by shingle string,
+    mirroring _shingle_set_rows' np.unique-over-w63 so a within-doc w63
+    collision collapses identically on both sides of the oracle
+    (list_distinct over hashes)."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     fs = _batch_shingles(batch)
     empty = pa.table(
@@ -841,12 +841,14 @@ def _ngram_instance_rows(batch: pa.Table) -> pa.Table:
         return empty
     rows, codes, uniques = fs
     w63_u = np.fromiter((cp.w63(u) for u in uniques), np.int64, len(uniques))
-    u_count = len(uniques)
-    combo = np.unique(rows.astype(np.int64) * u_count + codes)
+    hv = w63_u[codes]
+    order = np.lexsort((hv, rows))
+    r_s, h_s = rows[order], hv[order]
+    keep = np.r_[True, (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])]
     return pa.table(
         {
-            "doc_id": pa.array(ids[combo // u_count], pa.int64()),
-            "h": pa.array(w63_u[combo % u_count], pa.int64()),
+            "doc_id": pa.array(ids[r_s[keep]], pa.int64()),
+            "h": pa.array(h_s[keep], pa.int64()),
         }
     )
 

@@ -1484,36 +1484,56 @@ FROM per GROUP BY lang
 VG_BUCKET_DOCS = 256
 
 
-def _vg_firsts_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch (h = w63(token), fd = min doc_id) — one row per DISTINCT
-    token per batch, hashed once via factorize."""
+def _vg_combined_partial(batch: pa.Table) -> pa.Table:
+    """ONE tokenize pass per batch emitting BOTH partial shapes (Ray
+    Dataset plans are trees, so two consumers of the same read re-run the
+    tokenize — the log_templates lesson): per-DISTINCT-token
+    (h = w63(token), fd = min doc_id) rows, plus per-bucket totals rows
+    encoded at h = -3 - bucket (real hashes are >= 0 and the pipeline
+    sentinel is -1, so the key spaces can't collide; fd carries nothing
+    for totals).  Empty/null-text docs count toward n_docs with zero
+    tokens."""
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     s = pd.Series(batch.column("text").to_pandas())
-    ex = s.str.split().explode().dropna()
-    empty = pa.table(
-        {"h": pa.array([], pa.int64()), "fd": pa.array([], pa.int64())}
-    )
-    if not len(ex):
-        return empty
-    codes, uniques = pd.factorize(ex.to_numpy())
-    docids = ids[ex.index.to_numpy(dtype=np.int64)]
-    order = np.argsort(codes, kind="stable")
-    c_s, d_s = codes[order], docids[order]
-    starts = np.r_[0, np.flatnonzero(np.diff(c_s)) + 1]
-    fd = np.minimum.reduceat(d_s, starts)
-    hw = np.fromiter((cp.w63(u) for u in uniques), np.int64, len(uniques))
+    toks = s.str.split()
+    # totals part
+    ntok = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    bucket = ids // VG_BUCKET_DOCS
+    ub, inv = np.unique(bucket, return_inverse=True)
+    t_h = -3 - ub
+    t_nd = np.bincount(inv).astype(np.int64)
+    t_nt = np.bincount(inv, weights=ntok).astype(np.int64)
+    # firsts part
+    ex = toks.explode().dropna()
+    if len(ex):
+        codes, uniques = pd.factorize(ex.to_numpy())
+        docids = ids[ex.index.to_numpy(dtype=np.int64)]
+        order = np.argsort(codes, kind="stable")
+        c_s, d_s = codes[order], docids[order]
+        starts = np.r_[0, np.flatnonzero(np.diff(c_s)) + 1]
+        fd = np.minimum.reduceat(d_s, starts)
+        hw = np.fromiter((cp.w63(u) for u in uniques), np.int64, len(uniques))
+        f_h, f_fd = hw[c_s[starts]], fd
+    else:
+        f_h = f_fd = np.array([], np.int64)
+    zeros_f = np.zeros(len(f_h), np.int64)
     return pa.table(
         {
-            "h": pa.array(hw[c_s[starts]], pa.int64()),
-            "fd": pa.array(fd, pa.int64()),
+            "h": pa.array(np.concatenate([f_h, t_h]), pa.int64()),
+            "fd": pa.array(np.concatenate([f_fd, np.zeros(len(ub), np.int64)]),
+                           pa.int64()),
+            "n_docs": pa.array(np.concatenate([zeros_f, t_nd]), pa.int64()),
+            "n_tokens": pa.array(np.concatenate([zeros_f, t_nt]), pa.int64()),
         }
     )
 
 
-def _vg_new_sorted_block(batch: pa.Table) -> pa.Table:
-    """Block sorted by h: global min(fd) per token via run boundaries
-    (equal h never splits across blocks), bucketed and bincounted to
-    <= buckets-per-block (bucket, n_new_types, 0, 0) partial rows."""
+def _vg_mixed_sorted_block(batch: pa.Table) -> pa.Table:
+    """Block sorted by h: totals rows (h <= -3) decode their bucket and
+    pass through; token rows take the global min(fd) per run (equal h
+    never splits across blocks), bucketed and bincounted.  Output:
+    <= buckets-per-block (bucket, n_docs, n_tokens, n_new_types) partial
+    rows."""
     n = len(batch)
     empty = pa.table(
         {
@@ -1527,37 +1547,33 @@ def _vg_new_sorted_block(batch: pa.Table) -> pa.Table:
         return empty
     h = batch.column("h").to_numpy(zero_copy_only=False)
     fd = batch.column("fd").to_numpy(zero_copy_only=False)
-    starts = np.r_[0, np.flatnonzero(h[1:] != h[:-1]) + 1]
-    bucket = np.minimum.reduceat(fd, starts) // VG_BUCKET_DOCS
-    ub, cnt = np.unique(bucket, return_counts=True)
-    z = np.zeros(len(ub), np.int64)
-    return pa.table(
-        {
-            "bucket": pa.array(ub, pa.int64()),
-            "n_docs": pa.array(z, pa.int64()),
-            "n_tokens": pa.array(z, pa.int64()),
-            "n_new_types": pa.array(cnt.astype(np.int64), pa.int64()),
-        }
-    )
-
-
-def _vg_totals_partial(batch: pa.Table) -> pa.Table:
-    """Per-batch (bucket, n_docs, n_tokens, 0) — empty/null-text docs count
-    toward n_docs with zero tokens."""
-    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    s = pd.Series(batch.column("text").to_pandas())
-    ntok = s.str.split().str.len().fillna(0).to_numpy(dtype=np.int64)
-    bucket = ids // VG_BUCKET_DOCS
-    ub, inv = np.unique(bucket, return_inverse=True)
-    return pa.table(
-        {
-            "bucket": pa.array(ub, pa.int64()),
-            "n_docs": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
-            "n_tokens": pa.array(np.bincount(inv, weights=ntok).astype(np.int64),
-                                 pa.int64()),
-            "n_new_types": pa.array(np.zeros(len(ub), np.int64), pa.int64()),
-        }
-    )
+    tot = h <= -3
+    parts = []
+    if tot.any():
+        parts.append(pa.table(
+            {
+                "bucket": pa.array(-3 - h[tot], pa.int64()),
+                "n_docs": batch.column("n_docs").filter(pa.array(tot)),
+                "n_tokens": batch.column("n_tokens").filter(pa.array(tot)),
+                "n_new_types": pa.array(np.zeros(int(tot.sum()), np.int64),
+                                        pa.int64()),
+            }
+        ))
+    hh, ff = h[~tot], fd[~tot]  # sorted-order preserving slice
+    if len(hh):
+        starts = np.r_[0, np.flatnonzero(hh[1:] != hh[:-1]) + 1]
+        bucket = np.minimum.reduceat(ff, starts) // VG_BUCKET_DOCS
+        ub, cnt = np.unique(bucket, return_counts=True)
+        z = np.zeros(len(ub), np.int64)
+        parts.append(pa.table(
+            {
+                "bucket": pa.array(ub, pa.int64()),
+                "n_docs": pa.array(z, pa.int64()),
+                "n_tokens": pa.array(z, pa.int64()),
+                "n_new_types": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        ))
+    return pa.concat_tables(parts) if parts else empty
 
 
 def _vg_final(t: pa.Table) -> pa.Table:
@@ -1589,23 +1605,20 @@ def q_token_vocab_growth(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    docs = cp.read_documents(sf_dir)
-    firsts = docs.map_batches(
-        _vg_firsts_partial, batch_format="pyarrow", zero_copy_batch=True
+    comb = cp.read_documents(sf_dir).map_batches(
+        _vg_combined_partial, batch_format="pyarrow", zero_copy_batch=True
     ).union(rd.from_arrow(pa.table(
         # sentinel: own h run, bucket -VG_BUCKET_DOCS//VG_BUCKET_DOCS = -1,
         # dropped in the finish — keeps the sort/aggregate inputs typed on
         # an empty corpus
         {"h": pa.array([-1], pa.int64()),
-         "fd": pa.array([-VG_BUCKET_DOCS], pa.int64())}
+         "fd": pa.array([-VG_BUCKET_DOCS], pa.int64()),
+         "n_docs": pa.array([0], pa.int64()),
+         "n_tokens": pa.array([0], pa.int64())}
     )))
-    news = firsts.sort("h").map_batches(
-        _vg_new_sorted_block, batch_format="pyarrow", zero_copy_batch=True
-    )
-    totals = docs.map_batches(
-        _vg_totals_partial, batch_format="pyarrow", zero_copy_batch=True
-    )
-    curve = news.union(totals).groupby("bucket").aggregate(
+    curve = comb.sort("h").map_batches(
+        _vg_mixed_sorted_block, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bucket").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("n_tokens", alias_name="n_tokens"),
         Sum("n_new_types", alias_name="n_new_types"),

@@ -52,6 +52,7 @@ NEW_QUERIES = [
     "q_dedup_ngram",
     "q_dedup_ngram_clusters",
     "q_dedup_ngram_incremental",
+    "q_dedup_ngram_incremental_resume",
     "q_dedup_cluster_sizes",
     "q_embed_ivf_balance",
     "q_doc_gopher_flags",
