@@ -552,6 +552,9 @@ def run_objstore() -> dict:
     t0 = time.perf_counter()
     fq["q_dedup_minhash"](big).materialize()
     out["queries"]["dedup_minhash_big"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    fq["q_dedup_ngram"](big).materialize()
+    out["queries"]["dedup_ngram_big"] = round(time.perf_counter() - t0, 3)
 
     # plasma spill/restore volume for the whole session, from the raylet's
     # own periodic report lines ("Spilled N MiB, M objects ... Restored
