@@ -182,6 +182,10 @@ def _q_turn_pii_density(sf_dir: str):
     return _la.turn_pii_density(flagship.read_transcripts(sf_dir))
 
 
+def _q_tool_transitions(sf_dir: str):
+    return _la.tool_transitions(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -239,6 +243,7 @@ _DRIVER_PRIORITY = [
     "q_dedup_ngram_incremental_resume",
     "q_turn_pii_density",
     "q_source_quality_report",
+    "q_tool_transitions",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",
@@ -333,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tool_stats": _q_tool_stats,
         "q_turn_novelty": _q_turn_novelty,
         "q_turn_pii_density": _q_turn_pii_density,
+        "q_tool_transitions": _q_tool_transitions,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_rawlog_resume": _q_transcripts_rawlog_resume,
         "q_transcripts_csv": _q_transcripts_csv,
@@ -376,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tool_stats": _la.tool_stats_oracle_sql(),
         "q_turn_novelty": _la.turn_novelty_oracle_sql(),
         "q_turn_pii_density": _la.turn_pii_density_oracle_sql(),
+        "q_tool_transitions": _la.tool_transitions_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_rawlog_resume": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),

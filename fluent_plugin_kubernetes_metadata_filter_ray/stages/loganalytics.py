@@ -206,63 +206,78 @@ _NULL_LAST_KEY = "\U0010ffff\U0010ffff"
 _KEY_NULL_LAST = 2**62
 
 
-def _transitions_sorted_block(t: pa.Table) -> pa.Table:
-    """Bigram partial counts over a conv-sorted block: ONE lexsort by
-    (conv, turn_idx, ts, role), shifted pair with a same-conv mask, then a
-    single C++ pyarrow group_by per BLOCK — zero per-conv Python (the
-    map_groups shape paid ~50-125 µs/conv plus a pandas groupby per conv).
-    role is the FINAL tie-breaker on both twins (same determinism class as
-    conv_concat's text tie-breaker, ADVICE r2): duplicate (turn_idx, ts)
-    turns with different roles otherwise pair up in shuffle-arrival
-    order."""
-    from ..stages.aggregate import _conv_codes
+def _make_transitions_block(value_name: str, out_from: str, out_to: str):
+    """Bigram partial counts over a conv-sorted block, parameterized by
+    the VALUE column (role for role_transitions, tool for
+    tool_transitions): ONE lexsort by (conv, turn_idx, ts, value), shifted
+    pair with a same-conv mask, then a single C++ pyarrow group_by per
+    BLOCK — zero per-conv Python (the map_groups shape paid ~50-125 µs/conv
+    plus a pandas groupby per conv).  The value column is the FINAL
+    tie-breaker on both twins (same determinism class as conv_concat's
+    text tie-breaker, ADVICE r2): duplicate (turn_idx, ts) turns with
+    different values otherwise pair up in shuffle-arrival order."""
+    empty = pa.table(
+        {
+            out_from: pa.array([], pa.string()),
+            out_to: pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+        }
+    )
 
-    n = len(t)
-    if n < 2:
-        return _TRANSITIONS_EMPTY
-    codes, _ = _conv_codes(t)
-    # sort keys as FILLED int64 (nulls → +2^62 = SQL NULLS LAST): a null
-    # ts/turn_idx would otherwise surface as float NaN, and NaN != NaN
-    # breaks both the duplicate gate below and lexsort determinism
-    ti = pc.fill_null(t.column("turn_idx").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
-        zero_copy_only=False
-    )
-    ts = pc.fill_null(t.column("ts").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
-        zero_copy_only=False
-    )
-    role = t.column("role")
-    if isinstance(role, pa.ChunkedArray):
-        role = role.combine_chunks()
-    order = np.lexsort((ts, ti, codes))
-    # pay the object-array role key only when (conv, ti, ts) DUPLICATES
-    # exist — the sole case where the role tie-break can matter (ties are
-    # rare on real streams; the common path stays all-int)
-    c0, t0, s0 = codes[order], ti[order], ts[order]
-    if bool(((c0[1:] == c0[:-1]) & (t0[1:] == t0[:-1]) & (s0[1:] == s0[:-1])).any()):
-        role_key = np.asarray(
-            pc.fill_null(role, _NULL_LAST_KEY).to_pylist(), dtype=object
+    def block(t: pa.Table) -> pa.Table:
+        from ..stages.aggregate import _conv_codes
+
+        n = len(t)
+        if n < 2:
+            return empty
+        codes, _ = _conv_codes(t)
+        # sort keys as FILLED int64 (nulls → +2^62 = SQL NULLS LAST): a null
+        # ts/turn_idx would otherwise surface as float NaN, and NaN != NaN
+        # breaks both the duplicate gate below and lexsort determinism
+        ti = pc.fill_null(t.column("turn_idx").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+            zero_copy_only=False
         )
-        order = np.lexsort((role_key, ts, ti, codes))
-    c_s = codes[order]
-    same = c_s[1:] == c_s[:-1]
-    if not same.any():
-        return _TRANSITIONS_EMPTY
-    roles_s = pc.fill_null(role.take(pa.array(order)), _NULL_KEY)
-    keep = pa.array(same)
-    pairs = pa.table(
-        {
-            "from_role": roles_s.slice(0, n - 1).filter(keep),
-            "to_role": roles_s.slice(1, n - 1).filter(keep),
-        }
-    )
-    g = pairs.group_by(["from_role", "to_role"]).aggregate([([], "count_all")])
-    return pa.table(
-        {
-            "from_role": g.column("from_role"),
-            "to_role": g.column("to_role"),
-            "n_pairs": g.column("count_all").cast(pa.int64()),
-        }
-    )
+        ts = pc.fill_null(t.column("ts").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+            zero_copy_only=False
+        )
+        val = t.column(value_name)
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        order = np.lexsort((ts, ti, codes))
+        # pay the object-array value key only when (conv, ti, ts) DUPLICATES
+        # exist — the sole case where the tie-break can matter (ties are
+        # rare on real streams; the common path stays all-int)
+        c0, t0, s0 = codes[order], ti[order], ts[order]
+        if bool(((c0[1:] == c0[:-1]) & (t0[1:] == t0[:-1]) & (s0[1:] == s0[:-1])).any()):
+            val_key = np.asarray(
+                pc.fill_null(val, _NULL_LAST_KEY).to_pylist(), dtype=object
+            )
+            order = np.lexsort((val_key, ts, ti, codes))
+        c_s = codes[order]
+        same = c_s[1:] == c_s[:-1]
+        if not same.any():
+            return empty
+        vals_s = pc.fill_null(val.take(pa.array(order)), _NULL_KEY)
+        keep = pa.array(same)
+        pairs = pa.table(
+            {
+                out_from: vals_s.slice(0, n - 1).filter(keep),
+                out_to: vals_s.slice(1, n - 1).filter(keep),
+            }
+        )
+        g = pairs.group_by([out_from, out_to]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                out_from: g.column(out_from),
+                out_to: g.column(out_to),
+                "n_pairs": g.column("count_all").cast(pa.int64()),
+            }
+        )
+
+    return block
+
+
+_transitions_sorted_block = _make_transitions_block("role", "from_role", "to_role")
 
 
 def role_transitions(ds):
@@ -1661,4 +1676,64 @@ h AS (
 SELECT role, pattern, sum(n)::BIGINT AS n_hits,
   sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)::BIGINT AS n_turns_affected
 FROM h GROUP BY 1, 2
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Tool-chain mining: tool → next-tool transitions per conversation — the
+# agent-ops workflow graph (which tool follows which; a hot self-loop edge
+# is the retry-storm signature q_turn_novelty flags from the text side).
+# Same sorted-block bigram kernel as role_transitions, parameterized on
+# the tool column.
+# --------------------------------------------------------------------------
+
+_tool_transitions_block = _make_transitions_block("tool", "from_tool", "to_tool")
+
+
+def tool_transitions(ds):
+    """Count tool → next-tool transitions across consecutive turns of each
+    conversation (ordered by turn_idx, ties by ts then tool), aggregated
+    corpus-wide.  Ray shape: sort by conv_id → vectorized per-block bigram
+    partials (≤ tools² rows per block) → tiny groupby Sum."""
+    from .aggregate import _sorted_by_conv
+
+    partials = _sorted_by_conv(
+        ds, ["conv_id", "turn_idx", "tool", "ts"]
+    ).map_batches(_tool_transitions_block, batch_format="pyarrow",
+                  zero_copy_batch=True)
+    agg = partials.groupby(["from_tool", "to_tool"]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs")
+    )
+
+    def unmask(t: pa.Table) -> pa.Table:
+        def um(col):
+            return pc.if_else(
+                pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col
+            )
+
+        return pa.table(
+            {
+                "from_tool": um(t.column("from_tool")),
+                "to_tool": um(t.column("to_tool")),
+                "n_pairs": t.column("n_pairs"),
+            }
+        )
+
+    return agg.map_batches(unmask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tool_transitions_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+w AS (
+  SELECT tool AS from_tool,
+    lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, tool) AS to_tool,
+    row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx, ts, tool) AS rn,
+    count(*) OVER (PARTITION BY conv_id) AS nc
+  FROM transcripts_t
+)
+SELECT from_tool, to_tool, count(*)::BIGINT AS n_pairs
+FROM w WHERE rn < nc GROUP BY from_tool, to_tool
 """.strip()
