@@ -606,3 +606,75 @@ SELECT fmt, count(*)::BIGINT AS n_media,
        ELSE 0.0 END AS malformed_frac
 FROM md GROUP BY fmt
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# T88: exact media dedup — byte-level blob dedup over the multimodal column
+# (the image/audio baseline every multimodal pipeline runs before any
+# perceptual hashing): keep the smallest doc_id per distinct
+# (media_type, payload bytes), report group sizes.  Hashes the PAYLOAD
+# BYTES (the real operation on opaque blobs); the oracle computes
+# md5(text), which is byte-identical because the derived media payload IS
+# the utf8 text bytes (media_from_documents).
+# ---------------------------------------------------------------------------
+
+_MDD_SENT = "\x00\x00mdd-sent"
+
+
+def _media_hash_batch(batch: pa.Table) -> pa.Table:
+    media = media_from_documents(batch)
+    payload = media.column("payload").to_pylist()
+    h = pa.array(
+        [None if p is None else hashlib.md5(p).hexdigest() for p in payload],
+        pa.string(),
+    )
+    t = pa.table(
+        {
+            "media_type": media.column("media_type"),
+            "payload_hash": h,
+            "doc_id": media.column("doc_id"),
+        }
+    )
+    import pyarrow.compute as pc
+
+    return t.filter(pc.is_valid(t.column("payload_hash")))
+
+
+def q_media_dedup(sf_dir: str):
+    """Exact duplicate media blobs: min doc_id + count per distinct
+    (media_type, payload).  Null payloads excluded (nothing to dedup)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Min
+
+    agg = (
+        cp.read_documents(sf_dir)
+        .map_batches(_media_hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .union(rd.from_arrow(pa.table(
+            {
+                "media_type": pa.array([_MDD_SENT], pa.string()),
+                "payload_hash": pa.array([_MDD_SENT], pa.string()),
+                "doc_id": pa.array([-1], pa.int64()),
+            }
+        )))
+        .groupby(["media_type", "payload_hash"])
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
+    )
+    return agg.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("media_type"), _MDD_SENT)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def media_dedup_oracle_sql() -> str:
+    return f"""
+SELECT
+  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+    AS media_type,
+  md5(text) AS payload_hash,
+  min(doc_id) AS doc_id,
+  count(*)::BIGINT AS n_dups
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1, 2
+""".strip()

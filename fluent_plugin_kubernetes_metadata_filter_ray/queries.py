@@ -244,6 +244,7 @@ _DRIVER_PRIORITY = [
     "q_turn_pii_density",
     "q_source_quality_report",
     "q_tool_transitions",
+    "q_media_dedup",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",

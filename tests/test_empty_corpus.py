@@ -43,6 +43,7 @@ def empty_sf(tmp_path_factory):
 NEW_QUERIES = [
     "q_doc_tokens_bpe",
     "q_media_dims",
+    "q_media_dedup",
     "q_ann_range",
     "q_chunk_dedup",
     "q_embed_dedup_clusters",

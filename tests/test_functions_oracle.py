@@ -47,6 +47,7 @@ SORT_KEYS = {
     "q_embed_neardup_lsh": ["vec_a", "vec_b"],
     "q_media_decode": ["doc_id"],
     "q_media_dims": ["doc_id"],
+    "q_media_dedup": ["media_type", "payload_hash"],
     "q_ann_range": ["query_id", "vec_id"],
     "q_chunk_dedup": ["chunk_hash"],
     "q_embed_dedup_clusters": ["vec_id"],
