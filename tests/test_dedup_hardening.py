@@ -323,3 +323,21 @@ def test_gopher_flags_hostile_twins(ray_session, tmp_path):
         sampling.q_doc_gopher_flags(sf), con,
         sampling.doc_gopher_flags_oracle_sql(),
     )
+
+
+def test_ngram_bucket_clip_deterministic_and_oracle_replicated(ray_session, tmp_path):
+    """A prefix bucket bigger than MAX_BUCKET keeps its smallest doc_ids on
+    BOTH sides (engine argsort cap vs oracle row_number), so the clipped
+    exact-join result still matches the oracle exactly — the one place the
+    'lossless' guarantee is deliberately traded for a deterministic bound."""
+    from fluent_plugin_kubernetes_metadata_filter_ray.functions import dedup
+
+    n = dedup.MAX_BUCKET + 60  # one all-identical corpus: every prefix bucket hot
+    sf, con = _mini_sf(tmp_path, ["spam ham eggs spam ham"] * n)
+    res = dedup.q_dedup_ngram(sf).to_pandas()
+    k = dedup.MAX_BUCKET
+    orig = res[(res["doc_a"] < 1_000_000) & (res["doc_b"] < 1_000_000)]
+    assert len(orig) == k * (k - 1) // 2
+    assert orig["doc_a"].max() < k and orig["doc_b"].max() < k
+    assert (orig["jaccard"] == 1.0).all()
+    _compare(dedup.q_dedup_ngram(sf), con, dedup.dedup_ngram_oracle_sql())
