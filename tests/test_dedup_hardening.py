@@ -67,6 +67,7 @@ def test_empty_text_dedup_twins(ray_session, tmp_path):
     )
     _compare(dedup.q_dedup_simhash(sf), con, dedup.dedup_simhash_oracle_sql())
     _compare(dedup.q_dedup_minhash(sf), con, dedup.dedup_minhash_oracle_sql())
+    _compare(dedup.q_dedup_ngram(sf), con, dedup.dedup_ngram_oracle_sql())
 
 
 def test_bucket_clip_deterministic_and_oracle_replicated(ray_session, tmp_path):
