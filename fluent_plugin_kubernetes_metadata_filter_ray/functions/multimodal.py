@@ -622,10 +622,16 @@ _MDD_SENT = "\x00\x00mdd-sent"
 
 
 def _media_hash_batch(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+
     media = media_from_documents(batch)
     payload = media.column("payload").to_pylist()
+    # md5 once per DISTINCT payload (factorize + gather, the rawlog-tag
+    # pattern): duplicate blobs are the whole point of this op
+    codes, uniq = pd.factorize(pd.Series(payload), use_na_sentinel=True)
+    hu = [hashlib.md5(p).hexdigest() for p in uniq]
     h = pa.array(
-        [None if p is None else hashlib.md5(p).hexdigest() for p in payload],
+        [None if c < 0 else hu[c] for c in codes],
         pa.string(),
     )
     t = pa.table(
