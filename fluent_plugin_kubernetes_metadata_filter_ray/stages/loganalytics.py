@@ -1737,3 +1737,165 @@ w AS (
 SELECT from_tool, to_tool, count(*)::BIGINT AS n_pairs
 FROM w WHERE rn < nc GROUP BY from_tool, to_tool
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Per-tool downstream latency: after a turn that used tool X, how long
+# until the conversation's next turn — the "which tool is slow" profile
+# (the single-key sibling of response_latency's role-pair percentiles).
+# --------------------------------------------------------------------------
+
+_TLAT_SENT = "\x00\x00tlat-sent"
+
+_TLAT_EMPTY = pa.table(
+    {
+        "tool": pa.array([], pa.string()),
+        "gap_ms": pa.array([], pa.int64()),
+        "c": pa.array([], pa.int64()),
+    }
+)
+
+
+def _tool_latency_block(t: pa.Table) -> pa.Table:
+    """(tool, gap_ms) partial counts over a conv-sorted block — the
+    transitions ordering (turn_idx, ts, tool tie-break on duplicates) with
+    the ts gap attached to the FROM turn's tool."""
+    import pandas as pd
+
+    from ..stages.aggregate import _conv_codes
+
+    n = len(t)
+    if n < 2:
+        return _TLAT_EMPTY
+    codes, _ = _conv_codes(t)
+    ti = pc.fill_null(t.column("turn_idx").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
+    ts_f = pc.fill_null(t.column("ts").cast(pa.int64()), _KEY_NULL_LAST).to_numpy(
+        zero_copy_only=False
+    )
+    v = pc.is_valid(t.column("ts")).to_numpy(zero_copy_only=False)
+    tool = t.column("tool")
+    if isinstance(tool, pa.ChunkedArray):
+        tool = tool.combine_chunks()
+    order = np.lexsort((ts_f, ti, codes))
+    c0, t0, s0 = codes[order], ti[order], ts_f[order]
+    if bool(((c0[1:] == c0[:-1]) & (t0[1:] == t0[:-1]) & (s0[1:] == s0[:-1])).any()):
+        tool_key = np.asarray(
+            pc.fill_null(tool, _NULL_LAST_KEY).to_pylist(), dtype=object
+        )
+        order = np.lexsort((tool_key, ts_f, ti, codes))
+    c_s, ts_s, v_s = codes[order], ts_f[order], v[order]
+    ok = (c_s[1:] == c_s[:-1]) & v_s[1:] & v_s[:-1]
+    if not ok.any():
+        return _TLAT_EMPTY
+    gap_ms = np.floor((ts_s[1:] - ts_s[:-1]) / 1000.0).astype(np.int64)
+    tools_s = pc.fill_null(tool.take(pa.array(order)), _NULL_KEY)
+    tenc = tools_s.dictionary_encode()
+    tcodes = tenc.indices.to_numpy(zero_copy_only=False)
+    g = (
+        pd.DataFrame({"f": tcodes[:-1][ok], "gap_ms": gap_ms[ok]})
+        .groupby(["f", "gap_ms"], sort=False).size().rename("c").reset_index()
+    )
+    return pa.table(
+        {
+            "tool": tenc.dictionary.take(pa.array(g["f"].to_numpy())),
+            "gap_ms": pa.array(g["gap_ms"].to_numpy(dtype=np.int64)),
+            "c": pa.array(g["c"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def tool_latency(ds):
+    """Per-tool downstream latency percentiles:
+    (tool, n_pairs, p50_ms, p95_ms, p99_ms)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .aggregate import _sorted_by_conv, _unmask_col
+
+    dist = (
+        _sorted_by_conv(ds, ["conv_id", "turn_idx", "tool", "ts"]).map_batches(
+            _tool_latency_block, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(rd.from_arrow(pa.table(
+            {
+                "tool": pa.array([_TLAT_SENT], pa.string()),
+                "gap_ms": pa.array([0], pa.int64()),
+                "c": pa.array([0], pa.int64()),
+            }
+        )))
+        .groupby(["tool", "gap_ms"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def pctl(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tool": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+                "p50_ms": pa.array([], pa.int64()),
+                "p95_ms": pa.array([], pa.int64()),
+                "p99_ms": pa.array([], pa.int64()),
+            }
+        )
+        if not len(g) or g.column("tool")[0].as_py() == _TLAT_SENT:
+            return empty
+        gap = g.column("gap_ms").to_numpy(zero_copy_only=False)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(gap, kind="stable")
+        gap, c = gap[o], c[o]
+        cm = np.cumsum(c)
+        tot = int(cm[-1])
+        if tot == 0:
+            return empty
+        ps = [int(gap[np.searchsorted(cm, (tot * q + 99) // 100)])
+              for q in (50, 95, 99)]
+        key = pa.array([g.column("tool")[0].as_py()], pa.string())
+        return pa.table(
+            {
+                "tool": _unmask_col(key),
+                "n_pairs": pa.array([tot], pa.int64()),
+                "p50_ms": pa.array([ps[0]], pa.int64()),
+                "p95_ms": pa.array([ps[1]], pa.int64()),
+                "p99_ms": pa.array([ps[2]], pa.int64()),
+            }
+        )
+
+    return dist.groupby("tool").map_groups(pctl, batch_format="pyarrow")
+
+
+def tool_latency_oracle_sql() -> str:
+    from .. import datagen as dg
+
+    def thr(q: int) -> str:
+        return f"(tot * {q} + 99) // 100"
+
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+w AS (
+  SELECT tool,
+    ts AS from_ts, lead(ts) OVER win AS to_ts,
+    row_number() OVER win AS rn, count(*) OVER (PARTITION BY conv_id) AS nc
+  FROM transcripts_t
+  WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts, tool)
+),
+g AS (
+  SELECT tool,
+    CAST(floor((epoch_us(to_ts) - epoch_us(from_ts)) / 1000.0) AS BIGINT) AS gap_ms
+  FROM w WHERE rn < nc AND from_ts IS NOT NULL AND to_ts IS NOT NULL
+),
+d AS (SELECT tool, gap_ms, count(*)::BIGINT AS c FROM g GROUP BY 1, 2),
+cum AS (
+  SELECT tool, gap_ms,
+    sum(c) OVER (PARTITION BY tool ORDER BY gap_ms)::BIGINT AS cm,
+    sum(c) OVER (PARTITION BY tool)::BIGINT AS tot
+  FROM d
+)
+SELECT tool,
+  any_value(tot) AS n_pairs,
+  min(CASE WHEN cm >= {thr(50)} THEN gap_ms END) AS p50_ms,
+  min(CASE WHEN cm >= {thr(95)} THEN gap_ms END) AS p95_ms,
+  min(CASE WHEN cm >= {thr(99)} THEN gap_ms END) AS p99_ms
+FROM cum GROUP BY 1
+""".strip()
