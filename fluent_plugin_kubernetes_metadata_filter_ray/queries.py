@@ -190,6 +190,10 @@ def _q_tool_latency(sf_dir: str):
     return _la.tool_latency(flagship.read_transcripts(sf_dir))
 
 
+def _q_conv_token_budget(sf_dir: str):
+    return _la.conv_token_budget(flagship.read_transcripts(sf_dir))
+
+
 def _q_transcripts_rawlog(sf_dir: str):
     from .sources import rawlog
 
@@ -250,6 +254,7 @@ _DRIVER_PRIORITY = [
     "q_tool_transitions",
     "q_media_dedup",
     "q_tool_latency",
+    "q_conv_token_budget",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",
@@ -346,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_turn_pii_density": _q_turn_pii_density,
         "q_tool_transitions": _q_tool_transitions,
         "q_tool_latency": _q_tool_latency,
+        "q_conv_token_budget": _q_conv_token_budget,
         "q_transcripts_rawlog": _q_transcripts_rawlog,
         "q_transcripts_rawlog_resume": _q_transcripts_rawlog_resume,
         "q_transcripts_csv": _q_transcripts_csv,
@@ -391,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_pii_density": _la.turn_pii_density_oracle_sql(),
         "q_tool_transitions": _la.tool_transitions_oracle_sql(),
         "q_tool_latency": _la.tool_latency_oracle_sql(),
+        "q_conv_token_budget": _la.conv_token_budget_oracle_sql(),
         "q_transcripts_rawlog": _rawlog_oracle(),
         "q_transcripts_rawlog_resume": _rawlog_oracle(),
         "q_transcripts_csv": dg.transcripts_sql(),

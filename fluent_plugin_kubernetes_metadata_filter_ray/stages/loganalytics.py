@@ -1899,3 +1899,117 @@ SELECT tool,
   min(CASE WHEN cm >= {thr(99)} THEN gap_ms END) AS p99_ms
 FROM cum GROUP BY 1
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# Per-conversation BPE token budget: n_turns, whitespace words, greedy-BPE
+# subword total, and a fits-context flag — the "will this conversation fit
+# the training context window" report, run before packing transcripts into
+# sequences.  Token budgets are BPE tokens, not whitespace splits (the T74
+# rationale), so this reuses the same merge ladder.
+# --------------------------------------------------------------------------
+
+CTX_BUDGET_TOKENS = 4096
+
+
+def _conv_bpe_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch (conv_id, n_turns, n_words, n_bpe_tokens) partial sums —
+    the BPE ladder runs once per DISTINCT word per batch."""
+    import pandas as pd
+
+    from ..functions.textstats import _bpe_symbol_counts
+
+    conv = pd.Series(batch.column("conv_id").to_pandas()).fillna(_NULL_KEY)
+    ccodes, cuniq = pd.factorize(conv.to_numpy(dtype=object), sort=False)
+    s = pd.Series(batch.column("text").to_pandas())
+    toks = s.str.strip().str.split()
+    n_words = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+    ex = toks.explode().dropna()
+    if len(ex):
+        wcodes, wuniq = pd.factorize(ex.to_numpy(dtype=object), sort=False)
+        per_word = _bpe_symbol_counts(wuniq)
+        n_bpe = (
+            pd.Series(per_word[wcodes], index=ex.index)
+            .groupby(level=0)
+            .sum()
+            .reindex(s.index, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        )
+    else:
+        n_bpe = np.zeros(len(s), dtype=np.int64)
+    return pa.table(
+        {
+            "conv_id": pa.array(cuniq.astype(object), pa.string()),
+            "n_turns": pa.array(
+                np.bincount(ccodes, minlength=len(cuniq)).astype(np.int64)),
+            "n_words": pa.array(
+                np.bincount(ccodes, weights=n_words.astype(np.float64),
+                            minlength=len(cuniq)).astype(np.int64)),
+            "n_bpe_tokens": pa.array(
+                np.bincount(ccodes, weights=n_bpe.astype(np.float64),
+                            minlength=len(cuniq)).astype(np.int64)),
+        }
+    )
+
+
+def conv_token_budget(ds):
+    """Per-conversation token budget:
+    (conv_id, n_turns, n_words, n_bpe_tokens, fits_ctx)."""
+    from .aggregate import _unmask_col
+
+    agg = (
+        ds.select_columns(["conv_id", "text"])
+        .map_batches(_conv_bpe_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_words", alias_name="n_words"),
+            Sum("n_bpe_tokens", alias_name="n_bpe_tokens"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nb = t.column("n_bpe_tokens").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": _unmask_col(t.column("conv_id")),
+                "n_turns": t.column("n_turns").cast(pa.int64()),
+                "n_words": t.column("n_words").cast(pa.int64()),
+                "n_bpe_tokens": t.column("n_bpe_tokens").cast(pa.int64()),
+                "fits_ctx": pa.array(nb <= CTX_BUDGET_TOKENS),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def conv_token_budget_oracle_sql() -> str:
+    from .. import datagen as dg
+    from ..functions import corpus as cp_
+    from ..functions.textstats import BPE_MERGES
+
+    ladder = "s"
+    for a, b in BPE_MERGES:
+        ladder = f"replace({ladder}, '{a} {b}', '{a}{b}')"
+    toks = cp_.SQL_TOKS.format(t="text")
+    return f"""
+WITH {dg.TRANSCRIPTS_CTE},
+tok AS (SELECT conv_id, unnest({toks}) AS w FROM transcripts_t),
+sp AS (
+  SELECT conv_id, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS s FROM tok
+),
+per AS (
+  SELECT conv_id, count(*)::BIGINT AS n_words,
+    sum(len({ladder}) - len(replace({ladder}, ' ', '')) + 1)::BIGINT
+      AS n_bpe_tokens
+  FROM sp GROUP BY conv_id
+),
+base AS (SELECT conv_id, count(*)::BIGINT AS n_turns
+         FROM transcripts_t GROUP BY conv_id)
+SELECT b.conv_id, b.n_turns,
+  coalesce(p.n_words, 0)::BIGINT AS n_words,
+  coalesce(p.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+  coalesce(p.n_bpe_tokens, 0) <= {CTX_BUDGET_TOKENS} AS fits_ctx
+FROM base b LEFT JOIN per p ON p.conv_id IS NOT DISTINCT FROM b.conv_id
+""".strip()
