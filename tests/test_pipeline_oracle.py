@@ -46,6 +46,10 @@ def _assert_frames_equal(ray_df, duck_df, cols):
     ("q_role_transitions", ["from_role", "to_role"]),
     ("q_log_templates", ["role", "template"]),
     ("q_turn_late", ["conv_id", "turn_idx"]),
+    ("q_turn_pii_density", ["role", "pattern"]),
+    ("q_tool_transitions", ["from_tool", "to_tool"]),
+    ("q_tool_latency", ["tool"]),
+    ("q_conv_token_budget", ["conv_id"]),
 ])
 def test_query_matches_oracle(ray_session, sf_dir, duck, qname, sort_cols):
     import __ray_entry__ as entrymod
