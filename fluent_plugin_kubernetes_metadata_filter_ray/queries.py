@@ -255,6 +255,7 @@ _DRIVER_PRIORITY = [
     "q_media_dedup",
     "q_tool_latency",
     "q_conv_token_budget",
+    "q_embed_dedup_incremental",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",

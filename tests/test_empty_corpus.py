@@ -56,6 +56,7 @@ NEW_QUERIES = [
     "q_dedup_ngram_incremental_resume",
     "q_dedup_cluster_sizes",
     "q_embed_ivf_balance",
+    "q_embed_dedup_incremental",
     "q_doc_gopher_flags",
     "q_source_quality_report",
     "q_doc_rank",

@@ -30,6 +30,7 @@ SORT_KEYS = {
     "q_dedup_ngram_incremental_resume": ["doc_id"],
     "q_dedup_cluster_sizes": ["cluster_size"],
     "q_embed_ivf_balance": ["bucket"],
+    "q_embed_dedup_incremental": ["vec_id"],
     "q_dedup_simhash": ["doc_a", "doc_b"],
     "q_dedup_clusters": ["doc_id"],
     "q_ann_topk": ["query_id", "rank"],
