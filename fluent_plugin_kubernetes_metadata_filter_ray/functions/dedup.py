@@ -218,42 +218,61 @@ def q_dedup_incremental_fuzzy(sf_dir: str):
 
 
 def _incremental_fuzzy_from_pairs(pairs, sf_dir: str):
-    """Tail of the incremental fuzzy op, parameterized by the pair stream
-    so the persisted-state resume path (q_dedup_incremental_fuzzy_resume)
-    shares it verbatim."""
+    """Doc-flavored wrapper over :func:`incremental_from_pairs` — the tail
+    shared by the live, resume and exact-n-gram incremental ops."""
+    new_docs = cp.read_augmented(sf_dir)
+    return incremental_from_pairs(
+        pairs, new_docs,
+        id_col="doc_id", pair_cols=("doc_a", "doc_b"),
+        ref_mod=INCR_REF_MOD, flag_name="is_fuzzy_dup",
+    )
+
+
+def incremental_from_pairs(pairs, universe, *, id_col, pair_cols, ref_mod,
+                           flag_name):
+    """Generic cross-crawl incremental tail over ANY verified near-dup
+    pair stream: keep cross-split pairs, count partners per NEW id, and
+    left-join the flag onto the new-split id universe.  Parameterized over
+    the id space (documents vs embeddings) so the semantic-dedup twin
+    (simsearch.q_embed_dedup_incremental) shares this implementation
+    instead of a copy that could drift.  ``universe`` is a Dataset with an
+    ``id_col`` column covering the WHOLE corpus; the new split is
+    ``id % ref_mod != 0``."""
     import ray.data as rd
     from ray.data.aggregate import Sum
 
+    ca, cb = pair_cols
+
     def cross_partial(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy(zero_copy_only=False)
-        b = t.column("doc_b").to_numpy(zero_copy_only=False)
-        a_ref = a % INCR_REF_MOD == 0
-        b_ref = b % INCR_REF_MOD == 0
+        a = t.column(ca).to_numpy(zero_copy_only=False)
+        b = t.column(cb).to_numpy(zero_copy_only=False)
+        a_ref = a % ref_mod == 0
+        b_ref = b % ref_mod == 0
         new_ids = np.concatenate([b[a_ref & ~b_ref], a[~a_ref & b_ref]])
         ids_u, counts = np.unique(new_ids, return_counts=True)
         return pa.table(
             {
-                "doc_id": pa.array(ids_u.astype(np.int64)),
+                id_col: pa.array(ids_u.astype(np.int64)),
                 "n_ref_matches": pa.array(counts.astype(np.int64)),
             }
         )
 
     # sentinel keeps the aggregate/join side typed on a pair-free corpus
-    # (same scheme as q_dedup_minhash); doc_id=-1 never joins a real row
+    # (same scheme as q_dedup_minhash); id=-1 never joins a real row
     matches = (
         pairs.map_batches(cross_partial, batch_format="pyarrow", zero_copy_batch=True)
         .union(rd.from_arrow(pa.table(
-            {"doc_id": pa.array([SENTINEL_ID], pa.int64()),
+            {id_col: pa.array([SENTINEL_ID], pa.int64()),
              "n_ref_matches": pa.array([0], pa.int64())}
         )))
-        .groupby("doc_id")
+        .groupby(id_col)
         .aggregate(Sum("n_ref_matches", alias_name="n_ref_matches"))
     )
 
     def new_ids(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
-            {"doc_id": pa.array(ids[ids % INCR_REF_MOD != 0].astype(np.int64))}
+            {id_col: pa.array(ids[ids % ref_mod != 0].astype(np.int64))}
         )
 
     # sentinel on the probe side too: a ref-only (or blank) corpus makes
@@ -261,26 +280,26 @@ def _incremental_fuzzy_from_pairs(pairs, sf_dir: str):
     # schema broadcast (the Ray 2.49 race raypatch can't fix for
     # empty-END-TO-END inputs).  It joins only the matches sentinel and is
     # dropped in finalize.
-    newd = cp.read_augmented(sf_dir).map_batches(
+    newd = universe.map_batches(
         new_ids, batch_format="pyarrow", zero_copy_batch=True
     ).union(rd.from_arrow(pa.table(
-        {"doc_id": pa.array([SENTINEL_ID], pa.int64())}
+        {id_col: pa.array([SENTINEL_ID], pa.int64())}
     )))
     joined = newd.join(
         matches, join_type="left_outer", num_partitions=_join_partitions(),
-        on=("doc_id",),
+        on=(id_col,),
     )
 
     def finalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc_
 
-        t = t.filter(pc_.not_equal(t.column("doc_id"), SENTINEL_ID))
+        t = t.filter(pc_.not_equal(t.column(id_col), SENTINEL_ID))
         n = pc_.coalesce(t.column("n_ref_matches"), pa.scalar(0, pa.int64()))
         return pa.table(
             {
-                "doc_id": t.column("doc_id"),
+                id_col: t.column(id_col),
                 "n_ref_matches": n,
-                "is_fuzzy_dup": pc_.greater(n, 0),
+                flag_name: pc_.greater(n, 0),
             }
         )
 

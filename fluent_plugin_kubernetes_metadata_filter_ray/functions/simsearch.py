@@ -3103,76 +3103,21 @@ FROM allb a LEFT JOIN cnt c USING (bucket) CROSS JOIN tot t
 # (T47), exact n-gram (T79c) — and now embeddings.
 # ---------------------------------------------------------------------------
 
-_EDI_SENT = -1  # vec_ids are non-negative
-
 
 def q_embed_dedup_incremental(sf_dir: str):
     """Per new-split vector: count of prior-split near-dup partners +
     is_semantic_dup flag.  Composes the cosine-LSH pair pipeline (bucket-
-    local verify, no candidate materialization) with the cross-split tail;
-    beyond the pair pipeline only (vec_id, count) rows shuffle."""
-    import ray.data as rd
+    local verify, no candidate materialization) with the SHARED generic
+    cross-split tail (dedup.incremental_from_pairs); beyond the pair
+    pipeline only (vec_id, count) rows shuffle."""
+    from .dedup import incremental_from_pairs
 
-    from ray.data.aggregate import Sum
-
-    pairs = q_embed_neardup_lsh(sf_dir)
-
-    def cross_partial(t: pa.Table) -> pa.Table:
-        a = t.column("vec_a").to_numpy(zero_copy_only=False)
-        b = t.column("vec_b").to_numpy(zero_copy_only=False)
-        a_ref = a % ANN_REF_MOD == 0
-        b_ref = b % ANN_REF_MOD == 0
-        new_ids = np.concatenate([b[a_ref & ~b_ref], a[~a_ref & b_ref]])
-        ids_u, counts = np.unique(new_ids, return_counts=True)
-        return pa.table(
-            {
-                "vec_id": pa.array(ids_u.astype(np.int64)),
-                "n_ref_matches": pa.array(counts.astype(np.int64)),
-            }
-        )
-
-    matches = (
-        pairs.map_batches(cross_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .union(rd.from_arrow(pa.table(
-            {"vec_id": pa.array([_EDI_SENT], pa.int64()),
-             "n_ref_matches": pa.array([0], pa.int64())}
-        )))
-        .groupby("vec_id")
-        .aggregate(Sum("n_ref_matches", alias_name="n_ref_matches"))
+    return incremental_from_pairs(
+        q_embed_neardup_lsh(sf_dir),
+        cp.read_embeddings(sf_dir, columns=("vec_id",)),
+        id_col="vec_id", pair_cols=("vec_a", "vec_b"),
+        ref_mod=ANN_REF_MOD, flag_name="is_semantic_dup",
     )
-
-    def new_ids(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {"vec_id": pa.array(ids[ids % ANN_REF_MOD != 0].astype(np.int64))}
-        )
-
-    newd = cp.read_embeddings(sf_dir, columns=("vec_id",)).map_batches(
-        new_ids, batch_format="pyarrow", zero_copy_batch=True
-    ).union(rd.from_arrow(pa.table(
-        {"vec_id": pa.array([_EDI_SENT], pa.int64())}
-    )))
-    from .dedup import _join_partitions
-
-    joined = newd.join(
-        matches, join_type="left_outer", num_partitions=_join_partitions(),
-        on=("vec_id",),
-    )
-
-    def finalize(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc_
-
-        t = t.filter(pc_.not_equal(t.column("vec_id"), _EDI_SENT))
-        n = pc_.coalesce(t.column("n_ref_matches"), pa.scalar(0, pa.int64()))
-        return pa.table(
-            {
-                "vec_id": t.column("vec_id"),
-                "n_ref_matches": n,
-                "is_semantic_dup": pc_.greater(n, 0),
-            }
-        )
-
-    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def embed_dedup_incremental_oracle_sql() -> str:

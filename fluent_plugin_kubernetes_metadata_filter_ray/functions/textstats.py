@@ -1285,10 +1285,11 @@ def _bpe_symbol_counts(words: np.ndarray) -> np.ndarray:
     ).cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
-def tokens_bpe_batch(batch: pa.Table) -> pa.Table:
-    """doc_id → (n_words, n_bpe_tokens).  Null text → 0/0 (the token-
-    statistics null contract of doc_stats_batch)."""
-    s = pd.Series(batch.column("text").to_pandas())
+def bpe_row_counts(s: "pd.Series"):
+    """Per-row (n_words, n_bpe_tokens) over a text Series — the BPE ladder
+    runs once per DISTINCT word.  Null text → 0/0 (the token-statistics
+    null contract of doc_stats_batch).  Shared by the doc-level counts and
+    the per-conversation token budget so the twins can never diverge."""
     toks = s.str.strip().str.split()
     n_words = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
     ex = toks.explode().dropna()
@@ -1304,6 +1305,21 @@ def tokens_bpe_batch(batch: pa.Table) -> pa.Table:
         )
     else:
         n_bpe = np.zeros(len(s), dtype=np.int64)
+    return n_words, n_bpe
+
+
+def bpe_sql_ladder(var: str = "s") -> str:
+    """The SQL replace() merge ladder over a spaced-char expression —
+    shared by every BPE oracle so the merge table is applied identically."""
+    ladder = var
+    for a, b in BPE_MERGES:
+        ladder = f"replace({ladder}, '{a} {b}', '{a}{b}')"
+    return ladder
+
+
+def tokens_bpe_batch(batch: pa.Table) -> pa.Table:
+    """doc_id → (n_words, n_bpe_tokens)."""
+    n_words, n_bpe = bpe_row_counts(pd.Series(batch.column("text").to_pandas()))
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
@@ -1322,9 +1338,7 @@ def q_doc_tokens_bpe(sf_dir: str):
 
 
 def doc_tokens_bpe_oracle_sql() -> str:
-    ladder = "s"
-    for a, b in BPE_MERGES:
-        ladder = f"replace({ladder}, '{a} {b}', '{a}{b}')"
+    ladder = bpe_sql_ladder()
     toks = cp.SQL_TOKS.format(t="text")
     return f"""
 WITH tok AS (
@@ -1432,9 +1446,7 @@ def q_token_fertility(sf_dir: str):
 
 
 def token_fertility_oracle_sql() -> str:
-    ladder = "s"
-    for a, b in BPE_MERGES:
-        ladder = f"replace({ladder}, '{a} {b}', '{a}{b}')"
+    ladder = bpe_sql_ladder()
     toks = cp.SQL_TOKS.format(t="text")
     return f"""
 WITH tok AS (

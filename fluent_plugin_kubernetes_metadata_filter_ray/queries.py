@@ -238,6 +238,11 @@ def _rawlog_oracle() -> str:
 _DRIVER_PRIORITY = [
     # round-5 additions (never driver-witnessed) go FIRST
     # (appended as they land this round)
+    "q_tool_transitions",
+    "q_media_dedup",
+    "q_tool_latency",
+    "q_conv_token_budget",
+    "q_embed_dedup_incremental",
     "q_dedup_ngram",
     "q_dedup_ngram_clusters",
     "q_dedup_ngram_incremental",
@@ -251,11 +256,6 @@ _DRIVER_PRIORITY = [
     "q_dedup_ngram_incremental_resume",
     "q_turn_pii_density",
     "q_source_quality_report",
-    "q_tool_transitions",
-    "q_media_dedup",
-    "q_tool_latency",
-    "q_conv_token_budget",
-    "q_embed_dedup_incremental",
     "q_doc_tokens_bpe",
     "q_ann_ivfpq",
     "q_token_fertility",

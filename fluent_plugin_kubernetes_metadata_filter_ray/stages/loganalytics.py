@@ -280,6 +280,42 @@ def _make_transitions_block(value_name: str, out_from: str, out_to: str):
 _transitions_sorted_block = _make_transitions_block("role", "from_role", "to_role")
 
 
+_TRANS_SENT = "\x00\x00trans-sent"
+
+
+def _transitions_tail(partials, out_from: str, out_to: str):
+    """Shared transitions tail: sentinel threading (a single-turn-only or
+    empty transcripts stream yields ZERO partial rows end-to-end — the
+    Ray 2.49 empty-shuffle schema race CLAUDE.md documents) → tiny
+    groupby Sum → sentinel drop + null-key restore."""
+    import ray.data as rd
+
+    from .aggregate import _unmask_col
+
+    partials = partials.union(rd.from_arrow(pa.table(
+        {
+            out_from: pa.array([_TRANS_SENT], pa.string()),
+            out_to: pa.array([_TRANS_SENT], pa.string()),
+            "n_pairs": pa.array([0], pa.int64()),
+        }
+    )))
+    agg = partials.groupby([out_from, out_to]).aggregate(
+        Sum("n_pairs", alias_name="n_pairs")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column(out_from), _TRANS_SENT))
+        return pa.table(
+            {
+                out_from: _unmask_col(t.column(out_from)),
+                out_to: _unmask_col(t.column(out_to)),
+                "n_pairs": t.column("n_pairs").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def role_transitions(ds):
     """Count role → next-role transitions across consecutive turns of each
     conversation (ordered by turn_idx, ties by ts), aggregated corpus-wide.
@@ -293,25 +329,7 @@ def role_transitions(ds):
     partials = _sorted_by_conv(
         ds, ["conv_id", "turn_idx", "role", "ts"]
     ).map_batches(_transitions_sorted_block, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partials.groupby(["from_role", "to_role"]).aggregate(
-        Sum("n_pairs", alias_name="n_pairs")
-    )
-
-    def unmask(t: pa.Table) -> pa.Table:
-        def um(col):
-            return pc.if_else(
-                pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col
-            )
-
-        return pa.table(
-            {
-                "from_role": um(t.column("from_role")),
-                "to_role": um(t.column("to_role")),
-                "n_pairs": t.column("n_pairs"),
-            }
-        )
-
-    return agg.map_batches(unmask, batch_format="pyarrow", zero_copy_batch=True)
+    return _transitions_tail(partials, "from_role", "to_role")
 
 
 def role_transitions_mapgroups(ds):
@@ -1213,6 +1231,23 @@ def _latency_pairs_block(t: pa.Table) -> pa.Table:
     )
 
 
+def _pctl_from_distribution(gap: np.ndarray, c: np.ndarray):
+    """(p50, p95, p99, total) from a (gap_ms, count) distribution — the
+    cumulative-count threshold ladder both latency ops and their SQL twins
+    use: threshold = (tot*q + 99) // 100, value = first gap whose
+    cumulative count reaches it.  Shared so the trickiest twin math exists
+    once."""
+    o = np.argsort(gap, kind="stable")
+    gap, c = gap[o], c[o]
+    cm = np.cumsum(c)
+    tot = int(cm[-1])
+    if tot == 0:
+        return None
+    ps = [int(gap[np.searchsorted(cm, (tot * q + 99) // 100)])
+          for q in (50, 95, 99)]
+    return ps[0], ps[1], ps[2], tot
+
+
 def response_latency(ds):
     """Per-(from_role, to_role) inter-turn latency percentiles:
     (from_role, to_role, n_pairs, p50_ms, p95_ms, p99_ms)."""
@@ -1250,18 +1285,14 @@ def response_latency(ds):
         )
         if not len(g) or g.column("from_role")[0].as_py() == _LAT_SENT_ROLE:
             return empty
-        gap = g.column("gap_ms").to_numpy(zero_copy_only=False)
-        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.argsort(gap, kind="stable")
-        gap, c = gap[o], c[o]
-        cm = np.cumsum(c)
-        tot = int(cm[-1])
-        if tot == 0:
+        r = _pctl_from_distribution(
+            g.column("gap_ms").to_numpy(zero_copy_only=False),
+            g.column("c").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        if r is None:
             return empty
-        ps = []
-        for q in (50, 95, 99):
-            thr = (tot * q + 99) // 100
-            ps.append(int(gap[np.searchsorted(cm, thr)]))
+        p50, p95, p99, tot = r
+        ps = [p50, p95, p99]
         # rebuild the key scalars (kernels over the zero-copy group SLICE
         # hit pyarrow's sliced-offsets bug — see _unmask_null_key)
         fr = g.column("from_role")[0].as_py()
@@ -1694,32 +1725,14 @@ def tool_transitions(ds):
     """Count tool → next-tool transitions across consecutive turns of each
     conversation (ordered by turn_idx, ties by ts then tool), aggregated
     corpus-wide.  Ray shape: sort by conv_id → vectorized per-block bigram
-    partials (≤ tools² rows per block) → tiny groupby Sum."""
+    partials (≤ tools² rows per block) → shared sentinel-threaded tail."""
     from .aggregate import _sorted_by_conv
 
     partials = _sorted_by_conv(
         ds, ["conv_id", "turn_idx", "tool", "ts"]
     ).map_batches(_tool_transitions_block, batch_format="pyarrow",
                   zero_copy_batch=True)
-    agg = partials.groupby(["from_tool", "to_tool"]).aggregate(
-        Sum("n_pairs", alias_name="n_pairs")
-    )
-
-    def unmask(t: pa.Table) -> pa.Table:
-        def um(col):
-            return pc.if_else(
-                pc.equal(col, _NULL_KEY), pa.scalar(None, pa.string()), col
-            )
-
-        return pa.table(
-            {
-                "from_tool": um(t.column("from_tool")),
-                "to_tool": um(t.column("to_tool")),
-                "n_pairs": t.column("n_pairs"),
-            }
-        )
-
-    return agg.map_batches(unmask, batch_format="pyarrow", zero_copy_batch=True)
+    return _transitions_tail(partials, "from_tool", "to_tool")
 
 
 def tool_transitions_oracle_sql() -> str:
@@ -1841,16 +1854,13 @@ def tool_latency(ds):
         )
         if not len(g) or g.column("tool")[0].as_py() == _TLAT_SENT:
             return empty
-        gap = g.column("gap_ms").to_numpy(zero_copy_only=False)
-        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
-        o = np.argsort(gap, kind="stable")
-        gap, c = gap[o], c[o]
-        cm = np.cumsum(c)
-        tot = int(cm[-1])
-        if tot == 0:
+        r = _pctl_from_distribution(
+            g.column("gap_ms").to_numpy(zero_copy_only=False),
+            g.column("c").to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+        if r is None:
             return empty
-        ps = [int(gap[np.searchsorted(cm, (tot * q + 99) // 100)])
-              for q in (50, 95, 99)]
+        ps = list(r[:3])
         key = pa.array([g.column("tool")[0].as_py()], pa.string())
         return pa.table(
             {
@@ -1917,26 +1927,13 @@ def _conv_bpe_partial(batch: pa.Table) -> pa.Table:
     the BPE ladder runs once per DISTINCT word per batch."""
     import pandas as pd
 
-    from ..functions.textstats import _bpe_symbol_counts
+    from ..functions.textstats import bpe_row_counts
 
     conv = pd.Series(batch.column("conv_id").to_pandas()).fillna(_NULL_KEY)
     ccodes, cuniq = pd.factorize(conv.to_numpy(dtype=object), sort=False)
-    s = pd.Series(batch.column("text").to_pandas())
-    toks = s.str.strip().str.split()
-    n_words = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
-    ex = toks.explode().dropna()
-    if len(ex):
-        wcodes, wuniq = pd.factorize(ex.to_numpy(dtype=object), sort=False)
-        per_word = _bpe_symbol_counts(wuniq)
-        n_bpe = (
-            pd.Series(per_word[wcodes], index=ex.index)
-            .groupby(level=0)
-            .sum()
-            .reindex(s.index, fill_value=0)
-            .to_numpy(dtype=np.int64)
-        )
-    else:
-        n_bpe = np.zeros(len(s), dtype=np.int64)
+    n_words, n_bpe = bpe_row_counts(
+        pd.Series(batch.column("text").to_pandas())
+    )
     return pa.table(
         {
             "conv_id": pa.array(cuniq.astype(object), pa.string()),
@@ -1987,11 +1984,9 @@ def conv_token_budget(ds):
 def conv_token_budget_oracle_sql() -> str:
     from .. import datagen as dg
     from ..functions import corpus as cp_
-    from ..functions.textstats import BPE_MERGES
+    from ..functions.textstats import bpe_sql_ladder
 
-    ladder = "s"
-    for a, b in BPE_MERGES:
-        ladder = f"replace({ladder}, '{a} {b}', '{a}{b}')"
+    ladder = bpe_sql_ladder()
     toks = cp_.SQL_TOKS.format(t="text")
     return f"""
 WITH {dg.TRANSCRIPTS_CTE},
